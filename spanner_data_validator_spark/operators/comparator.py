@@ -1,0 +1,237 @@
+"""Batch validation core: dedup → full-outer match → classify → tally.
+
+Reference semantics being re-expressed (GoogleCloudPlatform/spanner-data-validator):
+
+* CoGroupByKey of source/target fingerprints (JDBCToSpannerDVTWithHash.java:348-353)
+  → here a single **full-outer join** keyed on the row key. The reference keys by
+  ``range|sha256`` so a content change shows up as two unmatched keys; we join on
+  the row key and compare fingerprints, classifying four ways. The reference's
+  tallies are then recovered exactly (see ``tally_report``):
+
+      match_count            = MATCH
+      source_count           = MATCH + MISMATCH + SOURCE_ONLY
+      target_count           = MATCH + MISMATCH + TARGET_ONLY
+      source_conflict_count  = MISMATCH + SOURCE_ONLY
+      target_conflict_count  = MISMATCH + TARGET_ONLY
+
+  (identity derived from CountMatchesDoFn.java:67-122 — a mismatched row lands
+  under two different ``range|hash`` keys, counting once per conflict side.)
+
+* Duplicate keys: the reference inspects only the FIRST element per side
+  (CountMatchesDoFn.java:73-80). Beam's iteration order is nondeterministic; we
+  pin a deterministic "first" = min(fingerprint[, payload]) per key
+  (``dedup_first``) so runs are reproducible.
+
+* Timestamp-threshold filter (CountMatchesDoFn.java:47-65, 84-120): rows outside
+  ``[min(th+Δ, th), max(th+Δ, th)]`` (Δ≠0) or ``[th, th+10000d]`` (Δ=0) are
+  dropped AFTER the join, using whichever side is present.
+
+Scale notes (100 TB / 1000 executors):
+
+* Rows are reduced to (key, 8-byte fingerprint) BEFORE the shuffle — the join
+  exchanges carry no payloads unless mismatch rows were requested.
+* dedup (groupBy key) and the join share the same hash partitioning; Catalyst
+  reuses the exchange, so the whole pipeline is ONE shuffle per side.
+* The join key (conv_id, turn_idx) is naturally fine-grained — no salting
+  needed for the join itself; AQE skew-join splits any residual skew. Salting
+  applies to the coarse per-range TALLY (see ``tally_report(salt_buckets=)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MATCH = "MATCH"
+MISMATCH = "MISMATCH"
+SOURCE_ONLY = "SOURCE_ONLY"
+TARGET_ONLY = "TARGET_ONLY"
+
+STATUSES = [MATCH, MISMATCH, SOURCE_ONLY, TARGET_ONLY]
+
+
+def dedup_first(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    fingerprint_col: str = "fingerprint",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic analogue of the reference's first-element-per-key rule.
+
+    Keeps exactly one row per key: the one with the minimum
+    (fingerprint, *carry_cols) tuple. One hash aggregate, combiner-lifted
+    (partial → shuffle → final), so duplicate-heavy inputs shrink map-side.
+    """
+    carry = carry_cols or []
+    picked = F.min(F.struct(F.col(fingerprint_col), *[F.col(c) for c in carry])).alias("__pick")
+    out = df.groupBy(*key_cols).agg(picked)
+    cols = [F.col(k) for k in key_cols]
+    cols.append(F.col(f"__pick.{fingerprint_col}").alias(fingerprint_col))
+    cols.extend(F.col(f"__pick.{c}").alias(c) for c in carry)
+    return out.select(*cols)
+
+
+def classify_pair(
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: list[str],
+    *,
+    fingerprint_col: str = "fingerprint",
+    carry_cols: list[str] | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Full-outer match of two fingerprinted sides → one row per key with ``status``.
+
+    Output schema: ``key_cols..., status, src_<fp>, tgt_<fp> [, src_/tgt_ carry]``.
+    """
+    carry = carry_cols or []
+    if dedup:
+        source = dedup_first(source, key_cols, fingerprint_col=fingerprint_col, carry_cols=carry)
+        target = dedup_first(target, key_cols, fingerprint_col=fingerprint_col, carry_cols=carry)
+
+    s = source.select(
+        *[F.col(k) for k in key_cols],
+        F.col(fingerprint_col).alias("src_fp"),
+        *[F.col(c).alias(f"src_{c}") for c in carry],
+    )
+    t = target.select(
+        *[F.col(k) for k in key_cols],
+        F.col(fingerprint_col).alias("tgt_fp"),
+        *[F.col(c).alias(f"tgt_{c}") for c in carry],
+    )
+    joined = s.join(t, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("src_fp").isNotNull() & F.col("tgt_fp").isNotNull(),
+               F.when(F.col("src_fp") == F.col("tgt_fp"), MATCH).otherwise(MISMATCH))
+        .when(F.col("tgt_fp").isNull(), SOURCE_ONLY)
+        .otherwise(TARGET_ONLY)
+    )
+    return joined.withColumn("status", status)
+
+
+def apply_timestamp_threshold(
+    classified: DataFrame,
+    *,
+    threshold_millis: int,
+    delta_mins: int = 0,
+    src_ts_col: str = "src_ts_millis",
+    tgt_ts_col: str = "tgt_ts_millis",
+) -> DataFrame:
+    """Post-join timestamp-threshold filter (CountMatchesDoFn.java:47-65,84-120).
+
+    Window: Δ≠0 → [min(th+Δ·60000, th), max(th+Δ·60000, th)]; Δ=0 → [th, th+10000 days].
+    Applied to whichever side is present (the reference checks the spanner/target
+    record when both are present — we follow that: target first, else source).
+    """
+    if threshold_millis <= 0:
+        return classified
+    shifted = threshold_millis + delta_mins * 60_000
+    start = min(shifted, threshold_millis)
+    end = max(shifted, threshold_millis) if delta_mins != 0 else start + 10_000 * 86_400_000
+    ts = F.coalesce(F.col(tgt_ts_col), F.col(src_ts_col))
+    return classified.where((ts >= F.lit(start)) & (ts <= F.lit(end)))
+
+
+def tally_report(
+    classified: DataFrame,
+    range_col: Column | str,
+    *,
+    run_name: str | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Per-range ComparerResult (dto/ComparerResult.java:23-38) from classified rows.
+
+    Collapses the reference's five ``Count.perKey`` streams + count-assembly CoGBK
+    (JDBCToSpannerDVTWithHash.java:367-424) into ONE hash aggregate.
+
+    ``salt_buckets``: two-phase aggregation for hot ranges — first groupBy
+    (range, crc32(keys)%N) partial sums, then groupBy(range) final sums. With
+    few distinct ranges and 10^12 rows, partial combine already handles most of
+    it; salting bounds the final-stage fan-in explicitly.
+    """
+    rc = F.col(range_col) if isinstance(range_col, str) else range_col
+    df = classified.withColumn("range", rc.cast("string"))
+
+    def counts(prefix=""):
+        s = F.col("status")
+        return [
+            F.sum(F.when(s == MATCH, 1).otherwise(0)).alias(f"{prefix}match_count"),
+            F.sum(F.when(s.isin(MATCH, MISMATCH, SOURCE_ONLY), 1).otherwise(0)).alias(
+                f"{prefix}source_count"),
+            F.sum(F.when(s.isin(MATCH, MISMATCH, TARGET_ONLY), 1).otherwise(0)).alias(
+                f"{prefix}target_count"),
+            F.sum(F.when(s.isin(MISMATCH, SOURCE_ONLY), 1).otherwise(0)).alias(
+                f"{prefix}source_conflict_count"),
+            F.sum(F.when(s.isin(MISMATCH, TARGET_ONLY), 1).otherwise(0)).alias(
+                f"{prefix}target_conflict_count"),
+        ]
+
+    if salt_buckets:
+        salt = F.pmod(F.crc32(F.concat_ws("\x1f", *classified.columns[:1])), F.lit(salt_buckets))
+        partial = df.withColumn("__salt", salt).groupBy("range", "__salt").agg(*counts())
+        report = partial.groupBy("range").agg(
+            *[F.sum(c).alias(c) for c in [
+                "match_count", "source_count", "target_count",
+                "source_conflict_count", "target_conflict_count"]]
+        )
+    else:
+        report = df.groupBy("range").agg(*counts())
+
+    if run_name is not None:
+        report = report.select(F.lit(run_name).alias("run_name"), "*")
+    return report
+
+
+def validate_batch(
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    *,
+    algo: str = "xxhash64",
+    json_cols: set[str] | frozenset[str] = frozenset(),
+    keep_values: bool = False,
+    num_ranges: int = 64,
+    run_name: str = "run",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """End-to-end batch validation (SURVEY.md §7.0 slice).
+
+    Returns ``(classified, report, mismatch_rows)``:
+
+    * ``classified`` — one row per key with status (+ payloads if keep_values)
+    * ``report``     — per-range ComparerResult counts
+    * ``mismatch_rows`` — the conflicting-record sink feed (status != MATCH),
+      one row per (key, side) like the reference's per-side BQ writers
+      (JDBCToSpannerDVTWithHash.java:159-189, 393-415)
+    """
+    from spanner_data_validator_spark.functions.fingerprint import fingerprint_turns
+
+    src_fp = fingerprint_turns(source, key_cols, payload_cols, algo=algo,
+                               json_cols=json_cols, keep_payload=keep_values)
+    tgt_fp = fingerprint_turns(target, key_cols, payload_cols, algo=algo,
+                               json_cols=json_cols, keep_payload=keep_values)
+    carry = ["payload"] if keep_values else []
+    classified = classify_pair(src_fp, tgt_fp, key_cols, carry_cols=carry)
+
+    # reporting range: deterministic hash bucket of the first key column
+    # (replaces the reference's driver-computed PartitionRange list +
+    # MapWithRangeFn binary search, dofns/MapWithRangeFn.java:82-166 — hash
+    # partitioning is what Spark already does; the *report* bucket is pmod)
+    range_expr = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols[:1]]), F.lit(num_ranges))
+    report = tally_report(classified, range_expr, run_name=run_name)
+
+    sides = []
+    for side, fp_col in (("source", "src_fp"), ("target", "tgt_fp")):
+        cols = [F.lit(run_name).alias("run_name"),
+                F.lit(side).alias("side"),
+                *[F.col(k) for k in key_cols],
+                F.col("status"),
+                F.col(fp_col).cast("string").alias("fingerprint")]
+        if keep_values:
+            cols.append(F.col(f"{'src' if side == 'source' else 'tgt'}_payload").alias("orig_value"))
+        sides.append(
+            classified.where((F.col("status") != MATCH) & F.col(fp_col).isNotNull()).select(*cols)
+        )
+    mismatch_rows = sides[0].unionByName(sides[1])
+    return classified, report, mismatch_rows

@@ -1,0 +1,123 @@
+"""Batch comparator: classification, tally identity, dedup, timestamp threshold."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.datagen.transcripts import TRANSCRIPT_SCHEMA, gen_transcript_pair
+from spanner_data_validator_spark.operators.comparator import (
+    MATCH, MISMATCH, SOURCE_ONLY, TARGET_ONLY,
+    apply_timestamp_threshold, classify_pair, dedup_first, tally_report, validate_batch,
+)
+
+KEY = ["conv_id", "turn_idx"]
+PAYLOAD = ["role", "text", "tool"]
+
+
+def _pair_dfs(spark, **kw):
+    pair = gen_transcript_pair(**kw)
+    src = spark.createDataFrame(pair.source, schema=TRANSCRIPT_SCHEMA)
+    tgt = spark.createDataFrame(pair.target, schema=TRANSCRIPT_SCHEMA)
+    return pair, src, tgt
+
+
+def test_classification_counts_match_planted(spark):
+    pair, src, tgt = _pair_dfs(spark, n_convs=60, seed=7)
+    classified, report, mism = validate_batch(src, tgt, KEY, PAYLOAD,
+                                              json_cols={"tool"}, keep_values=True)
+    got = {r["status"]: r["n"] for r in
+           classified.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert got == pair.expected
+
+
+def test_tally_identity(spark):
+    """Reference identity (SURVEY.md §2.4): match=MATCH,
+    source_conflict=MISMATCH+SOURCE_ONLY, target_conflict=MISMATCH+TARGET_ONLY."""
+    pair, src, tgt = _pair_dfs(spark, n_convs=60, seed=7)
+    _, report, _ = validate_batch(src, tgt, KEY, PAYLOAD, json_cols={"tool"})
+    tot = report.agg(
+        F.sum("match_count").alias("m"), F.sum("source_count").alias("s"),
+        F.sum("target_count").alias("t"), F.sum("source_conflict_count").alias("sc"),
+        F.sum("target_conflict_count").alias("tc")).collect()[0]
+    e = pair.expected
+    assert tot["m"] == e["MATCH"]
+    assert tot["sc"] == e["MISMATCH"] + e["SOURCE_ONLY"]
+    assert tot["tc"] == e["MISMATCH"] + e["TARGET_ONLY"]
+    assert tot["s"] == e["MATCH"] + e["MISMATCH"] + e["SOURCE_ONLY"]
+    assert tot["t"] == e["MATCH"] + e["MISMATCH"] + e["TARGET_ONLY"]
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark):
+    """input_hint invariant: per-turn text equality under stable (conv_id, turn_idx)
+    ordering — every MATCH-classified key has identical text on both sides."""
+    pair, src, tgt = _pair_dfs(spark, n_convs=40, seed=11)
+    s = src.select("conv_id", "turn_idx", F.col("text").alias("src_text")).dropDuplicates(KEY)
+    t = tgt.select("conv_id", "turn_idx", F.col("text").alias("tgt_text")).dropDuplicates(KEY)
+    classified, _, _ = validate_batch(src, tgt, KEY, PAYLOAD, json_cols={"tool"})
+    joined = (classified.join(s, KEY, "left").join(t, KEY, "left")
+              .orderBy("conv_id", "turn_idx"))
+    bad = joined.where(
+        (F.col("status") == MATCH)
+        & ~(F.col("src_text").eqNullSafe(F.col("tgt_text")))).count()
+    assert bad == 0
+    # and every MISMATCH differs in text (our generator only mutates text)
+    bad2 = joined.where((F.col("status") == MISMATCH)
+                        & F.col("src_text").eqNullSafe(F.col("tgt_text"))).count()
+    assert bad2 == 0
+
+
+def test_dedup_first_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [("k1", 0, 10), ("k1", 0, 10), ("k1", 0, 5), ("k2", 1, 7)],
+        "conv_id STRING, turn_idx INT, fingerprint LONG")
+    out = dedup_first(df, KEY)
+    rows = {(r["conv_id"], r["turn_idx"]): r["fingerprint"] for r in out.collect()}
+    assert rows == {("k1", 0): 5, ("k2", 1): 7}
+
+
+def test_classify_pair_mismatch_double_sided(spark):
+    src = spark.createDataFrame([("a", 0, 1), ("b", 0, 2)], "conv_id STRING, turn_idx INT, fingerprint LONG")
+    tgt = spark.createDataFrame([("a", 0, 99), ("c", 0, 3)], "conv_id STRING, turn_idx INT, fingerprint LONG")
+    got = {(r["conv_id"]): r["status"] for r in classify_pair(src, tgt, KEY).collect()}
+    assert got == {"a": MISMATCH, "b": SOURCE_ONLY, "c": TARGET_ONLY}
+
+
+def test_timestamp_threshold_window(spark):
+    # CountMatchesDoFn.java:47-65: delta != 0 → [min(th+Δ,th), max(th+Δ,th)]
+    rows = [("a", 0, 1, 1, 1_000_000), ("b", 0, 1, 1, 4_000_000), ("c", 0, 1, 1, 9_000_000)]
+    df = spark.createDataFrame(rows, "conv_id STRING, turn_idx INT, src_fp LONG, "
+                                     "tgt_fp LONG, tgt_ts_millis LONG")
+    df = df.withColumn("src_ts_millis", F.col("tgt_ts_millis")).withColumn("status", F.lit(MATCH))
+    th = 5_000_000
+    out = apply_timestamp_threshold(df, threshold_millis=th, delta_mins=-50)  # [2e6, 5e6]
+    assert {r["conv_id"] for r in out.collect()} == {"b"}
+    # delta == 0 → [th, th+10000d]
+    out2 = apply_timestamp_threshold(df, threshold_millis=th, delta_mins=0)
+    assert {r["conv_id"] for r in out2.collect()} == {"c"}
+    # threshold <= 0 → no-op
+    assert apply_timestamp_threshold(df, threshold_millis=0).count() == 3
+
+
+def test_salted_tally_equals_plain(spark):
+    _, src, tgt = _pair_dfs(spark, n_convs=50, seed=3)
+    classified, _, _ = validate_batch(src, tgt, KEY, PAYLOAD, json_cols={"tool"})
+    rng = F.pmod(F.xxhash64("conv_id"), F.lit(8))
+    plain = {r["range"]: r for r in tally_report(classified, rng).collect()}
+    salted = {r["range"]: r for r in tally_report(classified, rng, salt_buckets=16).collect()}
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        for c in ["match_count", "source_count", "target_count",
+                  "source_conflict_count", "target_conflict_count"]:
+            assert plain[k][c] == salted[k][c]
+
+
+def test_mismatch_rows_sink_shape(spark):
+    pair, src, tgt = _pair_dfs(spark, n_convs=40, seed=5)
+    _, _, mism = validate_batch(src, tgt, KEY, PAYLOAD, json_cols={"tool"},
+                                keep_values=True, run_name="r1")
+    e = pair.expected
+    by = {(r["side"], r["status"]) for r in mism.select("side", "status").distinct().collect()}
+    assert ("source", MATCH) not in by and ("target", MATCH) not in by
+    n = mism.count()
+    # each MISMATCH contributes 2 rows (both sides), each *_ONLY contributes 1
+    assert n == 2 * e["MISMATCH"] + e["SOURCE_ONLY"] + e["TARGET_ONLY"]
