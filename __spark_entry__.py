@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation pipeline on sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator with its
+DuckDB oracle (see spanner_data_validator_spark/plans/demo_queries.py).
 """
 
 from __future__ import annotations
@@ -15,24 +13,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dual-stream validation report (fingerprint → full-outer
+    match → classify → per-range ComparerResult tally) on sf0.001."""
+    from pyspark.sql import functions as F
+
+    from spanner_data_validator_spark.operators.comparator import tally_report
+    from spanner_data_validator_spark.plans.demo_queries import classified_events
+
+    cls = classified_events(spark, "/root/testdata/sf0.001")
+    return tally_report(cls, F.pmod(F.col("key"), F.lit(16)), run_name="flagship")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from spanner_data_validator_spark.plans.demo_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spanner_data_validator_spark.plans.demo_queries import ORACLES
+
+    return dict(ORACLES)

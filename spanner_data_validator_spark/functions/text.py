@@ -1,0 +1,92 @@
+"""Text-analysis primitives for large-scale training-data pipelines.
+
+All hot-path functions are pure Catalyst column expressions (JVM-side,
+whole-stage codegen); the only pandas UDF is the rolling-hash document
+fingerprint (bit arithmetic over characters doesn't expression-compose).
+
+These extend the reference's capability surface (the reference has no text
+analytics — SURVEY.md §2.10); they reuse its core idea: reduce rows to
+deterministic fingerprints, then set-reason over them.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count (single-space-delimited corpus)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, " "))).cast("long")
+
+
+def token_count_regex(text: Column | str, pattern: str = "[a-z]+|[0-9]+") -> Column:
+    """BPE-ish token count: number of regex token matches (runs of letters /
+    digits / single other symbols, depending on pattern)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).cast("long")
+
+
+def substr_hits(text: Column | str, needle: str) -> Column:
+    """Occurrences of a substring via the replace-length identity —
+    (len(s) - len(replace(s, w, ''))) / len(w). Portable across engines."""
+    c = F.col(text) if isinstance(text, str) else text
+    return ((F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))).cast("long")
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    hits = sum(substr_hits(c, w) for w in stopwords)  # type: ignore[arg-type]
+    return hits.cast("double") / F.greatest(token_count_ws(c), F.lit(1))
+
+
+def quality_score(text: Column | str, n_chars: Column | str | None = None) -> Column:
+    """Simple length/density quality heuristic: tokens per char (word density),
+    penalized for very short docs."""
+    c = F.col(text) if isinstance(text, str) else text
+    nc = F.length(c) if n_chars is None else (F.col(n_chars) if isinstance(n_chars, str) else n_chars)
+    return token_count_ws(c).cast("double") / F.greatest(nc, F.lit(1))
+
+
+def lang_id_heuristic(text: Column | str, markers: dict[str, list[str]] | None = None,
+                      min_hits: int = 2) -> Column:
+    """Marker-word language ID: the language with >= min_hits marker hits wins
+    (first in dict order); else 'und'. A real deployment plugs in n-gram
+    profiles — the *operator shape* (pure-expression classify column) is what
+    scales."""
+    c = F.col(text) if isinstance(text, str) else text
+    markers = markers or {"en": ["data", "table", "spark"]}
+    expr = F.lit("und")
+    for lang, words in reversed(list(markers.items())):
+        hits = sum(F.when(c.contains(w), 1).otherwise(0) for w in words)
+        expr = F.when(hits >= min_hits, lang).otherwise(expr)
+    return expr
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (empty for docs with < n words).
+    Pure expressions: split → sequence → transform(slice + array_join)."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(c, " ")
+    k = F.size(words)
+    idx = F.sequence(F.lit(1), k - F.lit(n - 1))  # 1-based start positions
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+@F.pandas_udf(T.LongType())
+def rolling_fingerprint_udf(s: pd.Series) -> pd.Series:
+    """Polynomial rolling hash over UTF-8 bytes (base 256, mod 2^61-1) — a
+    deterministic 61-bit document fingerprint. The base-256 polynomial IS the
+    big-endian byte integer, so each doc hashes in one C-speed bigint op per
+    Arrow batch element (no per-byte Python)."""
+    MOD = (1 << 61) - 1
+
+    def fp(txt: str):
+        return int.from_bytes(txt.encode("utf-8"), "big") % MOD
+
+    return s.map(fp, na_action="ignore")

@@ -190,9 +190,10 @@ def long_ranges_df(spark: SparkSession, start: int, end: int, count: int) -> Dat
     is_last = F.col("i") == F.lit(count - 1)
     # reference quirk: last range starts at previous end (= min-1) and closes at `end`
     return one.select(
-        "partition_id",
-        F.when(is_last, min_r - 1).otherwise(min_r).alias("start_long"),
-        F.when(is_last, F.lit(end)).otherwise(min_r + F.lit(step) - 1).alias("end_long"),
+        F.col("partition_id").cast("int").alias("partition_id"),
+        F.when(is_last, min_r - 1).otherwise(min_r).cast("long").alias("start_long"),
+        F.when(is_last, F.lit(end)).otherwise(min_r + F.lit(step) - 1)
+         .cast("long").alias("end_long"),
     )
 
 

@@ -1,0 +1,464 @@
+"""Oracle-paired demo queries over the driver's testdata parquet corpus.
+
+Each entry here is an operator from SURVEY.md §2 (or a training-data-pipeline
+extension) exercised end-to-end on `/root/testdata/sf*/` tables, with a DuckDB
+ANSI-SQL oracle that computes the *same* result. The validator queries derive
+a deterministic dual-stream (source, target) pair from the `events` table with
+planted divergences — the same rule in both engines:
+
+    key = event_id
+    payload = concat_ws('|', event_type, props, user_id)   (nulls -> '')
+    target  = source
+              minus rows with key % 50 = 1                 (SOURCE_ONLY)
+              with payload || '#mut' where key % 50 = 0    (MISMATCH)
+              plus rows (key + 100000000) where key % 50 = 2  (TARGET_ONLY)
+
+The Spark side compares xxhash64 fingerprints (the engine's hot path); the
+oracle compares payload strings — identical classifications modulo 64-bit
+collisions (none at these scales; production uses sha256, see
+functions/fingerprint.py).
+
+Registry contract: QUERIES[name](spark, sf_dir) -> DataFrame, ORACLES[name]
+is DuckDB SQL over pre-registered views. Names/aliases match column-for-column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.functions.fingerprint import fingerprint_expr
+from spanner_data_validator_spark.functions.text import (
+    lang_id_heuristic,
+    quality_score,
+    stopword_ratio,
+    substr_hits,
+    token_count_regex,
+    token_count_ws,
+)
+from spanner_data_validator_spark.operators.ann import cosine_topk, embedding_near_dups
+from spanner_data_validator_spark.operators.comparator import (
+    apply_timestamp_threshold,
+    classify_pair,
+    tally_report,
+)
+from spanner_data_validator_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_dups,
+)
+from spanner_data_validator_spark.operators.ranges import long_ranges_df
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# dual-stream derivation from `events` (shared rule, see module docstring)
+# ---------------------------------------------------------------------------
+
+def events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    payload = F.concat_ws(
+        "|",
+        F.coalesce(F.col("event_type"), F.lit("")),
+        F.coalesce(F.col("props"), F.lit("")),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+    )
+    # parquet timestamps surface as TIMESTAMP_NTZ in Spark 4; session TZ is
+    # pinned to UTC so the cast matches DuckDB's naive-UTC interpretation
+    return ev.select(F.col("event_id").alias("key"), payload.alias("payload"),
+                     F.col("ts").cast("timestamp").alias("ts"), F.col("user_id"))
+
+
+def events_target(src: DataFrame) -> DataFrame:
+    kept = src.where(F.col("key") % 50 != 1)
+    mutated = kept.withColumn(
+        "payload",
+        F.when(F.col("key") % 50 == 0, F.concat(F.col("payload"), F.lit("#mut")))
+         .otherwise(F.col("payload")))
+    inserted = src.where(F.col("key") % 50 == 2).withColumn(
+        "key", F.col("key") + F.lit(100_000_000))
+    return mutated.unionByName(inserted)
+
+
+def classified_events(spark: SparkSession, sf_dir: str, *, with_ts: bool = False,
+                      shards: int = 0) -> DataFrame:
+    """Fingerprint both sides, full-outer classify on `key` (the §7.0 slice)."""
+    src = events_source(spark, sf_dir)
+    if shards:  # J3 Flatten analogue: per-shard streams unioned before the match
+        parts = [src.where(F.col("user_id") % shards == i) for i in range(shards)]
+        from functools import reduce
+        src = reduce(DataFrame.unionByName, parts)
+    tgt = events_target(events_source(spark, sf_dir))
+
+    def prep(df: DataFrame) -> DataFrame:
+        cols = [F.col("key"), fingerprint_expr(F.col("payload")).alias("fingerprint")]
+        if with_ts:
+            cols.append(F.unix_millis(F.col("ts")).alias("ts_millis"))
+        return df.select(*cols)
+
+    carry = ["ts_millis"] if with_ts else []
+    return classify_pair(prep(src), prep(tgt), ["key"], carry_cols=carry)
+
+
+_CLS_CTE = """
+WITH src AS (
+  SELECT event_id AS key,
+         concat_ws('|', coalesce(event_type,''), coalesce(props,''),
+                   coalesce(CAST(user_id AS STRING),'')) AS payload,
+         ts
+  FROM events
+),
+tgt AS (
+  SELECT key,
+         CASE WHEN key % 50 = 0 THEN payload || '#mut' ELSE payload END AS payload,
+         ts
+  FROM src WHERE key % 50 <> 1
+  UNION ALL
+  SELECT key + 100000000 AS key, payload, ts FROM src WHERE key % 50 = 2
+),
+cls AS (
+  SELECT coalesce(s.key, t.key) AS key,
+         CASE WHEN s.payload IS NOT NULL AND t.payload IS NOT NULL
+                   AND s.payload = t.payload THEN 'MATCH'
+              WHEN s.payload IS NOT NULL AND t.payload IS NOT NULL THEN 'MISMATCH'
+              WHEN t.payload IS NULL THEN 'SOURCE_ONLY'
+              ELSE 'TARGET_ONLY' END AS status,
+         coalesce(t.ts, s.ts) AS ts
+  FROM src s FULL OUTER JOIN tgt t ON s.key = t.key
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# validator queries (SURVEY.md §2.3-2.6: J1 match join, C1 classify, A1/A2 tally)
+# ---------------------------------------------------------------------------
+
+@register("validate_classify", _CLS_CTE + "SELECT key, status FROM cls")
+def q_validate_classify(spark, sf_dir):
+    """J1+C1: full-outer fingerprint match → per-key status rows."""
+    return classified_events(spark, sf_dir).select("key", "status")
+
+
+@register("validate_totals", _CLS_CTE + """
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY status
+""")
+def q_validate_totals(spark, sf_dir):
+    """C1 classification totals — the headline MATCH/MISMATCH/*_ONLY counts."""
+    return (classified_events(spark, sf_dir)
+            .groupBy("status").agg(F.count("*").alias("n")))
+
+
+@register("validate_report", _CLS_CTE + """
+SELECT CAST(key % 16 AS STRING) AS range,
+       CAST(count(*) FILTER (WHERE status = 'MATCH') AS BIGINT) AS match_count,
+       CAST(count(*) FILTER (WHERE status IN ('MATCH','MISMATCH','SOURCE_ONLY')) AS BIGINT) AS source_count,
+       CAST(count(*) FILTER (WHERE status IN ('MATCH','MISMATCH','TARGET_ONLY')) AS BIGINT) AS target_count,
+       CAST(count(*) FILTER (WHERE status IN ('MISMATCH','SOURCE_ONLY')) AS BIGINT) AS source_conflict_count,
+       CAST(count(*) FILTER (WHERE status IN ('MISMATCH','TARGET_ONLY')) AS BIGINT) AS target_conflict_count
+FROM cls GROUP BY 1
+""")
+def q_validate_report(spark, sf_dir):
+    """A1+A2: per-range ComparerResult with the reference count identity
+    (match/source/target/source_conflict/target_conflict)."""
+    cls = classified_events(spark, sf_dir)
+    return tally_report(cls, F.pmod(F.col("key"), F.lit(16)))
+
+
+@register("validate_sharded", _CLS_CTE + """
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY status
+""")
+def q_validate_sharded(spark, sf_dir):
+    """J3: per-shard source streams (user_id % 3) flattened by unionByName —
+    totals must be identical to the unsharded run."""
+    return (classified_events(spark, sf_dir, shards=3)
+            .groupBy("status").agg(F.count("*").alias("n")))
+
+
+@register("timestamp_threshold", _CLS_CTE + """
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls
+WHERE epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-04 00:00:00')
+  AND epoch_ms(ts) <= epoch_ms(TIMESTAMP '2024-01-05 00:00:00')
+GROUP BY status
+""")
+def q_timestamp_threshold(spark, sf_dir):
+    """P2: post-join timestamp-threshold window (CountMatchesDoFn.java:47-65),
+    threshold 2024-01-05, delta -1440 min → [2024-01-04, 2024-01-05]."""
+    cls = classified_events(spark, sf_dir, with_ts=True)
+    th = 1_704_412_800_000  # 2024-01-05T00:00:00Z epoch millis
+    filtered = apply_timestamp_threshold(cls, threshold_millis=th, delta_mins=-1440)
+    return filtered.groupBy("status").agg(F.count("*").alias("n"))
+
+
+@register("coverage_sample", _CLS_CTE + """
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls
+WHERE key % 10 = 0 GROUP BY status
+""")
+def q_coverage_sample(spark, sf_dir):
+    """P4: deterministic 10%-coverage key sampling (same subset on both sides)."""
+    return (classified_events(spark, sf_dir)
+            .where(F.col("key") % 10 == 0)
+            .groupBy("status").agg(F.count("*").alias("n")))
+
+
+@register("partition_filter", _CLS_CTE + """
+SELECT CAST(key % 16 AS STRING) AS range, CAST(count(*) AS BIGINT) AS n
+FROM cls WHERE key % 16 % 4 = 0 GROUP BY 1
+""")
+def q_partition_filter(spark, sf_dir):
+    """P5: keep every 4th reporting partition (partitionFilterRatio analogue)."""
+    cls = classified_events(spark, sf_dir).withColumn(
+        "range", F.pmod(F.col("key"), F.lit(16)).cast("string"))
+    return (cls.where(F.pmod(F.col("key"), F.lit(16)) % 4 == 0)
+            .groupBy("range").agg(F.count("*").alias("n")))
+
+
+@register("long_ranges", """
+SELECT CAST(i AS INT) AS partition_id,
+       CASE WHEN i = 63 THEN 0 + i * 1562 - 1 ELSE 0 + i * 1562 END AS start_long,
+       CASE WHEN i = 63 THEN 100000 ELSE 0 + i * 1562 + 1561 END AS end_long
+FROM (SELECT range AS i FROM range(64))
+""")
+def q_long_ranges(spark, sf_dir):
+    """R2: distributed LONG partition-range generation over [0, 100000] × 64,
+    preserving the reference's last-range overlap quirk."""
+    return long_ranges_df(spark, 0, 100_000, 64)
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregation (streaming ops in their batch-equivalent form)
+# ---------------------------------------------------------------------------
+
+@register("tumbling_mismatch_counts", _CLS_CTE + """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, status,
+       CAST(count(*) AS BIGINT) AS n
+FROM cls GROUP BY 1, 2
+""")
+def q_tumbling_mismatch_counts(spark, sf_dir):
+    """A1-streaming analogue: tumbling 1h event-time windows × status counts."""
+    cls = classified_events(spark, sf_dir, with_ts=True)
+    ts = F.timestamp_millis(F.coalesce(F.col("tgt_ts_millis"), F.col("src_ts_millis")))
+    return (cls.groupBy(F.window(ts, "1 hour").alias("w"), "status")
+               .agg(F.count("*").alias("n"))
+               .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                       "status", "n"))
+
+
+@register("session_windows", """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+""")
+def q_session_windows(spark, sf_dir):
+    """Session windows (gap 30 min) per user over the events stream — the
+    batch form of the streaming session_window aggregation."""
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+              .agg(F.count("*").alias("n_events"))
+              .select("user_id", F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+                      "n_events"))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+_DOC_DUP_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+@register("dedup_exact", "WITH " + _DOC_DUP_CORPUS + """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY text
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by text fingerprint over a corpus with planted duplicates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return exact_dedup(corpus, "doc_id", "text")
+
+
+_NEARDUP_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'XX ' || text FROM documents WHERE doc_id % 20 = 0
+)
+"""
+
+_JACCARD_SQL = "WITH " + _NEARDUP_CORPUS + """,
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text,' '), i, i+2), ' ') AS shingle
+  FROM corpus, UNNEST(range(1, len(string_split(text,' ')) - 1)) AS t(i)
+  WHERE len(string_split(text,' ')) >= 3
+),
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS k
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, CAST(i.k AS DOUBLE) / (sa.n + sb.n - i.k) AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+WHERE CAST(i.k AS DOUBLE) / (sa.n + sb.n - i.k) >= 0.7
+"""
+
+
+def _neardup_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return docs.unionByName(
+        docs.where(F.col("doc_id") % 20 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.concat(F.lit("XX "), F.col("text")).alias("text")))
+
+
+@register("ngram_jaccard_pairs", _JACCARD_SQL)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index join, no n²)."""
+    return jaccard_pairs(_neardup_corpus(spark, sf_dir), "doc_id", "text",
+                         n=3, threshold=0.7)
+
+
+@register("minhash_lsh_pairs")  # no SQL oracle: hash family not expressible in DuckDB
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(32 perms)+LSH(8 bands) candidates verified by exact Jaccard.
+    Pytest asserts it reproduces ngram_jaccard_pairs on this corpus."""
+    return minhash_lsh_pairs(_neardup_corpus(spark, sf_dir), "doc_id", "text",
+                             n=3, num_perm=32, bands=8, threshold=0.7)
+
+
+@register("simhash_near_dups")  # no SQL oracle (xxhash64 family)
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash64 + quarter-band blocking, Hamming <= 3 verification."""
+    return simhash_near_dups(_neardup_corpus(spark, sf_dir), "doc_id", "text",
+                             n=3, max_hamming=3)
+
+
+@register("ann_cosine_topk", """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 3) AS sim
+FROM r WHERE rank <= 3
+""")
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for query vectors (vec_id % 100 = 0)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk(emb, emb.where(F.col("vec_id") % 100 == 0), 3)
+    return out.withColumn("sim", F.round(F.col("sim"), 3))
+
+
+@register("embedding_near_dups", """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.999
+""")
+def q_embedding_near_dups(spark, sf_dir):
+    """Cosine >= 0.999 near-dup pairs over a corpus with planted duplicate
+    vectors (vec_id % 50 = 0 copied at +1000000)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.unionByName(
+        emb.where(F.col("vec_id") % 50 == 0)
+           .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    dim = 64
+    return embedding_near_dups(corpus, threshold=0.999, dim=dim).select("a", "b")
+
+
+@register("text_quality", """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST((length(text) - length(replace(text, 'row', ''))) / 3 AS BIGINT) AS stop_hits,
+       CAST(len(string_split(text, ' ')) AS DOUBLE) / greatest(length(text), 1) AS quality
+FROM documents
+""")
+def q_text_quality(spark, sf_dir):
+    """Per-doc quality metrics: token count, stopword hits, density score."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens"),
+        substr_hits("text", "row").alias("stop_hits"),
+        quality_score("text").alias("quality"))
+
+
+@register("token_count_regex", """
+SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens
+FROM documents
+""")
+def q_token_count_regex(spark, sf_dir):
+    """BPE-ish regex tokenizer count per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", token_count_regex("text").alias("n_tokens"))
+
+
+@register("lang_id", """
+SELECT doc_id,
+       CASE WHEN (CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END +
+                  CASE WHEN text LIKE '%table%' THEN 1 ELSE 0 END +
+                  CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) >= 2
+            THEN 'en' ELSE 'und' END AS pred_lang,
+       lang
+FROM documents
+""")
+def q_lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic vs the labeled lang column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id_heuristic("text").alias("pred_lang"), "lang")
+
+
+@register("doc_fingerprint")  # no SQL oracle: 61-bit modular bigint arithmetic
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling (polynomial) document fingerprint via Arrow pandas UDF."""
+    from spanner_data_validator_spark.functions.text import rolling_fingerprint_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", rolling_fingerprint_udf(F.col("text")).alias("fingerprint"))

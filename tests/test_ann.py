@@ -1,0 +1,60 @@
+"""ANN operators: brute-force top-k, LSH buckets, embedding near-dups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.operators.ann import (
+    cosine_topk,
+    embedding_near_dups,
+    rhp_lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_cosine_topk_known_vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # farthest from 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = cosine_topk(df, df.where(F.col("vec_id") == 1), 3)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked == [2, 3, 4]
+
+
+def test_cosine_topk_excludes_self(spark, emb):
+    out = cosine_topk(emb, emb.where(F.col("vec_id") % 50 == 0), 3)
+    assert out.where(F.col("neighbor_id") == F.col("query_id")).count() == 0
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in per_q)
+
+
+def test_rhp_lsh_finds_identical_vector(spark, emb):
+    dup = emb.limit(1).withColumn("vec_id", F.lit(99_999).cast("int"))
+    corpus = emb.unionByName(dup)
+    q = dup
+    out = rhp_lsh_topk(corpus, q, 1, dim=64, n_planes=12)
+    row = out.collect()[0]
+    # the identical original shares every hyperplane sign → same bucket, sim 1.0
+    assert row["sim"] > 0.999999
+
+
+def test_embedding_near_dups_planted_only(spark, emb):
+    dup = emb.where(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100_000))
+    corpus = emb.unionByName(dup)
+    out = embedding_near_dups(corpus, threshold=0.999, dim=64)
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    want = {(r["vec_id"], r["vec_id"] + 100_000) for r in
+            emb.where(F.col("vec_id") % 25 == 0).collect()}
+    assert got == want
