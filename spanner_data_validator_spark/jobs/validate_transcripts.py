@@ -1,0 +1,208 @@
+"""End-to-end transcript validation job (batch + streaming), spark-submit-able.
+
+Streaming dataflow (the north-star pipeline):
+
+    source stream ─ fingerprint ─┐
+                                 ├─ watermarked full-outer join ─ classify ─┐
+    target stream ─ fingerprint ─┘                (or applyInPandasWithState)│
+                                                                            ▼
+                     exactly-once foreachBatch sink (classified rows,
+                     per-window tallies, mismatch rows — batch-id fenced)
+
+Batch mode runs the identical classify expression on static DataFrames —
+used by tests to prove stream/batch count equality on the same input.
+
+Usage (cluster):
+    spark-submit --py-files sdv.zip -m spanner_data_validator_spark.jobs.validate_transcripts \
+        --source /path/src --target /path/tgt --out /path/out \
+        --checkpoint /path/ckpt --watermark "10 minutes" --band "2 hours"
+
+Watermark note: an idle file stream never advances its watermark past
+``max(ts) - delay``, so the final keys' outer/timeout results stay in state
+until more data arrives — correct streaming semantics, not a bug. Finite
+test/bench runs append a far-future **sentinel** row to both streams
+(``append_sentinel``) to push the watermark past all real data; sentinel keys
+are filtered out of the classified output by ``SENTINEL_FILTER``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.sources.transcript_source import (
+    KEY_COLS,
+    read_transcripts,
+    stream_transcripts,
+    write_transcripts,
+)
+from spanner_data_validator_spark.streaming.sink import TallyForeachBatch
+from spanner_data_validator_spark.streaming.stateful import classify_stateful
+from spanner_data_validator_spark.streaming.validate_stream import (
+    classify_stream,
+    fingerprint_stream,
+)
+
+SENTINEL_CONV = "__sentinel__"
+
+
+def sentinel_filter():
+    return F.col("conv_id") != SENTINEL_CONV
+
+
+def append_sentinel(spark: SparkSession, *dirs: str, ts: str = "2100-01-01") -> None:
+    """Append one far-future matching row to each stream dir (watermark punctuation)."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [SENTINEL_CONV],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["system"],
+            "text": ["sentinel"],
+            "tool": [None],
+            "ts": [pd.Timestamp(ts)],
+        }
+    )
+    for d in dirs:
+        write_transcripts(pdf, spark, d, n_files=1, subdir=f"sentinel_{int(time.time()*1000)}")
+
+
+def run_batch_validation(
+    spark: SparkSession,
+    src_path: str,
+    tgt_path: str,
+    *,
+    algo: str = "xxhash64",
+    band: str = "2 hours",
+) -> DataFrame:
+    """Batch classification through the SAME join expression as streaming."""
+    src = fingerprint_stream(read_transcripts(spark, src_path), algo=algo)
+    tgt = fingerprint_stream(read_transcripts(spark, tgt_path), algo=algo)
+    return classify_stream(src, tgt, band=band).where(sentinel_filter())
+
+
+def run_streaming_validation(
+    spark: SparkSession,
+    src_path: str,
+    tgt_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    algo: str = "xxhash64",
+    watermark: str = "10 minutes",
+    band: str = "2 hours",
+    engine: str = "join",
+    available_now: bool = True,
+    trigger_interval: str = "10 seconds",
+    window_duration: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    timeout_s: float = 300.0,
+) -> TallyForeachBatch:
+    """Run the streaming pipeline; returns the sink for result readback.
+
+    ``engine='join'`` → built-in StreamingSymmetricHashJoin full-outer;
+    ``engine='stateful'`` → applyInPandasWithState classifier (lower MATCH
+    latency, reference-exact emission control).
+    """
+    src = stream_transcripts(
+        spark, src_path, watermark=watermark, max_files_per_trigger=max_files_per_trigger
+    )
+    tgt = stream_transcripts(
+        spark, tgt_path, watermark=watermark, max_files_per_trigger=max_files_per_trigger
+    )
+
+    if engine == "stateful":
+        s = fingerprint_stream(src, algo=algo, side="source")
+        t = fingerprint_stream(tgt, algo=algo, side="target")
+        classified = classify_stateful(
+            s.unionByName(t), band_ms=_interval_ms(band)
+        )
+    else:
+        classified = classify_stream(
+            fingerprint_stream(src, algo=algo),
+            fingerprint_stream(tgt, algo=algo),
+            band=band,
+        )
+    classified = classified.where(sentinel_filter())
+
+    sink = TallyForeachBatch(out_dir, window_duration=window_duration)
+    writer = (
+        classified.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(timeout_s)
+        if q.isActive:  # pragma: no cover - safety net
+            q.stop()
+    else:
+        writer.trigger(processingTime=trigger_interval).start()
+    return sink
+
+
+def _interval_ms(band: str) -> int:
+    qty, unit = band.split()
+    mult = {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit.lower()]
+    return int(qty) * mult
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--target", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--mode", choices=["batch", "streaming"], default="streaming")
+    ap.add_argument("--engine", choices=["join", "stateful"], default="join")
+    ap.add_argument("--algo", choices=["xxhash64", "sha256"], default="xxhash64")
+    ap.add_argument("--watermark", default="10 minutes")
+    ap.add_argument("--band", default="2 hours")
+    ap.add_argument("--window", default="1 hour")
+    ap.add_argument("--available-now", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    from spanner_data_validator_spark.session import get_spark
+    from spanner_data_validator_spark.streaming.listener import (
+        ValidationMetricsListener,
+    )
+
+    spark = get_spark(app_name="sdv-validate-transcripts")
+    listener = ValidationMetricsListener()
+    spark.streams.addListener(listener)
+
+    if args.mode == "batch":
+        classified = run_batch_validation(
+            spark, args.source, args.target, algo=args.algo, band=args.band
+        )
+        classified.write.mode("overwrite").parquet(os.path.join(args.out, "classified"))
+    else:
+        sink = run_streaming_validation(
+            spark,
+            args.source,
+            args.target,
+            args.out,
+            args.checkpoint,
+            algo=args.algo,
+            watermark=args.watermark,
+            band=args.band,
+            engine=args.engine,
+            window_duration=args.window,
+        )
+        report = sink.report(spark)
+        if report is not None:
+            report.show(50, truncate=False)
+    listener.dump(os.path.join(args.out, "lineage", "progress.jsonl"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Exactly-once idempotent sinks for the validation streams.
+
+Production target: Iceberg ``MERGE INTO`` keyed ``(conv_id, turn_idx,
+window_start)`` inside ``foreachBatch`` — replaying a micro-batch after a
+crash re-merges the same keys and the table converges to the same state
+(SURVEY.md §7.1 milestone 8; the Spark-native upgrade of the reference's
+append-only BigQuery STORAGE_WRITE_API sink,
+JDBCToSpannerDVTWithHash.java:191-246, which is NOT exactly-once).
+
+Sandbox implementation (no Iceberg jar available): the same ``foreachBatch``
+driver with two standard exactly-once techniques that need no table format:
+
+* **batch-id fencing** — Structured Streaming replays a failed micro-batch
+  with the SAME ``batch_id``. Each batch writes to ``<out>/data/batch=<id>/``
+  with overwrite, then atomically creates a ``<out>/_commits/<id>`` marker.
+  A replay overwrites the very same directory and re-creates the marker —
+  idempotent. Readers (``read_committed``) only see marker-backed batches,
+  so a crash between write and marker is invisible.
+* the directory layout doubles as the MERGE key space: one row per
+  (conv_id, turn_idx) ever reaches the sink in append mode (the outer join
+  emits each key's final classification exactly once), so key-level merge
+  reduces to batch-level idempotent append.
+
+``merge_into_iceberg`` is the real-cluster path, exercised when an Iceberg
+catalog is configured on the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ExactlyOnceParquetSink:
+    """``foreachBatch`` callable writing batch-fenced parquet partitions."""
+
+    def __init__(self, out_dir: str, *, coalesce: int | None = None):
+        self.out_dir = out_dir
+        self.coalesce = coalesce
+        os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.out_dir, "_commits", str(batch_id))
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.is_committed(batch_id):
+            # replayed batch after recovery — the previous attempt fully
+            # committed; skipping preserves exactly-once
+            return
+        n = batch_df.count()
+        target = os.path.join(self.out_dir, "data", f"batch={batch_id}")
+        if n > 0:
+            df = batch_df.coalesce(self.coalesce) if self.coalesce else batch_df
+            df.write.mode("overwrite").parquet(target)
+        tmp = self._marker(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "rows": n}, f)
+        os.replace(tmp, self._marker(batch_id))  # atomic commit point
+
+    def read_committed(self, spark: SparkSession) -> DataFrame | None:
+        """Read exactly the committed batches (uncommitted dirs are ignored)."""
+        commits_dir = os.path.join(self.out_dir, "_commits")
+        paths = []
+        for name in sorted(os.listdir(commits_dir)):
+            if name.endswith(".tmp"):
+                continue
+            with open(os.path.join(commits_dir, name)) as f:
+                meta = json.load(f)
+            if meta["rows"] > 0:
+                paths.append(os.path.join(self.out_dir, "data", f"batch={name}"))
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+
+def merge_into_iceberg(
+    batch_df: DataFrame,
+    table: str,
+    key_cols: list[str],
+) -> None:
+    """Iceberg ``MERGE INTO`` upsert for one micro-batch (real-cluster path).
+
+    Requires an Iceberg catalog on the SparkSession. Keys
+    ``(conv_id, turn_idx, window_start)`` per BASELINE.json north_star.
+    """
+    spark = batch_df.sparkSession
+    view = f"__merge_src_{abs(hash(table)) % 10_000}"
+    batch_df.createOrReplaceTempView(view)
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
+    spark.sql(
+        f"""
+        MERGE INTO {table} t USING {view} s ON {on}
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+
+
+class TallyForeachBatch:
+    """foreachBatch that writes classified rows AND per-window tallies, both
+    batch-fenced.
+
+    Because the append-mode outer join emits each (conv_id, turn_idx) exactly
+    once across the query's lifetime, summing per-batch partial tallies over
+    committed batches yields the global ComparerResult counts — a two-phase
+    (per-batch partial → read-side final) aggregation that never holds global
+    state on the driver.
+    """
+
+    def __init__(self, out_dir: str, *, window_duration: str = "1 hour"):
+        self.rows_sink = ExactlyOnceParquetSink(os.path.join(out_dir, "classified"))
+        self.tally_sink = ExactlyOnceParquetSink(os.path.join(out_dir, "tallies"))
+        self.mismatch_sink = ExactlyOnceParquetSink(os.path.join(out_dir, "mismatches"))
+        self.window_duration = window_duration
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch_df = batch_df.persist()
+        try:
+            self.rows_sink(batch_df, batch_id)
+            tallies = (
+                batch_df.groupBy(
+                    F.window("ts", self.window_duration).alias("w"), "status"
+                )
+                .agg(F.count("*").alias("n"))
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    "status",
+                    "n",
+                )
+            )
+            self.tally_sink(tallies, batch_id)
+            self.mismatch_sink(batch_df.where(F.col("status") != "MATCH"), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def report(self, spark: SparkSession) -> DataFrame | None:
+        """Final per-window tallies = sum of committed partials."""
+        from pyspark.sql import functions as F
+
+        partials = self.tally_sink.read_committed(spark)
+        if partials is None:
+            return None
+        return partials.groupBy("window_start", "status").agg(F.sum("n").alias("n"))

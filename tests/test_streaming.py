@@ -1,0 +1,198 @@
+"""Streaming validation tests: watermarked outer join, stateful classifier,
+exactly-once sink, checkpoint resume, windows, listener metrics.
+
+These are the correctness gates for SURVEY.md §7.1 milestones 4-9. Each test
+runs a real Structured Streaming query (availableNow trigger) over parquet
+file-streams — the sandbox stand-in for Iceberg incremental scans — with a
+far-future sentinel row advancing the watermark so all state flushes
+deterministically (see jobs/validate_transcripts.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.datagen.transcripts import gen_transcript_pair
+from spanner_data_validator_spark.jobs.validate_transcripts import (
+    append_sentinel,
+    run_batch_validation,
+    run_streaming_validation,
+)
+from spanner_data_validator_spark.sources.transcript_source import write_transcripts
+from spanner_data_validator_spark.streaming.sink import ExactlyOnceParquetSink
+from spanner_data_validator_spark.streaming.validate_stream import (
+    session_mismatch_windows,
+    windowed_status_counts,
+)
+
+
+def _status_counts(df) -> dict[str, int]:
+    return {r["status"]: r["n"] for r in
+            df.groupBy("status").agg(F.count("*").alias("n")).collect()}
+
+
+def _stage_pair(spark, tmp, *, dup_rows=0, n_convs=30, seed=7, sentinel=True, **kw):
+    pair = gen_transcript_pair(n_convs, seed=seed, dup_rows=dup_rows,
+                               hot_convs=1, hot_size=100, **kw)
+    src_dir, tgt_dir = f"{tmp}/src", f"{tmp}/tgt"
+    write_transcripts(pair.source, spark, src_dir, n_files=3)
+    write_transcripts(pair.target, spark, tgt_dir, n_files=3)
+    if sentinel:
+        append_sentinel(spark, src_dir, tgt_dir)
+    return pair, src_dir, tgt_dir
+
+
+@pytest.mark.parametrize("engine", ["join", "stateful"])
+def test_stream_counts_match_expected_and_batch(spark, tmp_path, engine):
+    """Stream (both engines) == planted expected counts == batch plan."""
+    dup = 5 if engine == "stateful" else 0
+    pair, src_dir, tgt_dir = _stage_pair(spark, tmp_path, dup_rows=dup)
+    sink = run_streaming_validation(
+        spark, src_dir, tgt_dir, f"{tmp_path}/out", f"{tmp_path}/ckpt",
+        watermark="10 minutes", band="2 hours", engine=engine)
+    res = sink.rows_sink.read_committed(spark)
+    assert _status_counts(res) == pair.expected
+    # exactly one emission per key
+    assert res.count() == res.select("conv_id", "turn_idx").distinct().count()
+    if engine == "join":
+        batch = run_batch_validation(spark, src_dir, tgt_dir)
+        assert _status_counts(batch) == pair.expected
+
+
+def test_late_data_beyond_band_splits_pair(spark, tmp_path):
+    """Event-time band semantics: a target row whose ts drifted past the join
+    band can no longer pair — the key degrades to SOURCE_ONLY + TARGET_ONLY
+    (one emission each), exactly like the batch plan."""
+    pair = gen_transcript_pair(20, seed=11, dup_rows=0, hot_convs=0,
+                               mismatch_rate=0, source_only_rate=0,
+                               target_only_rate=0, late_fraction=0)
+    tgt = pair.target.copy()
+    drifted = tgt.index[:10]
+    tgt.loc[drifted, "ts"] = tgt.loc[drifted, "ts"] + pd.Timedelta(hours=5)
+
+    src_dir, tgt_dir = f"{tmp_path}/src", f"{tmp_path}/tgt"
+    write_transcripts(pair.source, spark, src_dir, n_files=2)
+    write_transcripts(tgt, spark, tgt_dir, n_files=2)
+    append_sentinel(spark, src_dir, tgt_dir)
+
+    sink = run_streaming_validation(
+        spark, src_dir, tgt_dir, f"{tmp_path}/out", f"{tmp_path}/ckpt",
+        watermark="10 minutes", band="2 hours", engine="join")
+    got = _status_counts(sink.rows_sink.read_committed(spark))
+    n = pair.expected["MATCH"]
+    assert got == {"MATCH": n - 10, "SOURCE_ONLY": 10, "TARGET_ONLY": 10}
+    batch = run_batch_validation(spark, src_dir, tgt_dir)
+    assert _status_counts(batch) == got
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Stop mid-stream, deliver the rest, resume from checkpoint: the union of
+    committed batches equals the one-shot batch result — no dupes, no loss."""
+    pair = gen_transcript_pair(30, seed=13, dup_rows=0, hot_convs=1, hot_size=80)
+    # target arrives in two drops IN EVENT-TIME ORDER (rows older than the
+    # run-1 watermark would be dropped as late data — correct semantics, but
+    # not what this test is probing)
+    tgt_sorted = pair.target.sort_values("ts", kind="stable").reset_index(drop=True)
+    cut = int(len(tgt_sorted) * 0.6)
+    src_dir, tgt_dir = f"{tmp_path}/src", f"{tmp_path}/tgt"
+    write_transcripts(pair.source, spark, src_dir, n_files=3)
+    write_transcripts(tgt_sorted.iloc[:cut], spark, tgt_dir, n_files=2)
+
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    sink = run_streaming_validation(
+        spark, src_dir, tgt_dir, out, ckpt,
+        watermark="10 minutes", band="2 hours", engine="join")
+    committed_first = len(os.listdir(os.path.join(out, "classified", "_commits")))
+
+    # second drop + sentinel, then RESUME from the same checkpoint
+    write_transcripts(tgt_sorted.iloc[cut:], spark, tgt_dir, n_files=2,
+                      subdir="drop2")
+    append_sentinel(spark, src_dir, tgt_dir)
+    sink = run_streaming_validation(
+        spark, src_dir, tgt_dir, out, ckpt,
+        watermark="10 minutes", band="2 hours", engine="join")
+
+    res = sink.rows_sink.read_committed(spark)
+    assert _status_counts(res) == pair.expected
+    assert res.count() == res.select("conv_id", "turn_idx").distinct().count()
+    committed_total = len(os.listdir(os.path.join(out, "classified", "_commits")))
+    assert committed_total > committed_first  # resume produced new batches
+
+
+def test_sink_replay_is_idempotent(spark, tmp_path):
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sink"))
+    df = spark.range(5).select(F.col("id"), F.lit("MATCH").alias("status"))
+    sink(df, 0)
+    sink(df, 0)  # replayed micro-batch (same batch_id) must be a no-op
+    sink(df, 1)
+    out = sink.read_committed(spark)
+    assert out.count() == 10
+    assert sink.is_committed(0) and sink.is_committed(1)
+
+
+def test_windowed_tallies_match_batch(spark, tmp_path):
+    """Per-window tally report (sum of per-batch partials across the resume
+    boundary) == batch windowed aggregation on the same classified rows."""
+    pair, src_dir, tgt_dir = _stage_pair(spark, tmp_path, seed=17)
+    sink = run_streaming_validation(
+        spark, src_dir, tgt_dir, f"{tmp_path}/out", f"{tmp_path}/ckpt",
+        watermark="10 minutes", band="2 hours", window_duration="1 hour")
+    report = sink.report(spark)
+
+    batch = run_batch_validation(spark, src_dir, tgt_dir)
+    expect = (windowed_status_counts(batch, window_duration="1 hour")
+              .groupBy("window_start", "status").agg(F.sum("n").alias("n")))
+    got = {(r["window_start"], r["status"]): r["n"] for r in report.collect()}
+    want = {(r["window_start"], r["status"]): r["n"] for r in expect.collect()}
+    assert got == want
+    # mismatch sink carries exactly the non-MATCH rows
+    mm = sink.mismatch_sink.read_committed(spark)
+    assert mm.count() == sum(v for k, v in pair.expected.items() if k != "MATCH")
+
+
+def test_session_windows_split_on_gap(spark):
+    """session_mismatch_windows groups diverged turns into gap-delimited
+    bursts; a conversation with two bursts 2h apart yields two sessions."""
+    rows = []
+    for i, ts in enumerate(["2025-01-01 00:00:00", "2025-01-01 00:05:00",
+                            "2025-01-01 02:30:00", "2025-01-01 02:31:00"]):
+        rows.append(("c1", i, "MISMATCH", 1, 2, None, None, datetime.fromisoformat(ts)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, status string, src_fp long, "
+              "tgt_fp long, src_ts timestamp, tgt_ts timestamp, ts timestamp")
+    out = session_mismatch_windows(df, gap="30 minutes").collect()
+    assert len(out) == 2
+    assert sorted(r["n_diverged"] for r in out) == [2, 2]
+
+
+def test_listener_collects_progress_and_lineage(spark, tmp_path):
+    from spanner_data_validator_spark.streaming.listener import (
+        ValidationMetricsListener,
+    )
+
+    listener = ValidationMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        pair, src_dir, tgt_dir = _stage_pair(spark, tmp_path, seed=19, n_convs=10)
+        run_streaming_validation(
+            spark, src_dir, tgt_dir, f"{tmp_path}/out", f"{tmp_path}/ckpt",
+            watermark="10 minutes", band="2 hours")
+        # listener events are async; progress should have landed by query end
+        import time
+        for _ in range(50):
+            if listener.snapshots and listener.total_input_rows() > 0:
+                break
+            time.sleep(0.2)
+        assert listener.total_input_rows() > 0
+        assert any(s["sources"] for s in listener.snapshots)
+        lineage = str(tmp_path / "lineage.jsonl")
+        listener.dump(lineage)
+        assert os.path.getsize(lineage) > 0
+    finally:
+        spark.streams.removeListener(listener)
