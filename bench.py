@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: run every registered demo query against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` plus the headline transcript-validation
+pipeline (batch plan AND streaming run) on a generated dual-stream corpus
+sized to the scale factor, then print ONE JSON line::
+
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "transcript": {"turns": N, "batch_turns_per_sec": N,
+                    "stream_turns_per_sec": N}}
+
+Scaling mode (north_rule evidence — two parallelism levels on the SAME
+input, no real cluster in the sandbox)::
+
+    python bench.py --scaling [N_LO N_HI]      # default 8 32
+
+spawns one subprocess per parallelism level (a JVM's master conf is fixed at
+startup), each timing the identical streaming validation job, and prints the
+two throughputs + scaling efficiency (T_hi/T_lo)/(hi/lo); results are also
+appended by tools/bench_scaling into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# ~100 turns per 1.0 "row" of sf scale: sf0.1 -> ~1.1M source turns
+TURNS_PER_SF = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS_PER_SF", "10000000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_transcript_corpus(spark, sf: float, base_dir: str) -> tuple[str, str, int]:
+    """Deterministic dual-stream corpus sized to sf; returns (src, tgt, turns)."""
+    from spanner_data_validator_spark.datagen import gen_transcript_pair
+    from spanner_data_validator_spark.jobs.validate_transcripts import append_sentinel
+    from spanner_data_validator_spark.sources.transcript_source import (
+        write_transcripts,
+    )
+
+    target_turns = max(20_000, int(TURNS_PER_SF * sf))
+    n_convs = max(10, target_turns // 11)  # mean conv size ~11
+    pair = gen_transcript_pair(n_convs, seed=42, hot_convs=max(2, n_convs // 1000),
+                               hot_size=400)
+    src_dir = os.path.join(base_dir, "src")
+    tgt_dir = os.path.join(base_dir, "tgt")
+    write_transcripts(pair.source, spark, src_dir, n_files=CPUS)
+    write_transcripts(pair.target, spark, tgt_dir, n_files=CPUS)
+    append_sentinel(spark, src_dir, tgt_dir)
+    return src_dir, tgt_dir, len(pair.source) + len(pair.target)
+
+
+def bench_transcripts(spark, src_dir: str, tgt_dir: str, turns: int,
+                      work_dir: str) -> dict:
+    from spanner_data_validator_spark.jobs.validate_transcripts import (
+        run_batch_validation,
+        run_streaming_validation,
+    )
+    from spanner_data_validator_spark.operators.comparator import tally_report
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    classified = run_batch_validation(spark, src_dir, tgt_dir)
+    report = tally_report(
+        classified, F.pmod(F.xxhash64("conv_id"), F.lit(64)), run_name="bench")
+    _noop_write(report)
+    batch_sec = time.time() - t0
+
+    out = os.path.join(work_dir, "stream_out")
+    ckpt = os.path.join(work_dir, "stream_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.time()
+    run_streaming_validation(
+        spark, src_dir, tgt_dir, out, ckpt,
+        watermark="10 minutes", band="2 hours", engine="join", timeout_s=1800)
+    stream_sec = time.time() - t0
+
+    return {
+        "turns": turns,
+        "batch_sec": round(batch_sec, 3),
+        "stream_sec": round(stream_sec, 3),
+        "batch_turns_per_sec": round(turns / batch_sec, 1),
+        "stream_turns_per_sec": round(turns / stream_sec, 1),
+    }
+
+
+def run_default() -> None:
+    from spanner_data_validator_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(app_name="sdv-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name, fn in queries.items():
+        t0 = time.time()
+        _noop_write(fn(spark, SF_DIR))
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    work = tempfile.mkdtemp(prefix="sdv_bench_")
+    try:
+        src_dir, tgt_dir, turns = build_transcript_corpus(spark, sf, work)
+        tr = bench_transcripts(spark, src_dir, tgt_dir, turns, work)
+        times["transcript_batch"] = tr["batch_sec"]
+        times["transcript_stream"] = tr["stream_sec"]
+        total += tr["batch_sec"] + tr["stream_sec"]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": CPUS,
+        "transcript": tr,
+    }))
+    spark.stop()
+
+
+def run_child(cpus: int) -> None:
+    """One parallelism level of the scaling experiment (same input, same job)."""
+    from spanner_data_validator_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(app_name=f"sdv-scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    work = tempfile.mkdtemp(prefix=f"sdv_scale_{cpus}_")
+    try:
+        corpus = os.environ.get("SPARK_GRAFT_SCALING_CORPUS")
+        if corpus:  # pre-staged by the parent so both levels read IDENTICAL bytes
+            src_dir, tgt_dir = os.path.join(corpus, "src"), os.path.join(corpus, "tgt")
+            turns = int(open(os.path.join(corpus, "turns.txt")).read())
+        else:
+            src_dir, tgt_dir, turns = build_transcript_corpus(spark, sf, work)
+        res = bench_transcripts(spark, src_dir, tgt_dir, turns, work)
+        res["cpus"] = cpus
+        print("CHILD_RESULT " + json.dumps(res))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+def run_scaling(lo: int, hi: int) -> dict:
+    """Stage one corpus, run the identical job at two parallelism levels."""
+    corpus = tempfile.mkdtemp(prefix="sdv_scaling_corpus_")
+    try:
+        from spanner_data_validator_spark.session import get_spark
+
+        sf = _sf_from_dir(SF_DIR)
+        spark = get_spark(app_name="sdv-scaling-stage", master=f"local[{hi}]",
+                          shuffle_partitions=hi)
+        _, _, turns = build_transcript_corpus(spark, sf, corpus)
+        with open(os.path.join(corpus, "turns.txt"), "w") as f:
+            f.write(str(turns))
+        spark.stop()
+
+        results = {}
+        for cpus in (lo, hi):
+            env = dict(os.environ, SPARK_GRAFT_SCALING_CORPUS=corpus)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
+                capture_output=True, text=True, env=env, timeout=3600, cwd=REPO)
+            line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
+            if not line:
+                raise RuntimeError(f"child {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+            results[cpus] = json.loads(line[-1][len("CHILD_RESULT "):])
+
+        summary = {
+            "sf": sf,
+            "turns": turns,
+            "levels": results,
+            "batch_scaling_efficiency": round(
+                (results[hi]["batch_turns_per_sec"] / results[lo]["batch_turns_per_sec"])
+                / (hi / lo), 3),
+            "stream_scaling_efficiency": round(
+                (results[hi]["stream_turns_per_sec"] / results[lo]["stream_turns_per_sec"])
+                / (hi / lo), 3),
+        }
+        print(json.dumps(summary))
+        return summary
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        run_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        run_scaling(lo, hi)
+    else:
+        run_default()

@@ -462,3 +462,165 @@ def q_doc_fingerprint(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", rolling_fingerprint_udf(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (operators/multimodal.py — decode kernels stubbed,
+# Spark-side schema/batching/partitioning real)
+# ---------------------------------------------------------------------------
+
+def _media_from_documents(spark, sf_dir):
+    """Deterministic media table: doc text bytes as the opaque payload."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                        (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            ((F.col("doc_id") % 5) * 1000 + 500).cast("long").alias("duration_ms"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("meta"))
+
+
+@register("media_feature_extract", """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""")
+def q_media_feature_extract(spark, sf_dir):
+    """mapInPandas decode/feature stage over binary payloads (stub kernel);
+    the oracle checks the Arrow round-trip (ids, kinds, byte counts) while
+    pytest checks feature-vector shape/determinism."""
+    from spanner_data_validator_spark.operators.multimodal import extract_features
+
+    media = _media_from_documents(spark, sf_dir)
+    return extract_features(media, dim=8).select("media_id", "kind", "n_bytes")
+
+
+@register("media_frame_sample", """
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_ts_ms
+FROM documents, UNNEST(range(0, (doc_id % 5) * 1000 + 501, 1000)) AS t(f)
+WHERE doc_id % 3 = 2
+""")
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: metadata-only sequence explode — the scan
+    never touches the payload column (parquet column pruning)."""
+    from spanner_data_validator_spark.operators.multimodal import frame_sample_plan
+
+    media = _media_from_documents(spark, sf_dir)
+    return frame_sample_plan(media, every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# streaming validation registered against the DuckDB oracle: a REAL
+# structured-streaming run (availableNow) over an events-derived dual stream
+# ---------------------------------------------------------------------------
+
+def transcripts_from_events(spark, sf_dir):
+    """Deterministic transcript table derived from `events` with
+    SQL-expressible rules (both engines compute the identical derivation):
+    conv_id = user_id, turn_idx = rank of (ts, event_id) within user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.coalesce(F.col("event_type"), F.lit("")).alias("role"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"))
+
+
+def _events_transcript_target(src):
+    """Planted divergences keyed on (conv_id, turn_idx): h = (conv*31+turn)%50
+    → 0: text mutated, 1: row deleted, 2: extra row at turn_idx+100000."""
+    h = (F.col("conv_id").cast("long") * 31 + F.col("turn_idx")) % 50
+    kept = src.where(h != 1)
+    mutated = kept.withColumn(
+        "text", F.when(h == 0, F.concat(F.col("text"), F.lit("#mut")))
+                 .otherwise(F.col("text")))
+    inserted = src.where(h == 2).withColumn(
+        "turn_idx", (F.col("turn_idx") + 100_000).cast("int"))
+    return mutated.unionByName(inserted)
+
+
+_EV_TRANSCRIPT_CTE = """
+WITH src AS (
+  SELECT CAST(user_id AS STRING) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         coalesce(event_type, '') AS role,
+         coalesce(props, '') AS text
+  FROM events
+),
+tgt AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN (CAST(conv_id AS BIGINT) * 31 + turn_idx) % 50 = 0
+              THEN text || '#mut' ELSE text END AS text
+  FROM src WHERE (CAST(conv_id AS BIGINT) * 31 + turn_idx) % 50 <> 1
+  UNION ALL
+  SELECT conv_id, CAST(turn_idx + 100000 AS INT) AS turn_idx, role, text
+  FROM src WHERE (CAST(conv_id AS BIGINT) * 31 + turn_idx) % 50 = 2
+),
+cls AS (
+  SELECT CASE WHEN s.text IS NOT NULL AND t.text IS NOT NULL THEN
+                CASE WHEN s.role = t.role AND s.text = t.text
+                     THEN 'MATCH' ELSE 'MISMATCH' END
+              WHEN t.text IS NULL THEN 'SOURCE_ONLY' ELSE 'TARGET_ONLY' END AS status
+  FROM src s FULL OUTER JOIN tgt t
+    ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY status
+"""
+
+
+def _run_stream_totals(spark, sf_dir, engine):
+    import tempfile
+
+    from spanner_data_validator_spark.jobs.validate_transcripts import (
+        append_sentinel,
+        run_streaming_validation,
+    )
+    from spanner_data_validator_spark.sources.transcript_source import (
+        write_transcripts,
+    )
+
+    src = transcripts_from_events(spark, sf_dir)
+    tgt = _events_transcript_target(transcripts_from_events(spark, sf_dir))
+    work = tempfile.mkdtemp(prefix=f"sdv_q_stream_{engine}_")
+    src_dir, tgt_dir = f"{work}/src", f"{work}/tgt"
+    write_transcripts(src, spark, src_dir, n_files=4)
+    write_transcripts(tgt, spark, tgt_dir, n_files=4)
+    append_sentinel(spark, src_dir, tgt_dir)
+
+    # keep state partitioning sane even under a foreign session's defaults
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        sink = run_streaming_validation(
+            spark, src_dir, tgt_dir, f"{work}/out", f"{work}/ckpt",
+            watermark="10 minutes", band="2 hours", engine=engine)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    res = sink.rows_sink.read_committed(spark)
+    return res.groupBy("status").agg(F.count("*").alias("n"))
+
+
+@register("validate_stream_totals", _EV_TRANSCRIPT_CTE)
+def q_validate_stream_totals(spark, sf_dir):
+    """REAL structured-streaming run: events-derived dual transcript streams →
+    watermarked full-outer stream-stream join (availableNow) → committed
+    classification totals. Oracle is the equivalent batch full-outer join."""
+    return _run_stream_totals(spark, sf_dir, "join")
+
+
+@register("validate_stream_stateful_totals", _EV_TRANSCRIPT_CTE)
+def q_validate_stream_stateful_totals(spark, sf_dir):
+    """Same streaming run through the applyInPandasWithState classifier
+    (reference-exact emission timing, dofns/CountMatchesDoFn.java:67-122)."""
+    return _run_stream_totals(spark, sf_dir, "stateful")

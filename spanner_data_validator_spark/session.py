@@ -33,6 +33,21 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local mode hosts all executor threads in the driver JVM — size the
+        # heap for the whole node (cluster deployments override per-executor)
+        .config("spark.driver.memory", os.environ.get("SDV_DRIVER_MEM", "48g"))
+        # RocksDB state store: streaming join/agg state lives off-heap + on
+        # disk, the only viable choice at 10^12-turn state sizes (the default
+        # HDFSBackedStateStoreProvider keeps every state map on the JVM heap
+        # and OOMs at ~10^6 keys/partition)
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
