@@ -102,7 +102,9 @@ def gen_transcript_pair(
     gaps[(turn_idx > 0) & (turn_idx % 13 == 0)] = 3600 + 60  # session split
     gaps[turn_idx == 0] = 0
     within = _cum_within(gaps, sizes)
-    base = np.repeat(conv_ord * 7200, 1)  # conversations staggered 2h apart
+    # conversations staggered 2h apart, wrapping every 16384 so arbitrarily
+    # many conversations overlap in time (and ns epochs stay < int64 max)
+    base = (conv_ord % 16384) * 7200
     ts = pd.Timestamp(base_ts).to_datetime64() + ((base + within) * 1_000_000_000).astype(
         "timedelta64[ns]")
 
@@ -135,7 +137,7 @@ def gen_transcript_pair(
         "text": np.array([f"inserted-{i}" for i in range(n_ins)], dtype=object),
         "tool": np.full(n_ins, None, dtype=object),
         "ts": pd.Timestamp(base_ts).to_datetime64()
-        + ((ins_conv * 7200 + 90_000) * 1_000_000_000).astype("timedelta64[ns]"),
+        + (((ins_conv % 16384) * 7200 + 90_000) * 1_000_000_000).astype("timedelta64[ns]"),
     })
     # collisions with existing keys would reclassify — keep keys unique
     ins = ins.drop_duplicates(subset=["conv_id", "turn_idx"])

@@ -624,3 +624,47 @@ def q_validate_stream_stateful_totals(spark, sf_dir):
     """Same streaming run through the applyInPandasWithState classifier
     (reference-exact emission timing, dofns/CountMatchesDoFn.java:67-122)."""
     return _run_stream_totals(spark, sf_dir, "stateful")
+
+
+# ---------------------------------------------------------------------------
+# custom transformation (P6) + sliding windows
+# ---------------------------------------------------------------------------
+
+@register("custom_transform", """
+SELECT event_id AS key, upper(coalesce(event_type, '')) AS role_u
+FROM events WHERE event_id % 7 <> 0
+""")
+def q_custom_transform(spark, sf_dir):
+    """P6: user mapInPandas transformation (uppercase + row filter) applied
+    before validation (dofns/CustomTransformationDoFn.java:90-133)."""
+    from spanner_data_validator_spark.operators.transform import (
+        apply_custom_transformation,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("key"),
+        F.coalesce(F.col("event_type"), F.lit("")).alias("role_u"))
+
+    def user_fn(pdf):
+        out = pdf[pdf["key"] % 7 != 0].copy()
+        out["role_u"] = out["role_u"].str.upper()
+        return out
+
+    return apply_custom_transformation(ev, user_fn)
+
+
+@register("sliding_mismatch_counts", _CLS_CTE + """
+SELECT epoch_ms(date_trunc('hour', ts) - k * INTERVAL 1 HOUR) AS window_start_ms,
+       status, CAST(count(*) AS BIGINT) AS n
+FROM cls, UNNEST([0, 1]) AS t(k)
+GROUP BY 1, 2
+""")
+def q_sliding_mismatch_counts(spark, sf_dir):
+    """Sliding event-time windows (2h window, 1h slide) × status counts —
+    every row lands in exactly two overlapping windows."""
+    cls = classified_events(spark, sf_dir, with_ts=True)
+    ts = F.timestamp_millis(F.coalesce(F.col("tgt_ts_millis"), F.col("src_ts_millis")))
+    return (cls.groupBy(F.window(ts, "2 hours", "1 hour").alias("w"), "status")
+               .agg(F.count("*").alias("n"))
+               .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                       "status", "n"))

@@ -49,6 +49,12 @@ def get_spark(
             "true",
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # stateful-operator RDDs advertise preferred locations (the executor
+        # that last held each state partition); the default 3s-per-level
+        # locality wait stalls every streaming stage on a single-executor
+        # (local) deployment — measured 5s of idle scheduler time per stage.
+        # Cluster deployments that rebalance state should raise this again.
+        .config("spark.locality.wait", os.environ.get("SDV_LOCALITY_WAIT", "0s"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

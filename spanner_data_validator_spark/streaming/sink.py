@@ -28,6 +28,7 @@ catalog is configured on the session.
 from __future__ import annotations
 
 import json
+import shutil
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,20 +48,29 @@ class ExactlyOnceParquetSink:
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._marker(batch_id))
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+    def batch_paths(self, batch_id: int) -> list[str]:
+        return [os.path.join(self.out_dir, "data", f"batch={batch_id}")]
+
+    def __call__(self, batch_df: DataFrame | None, batch_id: int) -> int | None:
+        """Write one micro-batch; returns rows written, or None on a
+        replayed already-committed batch (skipped — exactly-once)."""
         if self.is_committed(batch_id):
-            # replayed batch after recovery — the previous attempt fully
-            # committed; skipping preserves exactly-once
-            return
-        n = batch_df.count()
-        target = os.path.join(self.out_dir, "data", f"batch={batch_id}")
-        if n > 0:
+            return None
+        n = 0
+        if batch_df is not None:
+            # single pass: write, then count from the written parquet footers
+            # (metadata-cheap) instead of a second pass through the plan
             df = batch_df.coalesce(self.coalesce) if self.coalesce else batch_df
+            target = self.batch_paths(batch_id)[0]
             df.write.mode("overwrite").parquet(target)
+            n = df.sparkSession.read.parquet(target).count()
+            if n == 0:
+                shutil.rmtree(target, ignore_errors=True)
         tmp = self._marker(batch_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id, "rows": n}, f)
         os.replace(tmp, self._marker(batch_id))  # atomic commit point
+        return n
 
     def read_committed(self, spark: SparkSession) -> DataFrame | None:
         """Read exactly the committed batches (uncommitted dirs are ignored)."""
@@ -121,24 +131,28 @@ class TallyForeachBatch:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        batch_df = batch_df.persist()
-        try:
-            self.rows_sink(batch_df, batch_id)
-            tallies = (
-                batch_df.groupBy(
-                    F.window("ts", self.window_duration).alias("w"), "status"
-                )
-                .agg(F.count("*").alias("n"))
-                .select(
-                    F.col("w.start").alias("window_start"),
-                    "status",
-                    "n",
-                )
-            )
-            self.tally_sink(tallies, batch_id)
-            self.mismatch_sink(batch_df.where(F.col("status") != "MATCH"), batch_id)
-        finally:
-            batch_df.unpersist()
+        # ONE pass over the (expensive) streamed join output: write it, then
+        # derive tallies/mismatches by re-reading the just-written columnar
+        # batch — far cheaper than persist() + three more passes through the
+        # stateful plan, and the rows write doubles as the count
+        written = self.rows_sink(batch_df, batch_id)
+        if written is None:  # replayed, fully-committed batch
+            return
+        if written == 0:
+            self.tally_sink(None, batch_id)
+            self.mismatch_sink(None, batch_id)
+            return
+        spark = batch_df.sparkSession
+        stored = spark.read.parquet(
+            *self.rows_sink.batch_paths(batch_id)
+        )
+        tallies = (
+            stored.groupBy(F.window("ts", self.window_duration).alias("w"), "status")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "status", "n")
+        )
+        self.tally_sink(tallies, batch_id)
+        self.mismatch_sink(stored.where(F.col("status") != "MATCH"), batch_id)
 
     def report(self, spark: SparkSession) -> DataFrame | None:
         """Final per-window tallies = sum of committed partials."""

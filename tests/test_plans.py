@@ -1,0 +1,82 @@
+"""Physical-plan assertions: shuffle counts, column pruning, codegen.
+
+The 100 TB design contract (README "Scale design") is checked against the
+actual executed plans, not just claimed: the validation pipeline must do one
+exchange per side plus one for the final tally, scans must prune to the
+referenced columns, and the fingerprint path must stay inside whole-stage
+codegen (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.plans.demo_queries import (
+    classified_events,
+    events_source,
+)
+from spanner_data_validator_spark.operators.comparator import tally_report
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "== Final Plan ==" followed by "== Initial Plan ==" — keep
+    # only the final (actually-executed) section
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_validation_pipeline_shuffle_budget(spark):
+    """classify → tally runs with ≤4 exchanges total (dedup+join share
+    partitioning per side; AQE may keep the two side exchanges + one for the
+    final tally + possibly one AQE reuse marker, but no O(n) extra)."""
+    cls = classified_events(spark, SF_DIR)
+    rep = tally_report(cls, F.pmod(F.col("key"), F.lit(16)))
+    plan = _executed_plan(rep)
+    n_exchanges = len(re.findall(r"\bExchange (?:hashpartitioning|SinglePartition)", plan))
+    assert n_exchanges <= 4, f"too many shuffles ({n_exchanges}):\n{plan[:4000]}"
+
+
+def test_fingerprint_path_is_codegen_not_python(spark):
+    """The default fingerprint (no JSON cols) must not invoke Python — no
+    ArrowEvalPython/BatchEvalPython operator in the plan."""
+    src = events_source(spark, SF_DIR)
+    from spanner_data_validator_spark.functions.fingerprint import fingerprint_expr
+
+    df = src.select(fingerprint_expr(F.col("payload")).alias("fp"))
+    plan = _executed_plan(df)
+    assert "EvalPython" not in plan
+    # whole-stage-codegen spans render as "*(n) Operator" in plan text
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_scan_prunes_columns(spark):
+    """A 2-column projection over documents must read only those columns."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = docs.select("doc_id", F.length("text").alias("n"))
+    plan = _executed_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = ev.where(F.col("event_id") < 100).select("event_id")
+    plan = _executed_plan(df)
+    assert re.search(r"PushedFilters: \[.*LessThan\(event_id,100\)", plan), plan
+
+
+def test_tally_salting_changes_plan_not_result(spark):
+    """salt_buckets adds the two-phase aggregate without changing counts."""
+    cls = classified_events(spark, SF_DIR)
+    plain = tally_report(cls, F.pmod(F.col("key"), F.lit(8)))
+    salted = tally_report(cls, F.pmod(F.col("key"), F.lit(8)), salt_buckets=16)
+    a = {tuple(sorted(r.asDict().items())) for r in plain.collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in salted.collect()}
+    assert a == b
