@@ -36,13 +36,19 @@ def get_spark(
         # local mode hosts all executor threads in the driver JVM — size the
         # heap for the whole node (cluster deployments override per-executor)
         .config("spark.driver.memory", os.environ.get("SDV_DRIVER_MEM", "48g"))
-        # RocksDB state store: streaming join/agg state lives off-heap + on
-        # disk, the only viable choice at 10^12-turn state sizes (the default
-        # HDFSBackedStateStoreProvider keeps every state map on the JVM heap
-        # and OOMs at ~10^6 keys/partition)
+        # State store provider (SDV_STATE_STORE=rocksdb|hdfs, default rocksdb):
+        # RocksDB keeps streaming join/agg state off-heap + on disk — required
+        # when per-partition state outgrows the heap (unbounded watermarks,
+        # 10^9+ in-flight keys). The heap-backed HDFS provider is ~2x faster
+        # per row (measured) and is the right choice when state is band/
+        # watermark-bounded and sized for memory, but OOMs a default 1g heap
+        # at ~10^6 keys/partition.
         .config(
             "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            {
+                "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+                "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+            }[os.environ.get("SDV_STATE_STORE", "rocksdb")],
         )
         .config(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",

@@ -1,0 +1,17 @@
+"""Streaming validation: watermarked join classifier, stateful engine, sinks."""
+
+from spanner_data_validator_spark.streaming.validate_stream import (  # noqa: F401
+    classify_stream,
+    fingerprint_stream,
+    session_mismatch_windows,
+    windowed_status_counts,
+)
+from spanner_data_validator_spark.streaming.stateful import classify_stateful  # noqa: F401
+from spanner_data_validator_spark.streaming.sink import (  # noqa: F401
+    ExactlyOnceParquetSink,
+    TallyForeachBatch,
+    merge_into_iceberg,
+)
+from spanner_data_validator_spark.streaming.listener import (  # noqa: F401
+    ValidationMetricsListener,
+)

@@ -133,9 +133,16 @@ def windowed_status_counts(
     counts — the streaming analogue of the reference's five Count.perKey
     (JDBCToSpannerDVTWithHash.java:367-391) collapsed into one hash aggregate.
 
-    On a stream this is a second stateful operator chained after the join
-    (supported since Spark 3.5 for append-mode window aggregation); the batch
-    path is the same expression.
+    Batch path: same expression. Streaming path: Spark's chained-stateful
+    support requires windowing on a watermark-propagated column, but the
+    classified stream's event time is ``coalesce(tgt_ts, src_ts)`` (either
+    side may be null after a full outer join), which loses watermark
+    attribution — and re-calling withWatermark after a stateful operator is
+    disallowed. The production streaming tally therefore runs as per-batch
+    partial aggregates inside the exactly-once sink, summed on read
+    (sink.TallyForeachBatch — proven equal to this batch expression in
+    tests/test_streaming.py::test_windowed_tallies_match_batch). Windowing a
+    SINGLE watermarked stream with this function works natively.
     """
     win = (
         F.window("ts", window_duration, slide)

@@ -23,6 +23,7 @@ from spanner_data_validator_spark.jobs.validate_transcripts import (
     append_sentinel,
     run_batch_validation,
     run_streaming_validation,
+    sentinel_filter,
 )
 from spanner_data_validator_spark.sources.transcript_source import write_transcripts
 from spanner_data_validator_spark.streaming.sink import ExactlyOnceParquetSink
@@ -196,3 +197,74 @@ def test_listener_collects_progress_and_lineage(spark, tmp_path):
         assert os.path.getsize(lineage) > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_native_streaming_tumbling_window(spark, tmp_path):
+    """A single watermarked stream through a tumbling-window aggregation in
+    append mode — the native streaming window operator (no foreachBatch),
+    compared against the identical batch aggregation."""
+    from spanner_data_validator_spark.sources.transcript_source import (
+        read_transcripts,
+        stream_transcripts,
+    )
+
+    pair = gen_transcript_pair(20, seed=29, dup_rows=0)
+    d = str(tmp_path / "src")
+    write_transcripts(pair.source, spark, d, n_files=2)
+    append_sentinel(spark, d)
+
+    stream = stream_transcripts(spark, d, watermark="10 minutes")
+    agg = (stream.groupBy(F.window("ts", "1 hour").alias("w"), "role")
+           .agg(F.count("*").alias("n"))
+           .select(F.col("w.start").alias("ws"), "role", "n"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (agg.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+
+    got = {(r["ws"], r["role"]): r["n"] for r in spark.read.parquet(out).collect()
+           if not str(r["ws"]).startswith("2100")}
+    batch = (read_transcripts(spark, d).where(sentinel_filter())
+             .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+             .agg(F.count("*").alias("n"))
+             .select(F.col("w.start").alias("ws"), "role", "n"))
+    want = {(r["ws"], r["role"]): r["n"] for r in batch.collect()}
+    assert got == want and len(got) > 5
+
+
+def test_native_streaming_session_window(spark, tmp_path):
+    """session_window over a watermarked stream (native stateful operator)."""
+    from spanner_data_validator_spark.sources.transcript_source import (
+        read_transcripts,
+        stream_transcripts,
+    )
+
+    pair = gen_transcript_pair(12, seed=31, dup_rows=0)
+    d = str(tmp_path / "src")
+    write_transcripts(pair.source, spark, d, n_files=2)
+    append_sentinel(spark, d)
+
+    stream = stream_transcripts(spark, d, watermark="10 minutes")
+    agg = (stream.groupBy("conv_id", F.session_window("ts", "30 minutes").alias("w"))
+           .agg(F.count("*").alias("n"))
+           .select("conv_id", F.col("w.start").alias("ws"), "n"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (agg.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+
+    got = {(r["conv_id"], r["ws"]): r["n"]
+           for r in spark.read.parquet(out).collect()
+           if r["conv_id"] != "__sentinel__"}
+    batch = (read_transcripts(spark, d).where(sentinel_filter())
+             .groupBy("conv_id", F.session_window("ts", "30 minutes").alias("w"))
+             .agg(F.count("*").alias("n"))
+             .select("conv_id", F.col("w.start").alias("ws"), "n"))
+    want = {(r["conv_id"], r["ws"]): r["n"] for r in batch.collect()}
+    assert got == want
+    # generator plants >1h gaps inside conversations → multiple sessions exist
+    assert len({k[0] for k in got}) < len(got)
