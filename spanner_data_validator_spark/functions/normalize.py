@@ -62,7 +62,9 @@ def normalize_column(
     if isinstance(dtype, T.BinaryType):
         return F.coalesce(F.base64(c), F.lit(""))
     if isinstance(dtype, T.BooleanType):
-        return F.coalesce(F.when(c, "true").otherwise("false"), F.lit(""))
+        # NULL must contribute '' — a plain when/otherwise would fold NULL
+        # into the otherwise('false') branch and hash NULL == false
+        return F.when(c.isNull(), F.lit("")).when(c, "true").otherwise("false")
     if isinstance(dtype, T.DecimalType):
         return F.coalesce(_strip_trailing_zeros(c.cast("string")), F.lit(""))
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
@@ -91,7 +93,7 @@ def _normalize_scalar_lambda(x: Column, dtype: T.DataType) -> Column:
     if isinstance(dtype, T.StringType):
         return F.coalesce(x, F.lit(""))
     if isinstance(dtype, T.BooleanType):
-        return F.coalesce(F.when(x, "true").otherwise("false"), F.lit(""))
+        return F.when(x.isNull(), F.lit("")).when(x, "true").otherwise("false")
     if isinstance(dtype, T.DecimalType):
         return F.coalesce(_strip_trailing_zeros(x.cast("string")), F.lit(""))
     return F.coalesce(x.cast("string"), F.lit(""))
