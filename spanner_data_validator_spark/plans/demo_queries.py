@@ -668,3 +668,15 @@ def q_sliding_mismatch_counts(spark, sf_dir):
                .agg(F.count("*").alias("n"))
                .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
                        "status", "n"))
+
+
+@register("ann_ivf_topk")  # no SQL oracle: k-means quantizer not DuckDB-expressible;
+                           # pytest asserts recall vs brute force on planted dups
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: k-means coarse quantizer (trained once, Spark ML),
+    expression-only list assignment + bucket-local cosine top-k."""
+    from spanner_data_validator_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, emb.where(F.col("vec_id") % 100 == 0), 3,
+                    n_lists=8, nprobe=2, seed=7)
