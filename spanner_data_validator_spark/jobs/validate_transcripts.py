@@ -36,7 +36,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spanner_data_validator_spark.sources.transcript_source import (
-    KEY_COLS,
     read_transcripts,
     stream_transcripts,
     write_transcripts,

@@ -31,7 +31,6 @@ from spanner_data_validator_spark.functions.fingerprint import fingerprint_expr
 from spanner_data_validator_spark.functions.text import (
     lang_id_heuristic,
     quality_score,
-    stopword_ratio,
     substr_hits,
     token_count_regex,
     token_count_ws,
