@@ -137,8 +137,14 @@ def run_streaming_validation(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination(timeout_s)
-        if q.isActive:  # pragma: no cover - safety net
+        if q.isActive:
+            # an availableNow query still running at the deadline means the
+            # sink holds PARTIAL commits — surface it instead of returning
+            # silently-incomplete totals (callers would report undercounts)
             q.stop()
+            raise TimeoutError(
+                f"availableNow streaming validation did not drain within "
+                f"{timeout_s}s; sink at {out_dir} holds partial commits")
     else:
         writer.trigger(processingTime=trigger_interval).start()
     return sink
@@ -167,7 +173,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--watermark", default="10 minutes")
     ap.add_argument("--band", default="2 hours")
     ap.add_argument("--window", default="1 hour")
-    ap.add_argument("--available-now", action="store_true", default=True)
+    ap.add_argument("--available-now", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="drain all available input then stop (default); "
+                    "--no-available-now runs a continuous processing-time "
+                    "trigger instead")
     args = ap.parse_args(argv)
 
     from spanner_data_validator_spark.session import get_spark
@@ -196,10 +206,16 @@ def main(argv: list[str] | None = None) -> None:
             band=args.band,
             engine=args.engine,
             window_duration=args.window,
+            available_now=args.available_now,
         )
-        report = sink.report(spark)
-        if report is not None:
-            report.show(50, truncate=False)
+        if args.available_now:
+            report = sink.report(spark)
+            if report is not None:
+                report.show(50, truncate=False)
+        else:
+            # continuous trigger: the query runs until externally stopped;
+            # block here so spark-submit keeps the driver alive
+            spark.streams.awaitAnyTermination()
     listener.dump(os.path.join(args.out, "lineage", "progress.jsonl"))
 
 

@@ -28,6 +28,8 @@ def range_predicates(
     ranges: list[PartitionRange],
     key_col: str,
     field_type: str = "LONG",
+    *,
+    contiguous: bool = True,
 ) -> list[str]:
     """Render ranges as SQL predicates covering every key EXACTLY once.
 
@@ -46,17 +48,32 @@ def range_predicates(
     quote = field_type.upper() in ("UUID", "STRING", "TIMESTAMP")
 
     def lit(v: str) -> str:
-        return f"'{v}'" if quote else v
+        if quote:
+            # escape embedded quotes — a boundary value containing ' would
+            # otherwise render malformed (injectable) SQL on the remote DB
+            return "'" + v.replace("'", "''") + "'"
+        # numeric domains: validate the bound really is numeric before
+        # interpolating it into SQL pushed to the remote database
+        float(v)
+        return v
 
-    preds = []
-    for i, r in enumerate(ranges):
-        if i + 1 < len(ranges):
-            preds.append(
-                f"{key_col} >= {lit(r.start)} AND {key_col} < {lit(ranges[i + 1].start)}"
-            )
-        else:
-            preds.append(f"{key_col} >= {lit(r.start)} AND {key_col} <= {lit(r.end)}")
-    return preds
+    if contiguous:
+        preds = []
+        for i, r in enumerate(ranges):
+            if i + 1 < len(ranges):
+                preds.append(
+                    f"{key_col} >= {lit(r.start)} AND {key_col} < {lit(ranges[i + 1].start)}"
+                )
+            else:
+                preds.append(f"{key_col} >= {lit(r.start)} AND {key_col} <= {lit(r.end)}")
+        return preds
+    # non-contiguous lists (partition-filter sampling): deriving bounds from
+    # consecutive starts would silently FILL the gaps the filter skipped —
+    # render each range independently with closed bounds instead, matching
+    # the reference's session-generated SQL (>= @p1 AND <= @p2,
+    # dto/session/SpannerTable.java:117-118)
+    return [f"{key_col} >= {lit(r.start)} AND {key_col} <= {lit(r.end)}"
+            for r in ranges]
 
 
 def ranged_predicates_for(
@@ -72,9 +89,10 @@ def ranged_predicates_for(
     """Driver-side scan planning: range fetcher (§2.7) → predicate list."""
     if partition_filter_ratio and field_type.upper() in ("LONG", "INTEGER", "INT"):
         ranges = long_ranges_with_filter(start, end, partitions, partition_filter_ratio)
-    else:
-        ranges = fetch_ranges(field_type, start, end, partitions, coverage)
-    return range_predicates(ranges, key_col, field_type)
+        return range_predicates(ranges, key_col, field_type, contiguous=False)
+    ranges = fetch_ranges(field_type, start, end, partitions, coverage)
+    return range_predicates(ranges, key_col, field_type,
+                            contiguous=coverage >= 1.0)
 
 
 def read_jdbc_ranged(

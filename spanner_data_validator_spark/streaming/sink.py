@@ -48,6 +48,14 @@ class ExactlyOnceParquetSink:
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._marker(batch_id))
 
+    def committed_rows(self, batch_id: int) -> int | None:
+        """Row count recorded at commit time, or None if not committed."""
+        try:
+            with open(self._marker(batch_id)) as f:
+                return json.load(f)["rows"]
+        except FileNotFoundError:
+            return None
+
     def batch_paths(self, batch_id: int) -> list[str]:
         return [os.path.join(self.out_dir, "data", f"batch={batch_id}")]
 
@@ -136,8 +144,16 @@ class TallyForeachBatch:
         # batch — far cheaper than persist() + three more passes through the
         # stateful plan, and the rows write doubles as the count
         written = self.rows_sink(batch_df, batch_id)
-        if written is None:  # replayed, fully-committed batch
-            return
+        if written is None:
+            # rows were committed by a previous attempt — but a crash between
+            # the rows commit and the tally/mismatch commits would otherwise
+            # lose this batch's downstream outputs forever (report() would
+            # silently undercount). Recompute them from the durable rows
+            # parquet; if both are already committed this is a no-op return.
+            if (self.tally_sink.is_committed(batch_id)
+                    and self.mismatch_sink.is_committed(batch_id)):
+                return
+            written = self.rows_sink.committed_rows(batch_id) or 0
         if written == 0:
             self.tally_sink(None, batch_id)
             self.mismatch_sink(None, batch_id)

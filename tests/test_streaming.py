@@ -137,6 +137,35 @@ def test_sink_replay_is_idempotent(spark, tmp_path):
     assert sink.is_committed(0) and sink.is_committed(1)
 
 
+def test_tally_replay_recovers_lost_downstream_commits(spark, tmp_path):
+    """Crash window between the rows commit and the tally/mismatch commits:
+    a replay of the same batch_id must RECOMPUTE tallies and mismatches from
+    the durable rows parquet, not return early (ADVICE r01: report() silently
+    undercounted otherwise)."""
+    import shutil
+
+    from spanner_data_validator_spark.streaming.sink import TallyForeachBatch
+
+    sink = TallyForeachBatch(str(tmp_path / "out"), window_duration="1 hour")
+    df = spark.createDataFrame(
+        [("c1", 0, "MATCH", datetime.fromisoformat("2025-01-01 00:00:00")),
+         ("c1", 1, "MISMATCH", datetime.fromisoformat("2025-01-01 00:10:00"))],
+        "conv_id string, turn_idx int, status string, ts timestamp")
+    sink(df, 0)
+    # simulate the crash: rows are committed, downstream commits are lost
+    for s in (sink.tally_sink, sink.mismatch_sink):
+        os.remove(s._marker(0))
+        shutil.rmtree(s.batch_paths(0)[0], ignore_errors=True)
+    assert sink.report(spark) is None
+    sink(df, 0)  # structured streaming replays the same batch_id
+    report = {r["status"]: r["n"] for r in sink.report(spark).collect()}
+    assert report == {"MATCH": 1, "MISMATCH": 1}
+    assert sink.mismatch_sink.read_committed(spark).count() == 1
+    # and a replay with everything committed stays a no-op
+    sink(df, 0)
+    assert sum(r["n"] for r in sink.report(spark).collect()) == 2
+
+
 def test_windowed_tallies_match_batch(spark, tmp_path):
     """Per-window tally report (sum of per-batch partials across the resume
     boundary) == batch windowed aggregation on the same classified rows."""
