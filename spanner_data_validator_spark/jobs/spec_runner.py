@@ -107,14 +107,28 @@ def run_specs(
     *,
     run_name: str = "run",
     max_concurrent: int = DEFAULT_MAX_CONCURRENT,
+    per_table_action=None,
 ) -> DataFrame:
     """Validate every spec'd table; returns the combined ComparerResult DF.
 
-    Plans are built eagerly; materialization happens when the caller acts on
-    the unioned result — concurrent table validation then comes from Spark
-    scheduling the union's branches, with ``max_concurrent`` bounding any
-    eager per-table actions a caller adds via ``foreach_report``.
+    Without ``per_table_action`` the result is ONE lazy union plan — Spark
+    schedules all tables' stages together when the caller acts on it, and no
+    throttle is needed (plan construction is cheap; ``max_concurrent`` is
+    irrelevant to a single job).
+
+    With ``per_table_action(report_df, spec)`` each table's report is
+    MATERIALIZED (written, counted, …) as its own Spark action, and the
+    bounded pool keeps at most ``max_concurrent`` tables' jobs in flight —
+    the reference's Wait.on batching (PipelineTracker.java:41-65,
+    maxTablesInEffectAtOneTime common/DVTOptionsCore.java:278-282). Actions
+    run on pool threads; failures propagate after all submitted work drains.
     """
-    with ThreadPoolExecutor(max_workers=max(1, min(max_concurrent, len(specs)))) as ex:
-        reports = list(ex.map(lambda s: _validate_one(spark, s, run_name), specs))
+    reports = [_validate_one(spark, s, run_name) for s in specs]
+    if per_table_action is not None:
+        workers = max(1, min(max_concurrent, len(specs)))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futures = [ex.submit(per_table_action, rep, spec)
+                       for rep, spec in zip(reports, specs)]
+            for f in futures:
+                f.result()
     return reduce(DataFrame.unionByName, reports)

@@ -207,6 +207,117 @@ def assign_range_long(key: Column, start: int, end: int, count: int) -> Column:
     return F.greatest(F.lit(0), F.least(raw, F.lit(count - 1))).cast("int")
 
 
+def _sorted_starts(ranges: list[PartitionRange], field_type: str) -> list[str]:
+    """Range starts sorted with the reference's per-type comparators
+    (MapWithRangeFn.java:35-57): numeric for INT/LONG, 128-bit for UUID,
+    RAW STRING for TIMESTAMP and STRING (quirk kept — the reference compares
+    timestamp bounds lexicographically)."""
+    t = field_type.upper()
+    if t in ("LONG", "INTEGER", "INT"):
+        return [r.start for r in sorted(ranges, key=lambda r: int(r.start))]
+    if t == "UUID":
+        # canonical lowercase UUID text is fixed-width hex, so lexicographic
+        # order == 128-bit numeric order; normalize case once here
+        return sorted((r.start.lower() for r in ranges))
+    return sorted(r.start for r in ranges)
+
+
+def _range_key_expr(key: Column, field_type: str) -> Column:
+    t = field_type.upper()
+    if t in ("LONG", "INTEGER", "INT"):
+        return key.cast("long")
+    if t == "UUID":
+        return F.lower(key)
+    return key.cast("string")
+
+
+def assign_range_generic(key: Column, ranges: list[PartitionRange],
+                         field_type: str) -> Column:
+    """Floor bucket over a broadcast sorted range list — the generic
+    MapWithRangeFn assignment (binary-search floor,
+    dofns/MapWithRangeFn.java:151-166): index = #(starts <= key) - 1 into the
+    list sorted by start. Works for every RANGE key type incl. UUID /
+    TIMESTAMP / STRING (the O(1)-arithmetic ``assign_range_long`` is the
+    specialization for uniform LONG lists).
+
+    Pure fold over ONE literal starts array (list literals ship as a single
+    Literal node, broadcast by closure): O(n_ranges) per row but entirely
+    JVM-side — right up to ~10^3 ranges. Beyond that use
+    ``assign_range_via_join`` (broadcast range join; the planner turns it
+    into a broadcast nested-loop probe). Keys below every start clamp to
+    bucket 0 (the reference throws there; its lists always start at the type
+    MIN so the branch is unreachable in practice).
+    """
+    starts = _sorted_starts(ranges, field_type)
+    k = _range_key_expr(key, field_type)
+    t = field_type.upper()
+    lit = (F.lit([int(s) for s in starts]) if t in ("LONG", "INTEGER", "INT")
+           else F.lit(starts))
+    idx = F.aggregate(
+        lit, F.lit(-1),
+        lambda acc, s: F.when(k >= s, acc + 1).otherwise(acc))
+    return F.greatest(idx, F.lit(0)).cast("int")
+
+
+def assign_range_via_join(df: DataFrame, ranges: list[PartitionRange],
+                          field_type: str, key_col: str,
+                          *, out_col: str = "partition_id") -> DataFrame:
+    """Join-based floor assignment for LARGE range lists: broadcast the
+    (partition_id, lo, hi) bounds table and range-join ``lo <= key < hi``
+    (hi = next range's start; the last range is open-ended, floor semantics).
+    Spark executes this as a BroadcastNestedLoopJoin — no shuffle of ``df``.
+    """
+    starts = _sorted_starts(ranges, field_type)
+    spark = df.sparkSession
+    numeric = field_type.upper() in ("LONG", "INTEGER", "INT")
+    rows = [(i, int(s) if numeric else s,
+             (int(starts[i + 1]) if numeric else starts[i + 1])
+             if i + 1 < len(starts) else None)
+            for i, s in enumerate(starts)]
+    schema = ("partition_id INT, lo LONG, hi LONG" if numeric
+              else "partition_id INT, lo STRING, hi STRING")
+    bounds = spark.createDataFrame(rows, schema)
+    k = _range_key_expr(F.col(key_col), field_type)
+    cond = (k >= F.col("lo")) & (F.col("hi").isNull() | (k < F.col("hi")))
+    return (df.join(F.broadcast(bounds), cond, "left")
+              .drop("lo", "hi")
+              .withColumnRenamed("partition_id", out_col))
+
+
+def map_with_range_key(df: DataFrame, ranges: list[PartitionRange],
+                       field_type: str, key_col: str,
+                       *, mapping_type: str = "JUST_RANGE",
+                       hash_col: str | None = None) -> DataFrame:
+    """The reference's full MapWithRangeFn output: a ``range`` column
+    rendered as "start|end" plus the composite grouping key for the chosen
+    mode (MapWithRangeFn.java:99-116):
+
+      JUST_RANGE           → key = "start|end"
+      RANGE_PLUS_HASH      → key = "start|end|<hash>"
+      RANGE_PLUS_KEY_PLUS_HASH → key = "start|end|<key>|<hash>"
+    """
+    ordered = sorted(
+        ((r.start, r.end) for r in ranges),
+        key=lambda p: (int(p[0]) if field_type.upper() in ("LONG", "INTEGER", "INT")
+                       else (p[0].lower() if field_type.upper() == "UUID" else p[0])))
+    idx = assign_range_generic(F.col(key_col), ranges, field_type)
+    starts = F.lit([s for s, _ in ordered])
+    ends = F.lit([e for _, e in ordered])
+    rng = F.concat_ws("|", F.element_at(starts, idx + 1), F.element_at(ends, idx + 1))
+    out = df.withColumn("range", rng)
+    mode = mapping_type.upper()
+    if mode == "JUST_RANGE":
+        return out.withColumn("range_key", F.col("range"))
+    if hash_col is None:
+        raise ValueError(f"{mapping_type} requires hash_col")
+    if mode == "RANGE_PLUS_HASH":
+        return out.withColumn("range_key", F.concat_ws("|", rng, F.col(hash_col)))
+    if mode == "RANGE_PLUS_KEY_PLUS_HASH":
+        return out.withColumn(
+            "range_key", F.concat_ws("|", rng, F.col(key_col), F.col(hash_col)))
+    raise ValueError(f"Unrecognized mapping_type {mapping_type}")
+
+
 def assign_range_hash(key_cols: list[Column | str], num_buckets: int) -> Column:
     """Hash bucket for STRING/UUID/composite keys: pmod(xxhash64(keys), N).
     This is the engine's reporting range for transcript keys (SURVEY.md §1.3)."""

@@ -186,6 +186,61 @@ def q_validate_sharded(spark, sf_dir):
             .groupBy("status").agg(F.count("*").alias("n")))
 
 
+@register("validate_sharded_config", _CLS_CTE + """
+SELECT 'shard-' || CAST(k.user_id % 3 AS STRING) AS migration_shard_id,
+       c.status, CAST(count(*) AS BIGINT) AS n
+FROM cls c JOIN (SELECT event_id AS key, user_id FROM events) k USING (key)
+WHERE c.key < 100000000
+GROUP BY 1, 2
+""")
+def q_validate_sharded_config(spark, sf_dir):
+    """S9 sharded-config surface end-to-end: a shardConfigurationBulk JSON is
+    parsed by the REAL reader (sources/shard_config.read_sharding_config),
+    each parsed ShardSpec drives one source partition (user_id % n_shards ==
+    shard_index — the sandbox stand-in for per-shard JDBC URLs), and the
+    union carries migration_shard_id through the validation, tallied per
+    shard (CustomTransformationDoFn.java:97-98 forwards the same column).
+    Inserted target-only keys (key >= 1e8) have no source shard and are
+    excluded from the per-shard tally on both sides."""
+    import json as _json
+    import tempfile
+
+    from spanner_data_validator_spark.sources.shard_config import (
+        read_sharding_config,
+        read_sharded_union,
+    )
+
+    n_shards = 3
+    cfg = {"shardConfigurationBulk": {"dataShards": [{
+        "host": "h1.sandbox", "user": "u", "password": "pw", "port": 0,
+        "databases": [{"dbName": f"db{i}", "databaseId": f"shard-{i}"}
+                      for i in range(n_shards)],
+    }]}}
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        _json.dump(cfg, f)
+        cfg_path = f.name
+    shards = read_sharding_config(cfg_path)
+
+    def read_one(spark_, shard):
+        return (events_source(spark_, sf_dir)
+                .where(F.col("user_id") % n_shards == shard.shard_index))
+
+    src = read_sharded_union(spark, shards, read_one)
+    tgt = (events_target(events_source(spark, sf_dir))
+           .withColumn("migration_shard_id", F.lit(None).cast("string")))
+
+    def prep(df):
+        return df.select("key", fingerprint_expr(F.col("payload")).alias("fingerprint"),
+                         "migration_shard_id")
+
+    cls = classify_pair(prep(src), prep(tgt), ["key"],
+                        carry_cols=["migration_shard_id"])
+    return (cls.where(F.col("key") < 100_000_000)
+               .groupBy(F.col("src_migration_shard_id").alias("migration_shard_id"),
+                        "status")
+               .agg(F.count("*").alias("n")))
+
+
 @register("timestamp_threshold", _CLS_CTE + """
 SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls
 WHERE epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-04 00:00:00')
@@ -222,6 +277,52 @@ def q_partition_filter(spark, sf_dir):
         "range", F.pmod(F.col("key"), F.lit(16)).cast("string"))
     return (cls.where(F.pmod(F.col("key"), F.lit(16)) % 4 == 0)
             .groupBy("range").agg(F.count("*").alias("n")))
+
+
+def _uuid_assign_oracle() -> str:
+    """Oracle for K1-generic: the R4 range starts are deterministic, so they
+    inline as VALUES; floor assignment = max partition_id with start <= key."""
+    from spanner_data_validator_spark.operators.ranges import uuid_ranges
+
+    ranges = uuid_ranges("00000000-0000-0000-0000-000000000000",
+                         "ffffffff-ffff-ffff-ffff-ffffffffffff", 16)
+    starts = sorted(r.start.lower() for r in ranges)
+    values = ", ".join(f"({i}, '{s}')" for i, s in enumerate(starts))
+    return f"""
+WITH starts(pid, s) AS (VALUES {values}),
+k AS (
+  SELECT md5(CAST(event_id AS VARCHAR)) AS h FROM events
+),
+u AS (
+  SELECT substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-'
+         || substr(h,17,4) || '-' || substr(h,21,12) AS key
+  FROM k
+)
+SELECT CAST((SELECT max(pid) FROM starts WHERE s <= u.key) AS INT) AS partition_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY 1
+"""
+
+
+@register("uuid_range_assign", _uuid_assign_oracle())
+def q_uuid_range_assign(spark, sf_dir):
+    """K1 generic broadcast sorted-range assignment (MapWithRangeFn floor
+    lookup, dofns/MapWithRangeFn.java:151-166) over the full 128-bit UUID key
+    space: deterministic md5-derived UUID keys bucketed into 16 R4 ranges."""
+    from spanner_data_validator_spark.operators.ranges import (
+        assign_range_generic,
+        uuid_ranges,
+    )
+
+    ranges = uuid_ranges("00000000-0000-0000-0000-000000000000",
+                         "ffffffff-ffff-ffff-ffff-ffffffffffff", 16)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = F.md5(F.col("event_id").cast("string"))
+    key = F.concat_ws(
+        "-", F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12))
+    return (ev.select(assign_range_generic(key, ranges, "UUID").alias("partition_id"))
+              .groupBy("partition_id").agg(F.count("*").alias("n")))
 
 
 @register("long_ranges", """

@@ -120,3 +120,93 @@ def test_sample_coverage_fraction(spark):
     df = spark.range(20_000).select(F.col("id"))
     kept = df.where(sample_coverage(df, "id", 0.25)).count()
     assert abs(kept / 20_000 - 0.25) < 0.02
+
+
+def test_assign_range_generic_long_parity(spark):
+    """MapWithRangeFnTest.mapWithRangeForLongTest analogue: key 0 and 1 land
+    in the first range; MAX-1 does not land in range index 1; signed domain
+    start/start+1/end-1 behave identically (…Test.java:64-135)."""
+    from spanner_data_validator_spark.operators.ranges import assign_range_generic
+
+    ranges = long_ranges(0, 2**63 - 1, 100)
+    df = spark.createDataFrame([(0,), (1,), (2**63 - 2,)], "k LONG")
+    got = {r["k"]: r["b"] for r in df.select(
+        "k", assign_range_generic(F.col("k"), ranges, "LONG").alias("b")).collect()}
+    assert got[0] == 0 and got[1] == 0 and got[2**63 - 2] == 99
+
+    sranges = long_ranges(-99_999_999, 99_999_998, 1000)
+    df2 = spark.createDataFrame(
+        [(-99_999_999,), (-99_999_998,), (99_999_997,)], "k LONG")
+    got2 = {r["k"]: r["b"] for r in df2.select(
+        "k", assign_range_generic(F.col("k"), sranges, "LONG").alias("b")).collect()}
+    assert got2[-99_999_999] == 0 and got2[-99_999_998] == 0
+    assert got2[99_999_997] == 999
+
+
+def test_assign_range_generic_uuid_parity(spark):
+    """mapWithRangeForUUIDTest analogue: the zero UUID and the one-UUID land
+    in the first range; assignment agrees with driver-side 128-bit floor."""
+    import uuid as _u
+
+    from spanner_data_validator_spark.operators.ranges import assign_range_generic
+
+    ranges = uuid_ranges("00000000-0000-0000-0000-000000000000",
+                         "ffffffff-ffff-ffff-ffff-ffffffffffff", 100)
+    zero, one = str(_u.UUID(int=0)), str(_u.UUID(int=1))
+    mid = str(_u.UUID(int=(2**128 - 1) // 2))
+    df = spark.createDataFrame([(zero,), (one,), (mid.upper(),)], "k STRING")
+    got = {r["k"]: r["b"] for r in df.select(
+        "k", assign_range_generic(F.col("k"), ranges, "UUID").alias("b")).collect()}
+    assert got[zero] == 0 and got[one] == 0
+    # driver-side expectation: #(starts <= mid) - 1, via 128-bit ints
+    starts = sorted(_u.UUID(r.start).int for r in ranges)
+    want = sum(1 for s in starts if s <= _u.UUID(mid).int) - 1
+    assert got[mid.upper()] == want  # case-insensitive (normalized to lower)
+
+
+def test_assign_range_generic_timestamp_string_compare(spark):
+    """TIMESTAMP ranges assign by RAW STRING comparison — the reference's
+    comparator quirk (MapWithRangeFn.java:53-57, 138-142)."""
+    from spanner_data_validator_spark.operators.ranges import assign_range_generic
+
+    ranges = timestamp_ranges("2024-01-01 00:00:00", "2024-01-05 00:00:00", 4)
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-02 12:00:00",), ("2024-01-04 23:59:59",)],
+        "k STRING")
+    got = [r["b"] for r in df.select(
+        "k", assign_range_generic(F.col("k"), ranges, "TIMESTAMP").alias("b"))
+        .orderBy("k").collect()]
+    assert got[0] == 0 and got[1] in (1, 2) and got[2] == 3
+
+
+def test_assign_range_via_join_matches_expression(spark):
+    from spanner_data_validator_spark.operators.ranges import (
+        assign_range_generic,
+        assign_range_via_join,
+    )
+
+    ranges = long_ranges(0, 100_000, 64)
+    df = spark.range(0, 100_000, 997).select(F.col("id").alias("k"))
+    expr = df.select("k", assign_range_generic(F.col("k"), ranges, "LONG").alias("b"))
+    join = assign_range_via_join(df, ranges, "LONG", "k", out_col="b")
+    assert ({(r["k"], r["b"]) for r in expr.collect()}
+            == {(r["k"], r["b"]) for r in join.collect()})
+    # broadcast plan: no shuffle of the fact side
+    plan = join._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_map_with_range_key_modes(spark):
+    from spanner_data_validator_spark.operators.ranges import map_with_range_key
+
+    ranges = long_ranges(0, 100, 4)
+    df = spark.createDataFrame([(10, "h10"), (60, "h60")], "k LONG, h STRING")
+    jr = map_with_range_key(df, ranges, "LONG", "k").collect()
+    assert {r["range_key"] for r in jr} == {"0|24", "50|74"}
+    rph = map_with_range_key(df, ranges, "LONG", "k",
+                             mapping_type="RANGE_PLUS_HASH", hash_col="h").collect()
+    assert {r["range_key"] for r in rph} == {"0|24|h10", "50|74|h60"}
+    rpkh = map_with_range_key(df, ranges, "LONG", "k",
+                              mapping_type="RANGE_PLUS_KEY_PLUS_HASH",
+                              hash_col="h").collect()
+    assert {r["range_key"] for r in rpkh} == {"0|24|10|h10", "50|74|60|h60"}

@@ -141,3 +141,40 @@ def test_run_specs_multi_table_report(spark, two_table_specs):
                             "target_conflict_count": 1}  # MISMATCH counts both sides
     assert totals("t2") == {"match_count": 29, "source_conflict_count": 1,
                             "target_conflict_count": 0}  # SOURCE_ONLY
+
+
+def test_run_specs_throttles_concurrent_table_actions(spark, tmp_path):
+    """Wait.on parity (PipelineTracker.java:41-65): with max_concurrent=2,
+    never more than 2 tables' materializing actions run at once."""
+    import threading
+    import time
+
+    a = spark.range(50).select(F.col("id"), F.col("id").cast("string").alias("v"))
+    specs = []
+    for i in range(6):
+        a.write.mode("overwrite").parquet(f"{tmp_path}/s{i}")
+        a.write.mode("overwrite").parquet(f"{tmp_path}/g{i}")
+        specs.append(TableSpec(
+            table_name=f"tab{i}", source_path=f"{tmp_path}/s{i}",
+            target_path=f"{tmp_path}/g{i}", key_cols=["id"],
+            payload_cols=["v"], num_ranges=2))
+
+    lock = threading.Lock()
+    active = {"n": 0, "max": 0, "tables": []}
+
+    def action(report, spec):
+        with lock:
+            active["n"] += 1
+            active["max"] = max(active["max"], active["n"])
+        try:
+            report.count()  # a real Spark action per table
+            time.sleep(0.15)  # hold the slot so overlap is observable
+        finally:
+            with lock:
+                active["n"] -= 1
+                active["tables"].append(spec.table_name)
+
+    run_specs(spark, specs, run_name="r2", max_concurrent=2,
+              per_table_action=action)
+    assert sorted(active["tables"]) == [f"tab{i}" for i in range(6)]
+    assert active["max"] <= 2
