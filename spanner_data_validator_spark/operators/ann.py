@@ -100,21 +100,34 @@ def rhp_lsh_topk(
     items: DataFrame, queries: DataFrame, k: int,
     *, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int, n_planes: int = 12, seed: int = 42,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """LSH-bucketed ANN: items and queries hashed to sign buckets; scoring is
-    bucket-local (equi-join on the signature), then per-query top-k. Probing
-    only the exact bucket — recall grows with fewer planes; multi-probe is a
-    follow-on (flip one bit per probe)."""
+    bucket-local (equi-join on the signature), then per-query top-k.
+
+    ``multi_probe``: each query probes its exact bucket PLUS the n_planes
+    buckets one sign-flip away (the planes a near-neighbor most plausibly
+    crossed) — recall rises sharply for (1+n_planes)× query-side rows while
+    the ITEM side is untouched: items stay single-bucket, so the join still
+    scans each item at most once per probing query bucket.
+    """
     from pyspark.sql import Window
 
     planes = make_planes(dim, n_planes, seed)
     it = (items.withColumn("__bucket", rhp_signature(F.col(vec_col), planes))
                .withColumn("__inorm", _norm(F.col(vec_col))))
+    sig = rhp_signature(F.col(vec_col), planes)
+    if multi_probe:
+        probes = F.explode(F.array(
+            sig, *[sig.bitwiseXOR(F.lit(1 << j).cast("long"))
+                   for j in range(n_planes)]))
+    else:
+        probes = sig
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("__qn"),
-        rhp_signature(F.col(vec_col), planes).alias("__bucket"),
+        probes.alias("__bucket"),
     )
     scored = (it.join(q, "__bucket")
                 .where(F.col(id_col) != F.col("query_id"))

@@ -566,13 +566,39 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id_heuristic("text").alias("pred_lang"), "lang")
 
 
-@register("doc_fingerprint")  # no SQL oracle: 61-bit modular bigint arithmetic
+@register("doc_fingerprint")  # no SQL oracle: full-doc 61-bit modular bigint
 def q_doc_fingerprint(spark, sf_dir):
-    """Rolling (polynomial) document fingerprint via Arrow pandas UDF."""
+    """Rolling (polynomial) document fingerprint via Arrow pandas UDF.
+    The prefix variant below oracle-checks the same hash definition."""
     from spanner_data_validator_spark.functions.text import rolling_fingerprint_udf
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", rolling_fingerprint_udf(F.col("text")).alias("fingerprint"))
+
+
+def _prefix_fp_oracle(n: int = 8) -> str:
+    """The rolling hash of the first ``n`` ASCII bytes is a closed-form
+    polynomial: sum(byte_i * 256^(n-1-i)) mod 2^61-1 — expressible in DuckDB
+    with HUGEINT arithmetic, turning the UDF's hash family oracle-checkable."""
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, {i + 1}, 1)) AS HUGEINT) * {256 ** (n - 1 - i)}"
+        for i in range(n))
+    return f"""
+SELECT doc_id, CAST(({terms}) % 2305843009213693951 AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+@register("doc_fingerprint_prefix", _prefix_fp_oracle())
+def q_doc_fingerprint_prefix(spark, sf_dir):
+    """Same UDF, first-8-bytes prefix — the DuckDB-checkable slice of the
+    rolling-hash family (docs are ASCII word-salad, so chars == bytes)."""
+    from spanner_data_validator_spark.functions.text import rolling_fingerprint_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint_udf(F.substring(F.col("text"), 1, 8)).alias("fingerprint"))
 
 
 # ---------------------------------------------------------------------------
@@ -633,11 +659,16 @@ def q_media_frame_sample(spark, sf_dir):
 # structured-streaming run (availableNow) over an events-derived dual stream
 # ---------------------------------------------------------------------------
 
-def transcripts_from_events(spark, sf_dir):
+def transcripts_from_events(spark, sf_dir, *, user_mod: int | None = None):
     """Deterministic transcript table derived from `events` with
     SQL-expressible rules (both engines compute the identical derivation):
-    conv_id = user_id, turn_idx = rank of (ts, event_id) within user."""
+    conv_id = user_id, turn_idx = rank of (ts, event_id) within user.
+    ``user_mod`` keeps every user_mod-th conversation (whole conversations,
+    so per-user turn numbering is unchanged) — the reduced corpus for the
+    deliberately-slow stateful semantics engine."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if user_mod is not None:
+        ev = ev.where(F.col("user_id") % user_mod == 0)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
@@ -661,13 +692,15 @@ def _events_transcript_target(src):
     return mutated.unionByName(inserted)
 
 
-_EV_TRANSCRIPT_CTE = """
+def _ev_transcript_cte(user_mod: int | None = None) -> str:
+    where = f"WHERE user_id % {user_mod} = 0" if user_mod else ""
+    return f"""
 WITH src AS (
   SELECT CAST(user_id AS STRING) AS conv_id,
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
          coalesce(event_type, '') AS role,
          coalesce(props, '') AS text
-  FROM events
+  FROM events {where}
 ),
 tgt AS (
   SELECT conv_id, turn_idx, role,
@@ -690,7 +723,13 @@ SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY status
 """
 
 
-def _run_stream_totals(spark, sf_dir, engine):
+# the stateful engine is the SEMANTICS spec (~15x slower than the join
+# engine by design, BENCH.md) — it validates a reduced corpus: every 5th
+# conversation, whole conversations so turn numbering is unchanged
+_STATEFUL_USER_MOD = 5
+
+
+def _run_stream_totals(spark, sf_dir, engine, *, user_mod: int | None = None):
     import tempfile
 
     from spanner_data_validator_spark.jobs.validate_transcripts import (
@@ -701,8 +740,9 @@ def _run_stream_totals(spark, sf_dir, engine):
         write_transcripts,
     )
 
-    src = transcripts_from_events(spark, sf_dir)
-    tgt = _events_transcript_target(transcripts_from_events(spark, sf_dir))
+    src = transcripts_from_events(spark, sf_dir, user_mod=user_mod)
+    tgt = _events_transcript_target(
+        transcripts_from_events(spark, sf_dir, user_mod=user_mod))
     work = tempfile.mkdtemp(prefix=f"sdv_q_stream_{engine}_")
     src_dir, tgt_dir = f"{work}/src", f"{work}/tgt"
     write_transcripts(src, spark, src_dir, n_files=4)
@@ -722,7 +762,7 @@ def _run_stream_totals(spark, sf_dir, engine):
     return res.groupBy("status").agg(F.count("*").alias("n"))
 
 
-@register("validate_stream_totals", _EV_TRANSCRIPT_CTE)
+@register("validate_stream_totals", _ev_transcript_cte())
 def q_validate_stream_totals(spark, sf_dir):
     """REAL structured-streaming run: events-derived dual transcript streams →
     watermarked full-outer stream-stream join (availableNow) → committed
@@ -730,11 +770,13 @@ def q_validate_stream_totals(spark, sf_dir):
     return _run_stream_totals(spark, sf_dir, "join")
 
 
-@register("validate_stream_stateful_totals", _EV_TRANSCRIPT_CTE)
+@register("validate_stream_stateful_totals", _ev_transcript_cte(_STATEFUL_USER_MOD))
 def q_validate_stream_stateful_totals(spark, sf_dir):
     """Same streaming run through the applyInPandasWithState classifier
-    (reference-exact emission timing, dofns/CountMatchesDoFn.java:67-122)."""
-    return _run_stream_totals(spark, sf_dir, "stateful")
+    (reference-exact emission timing, dofns/CountMatchesDoFn.java:67-122),
+    over the reduced corpus — it's the semantics spec, never the bulk path."""
+    return _run_stream_totals(spark, sf_dir, "stateful",
+                              user_mod=_STATEFUL_USER_MOD)
 
 
 # ---------------------------------------------------------------------------
