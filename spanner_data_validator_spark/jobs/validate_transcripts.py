@@ -100,12 +100,19 @@ def run_streaming_validation(
     window_duration: str = "1 hour",
     max_files_per_trigger: int | None = None,
     timeout_s: float = 300.0,
+    dedup_keys: bool = False,
 ) -> TallyForeachBatch:
     """Run the streaming pipeline; returns the sink for result readback.
 
     ``engine='join'`` → built-in StreamingSymmetricHashJoin full-outer;
     ``engine='stateful'`` → applyInPandasWithState classifier (lower MATCH
     latency, reference-exact emission control).
+
+    ``dedup_keys`` gives the JOIN engine the reference's duplicate-key
+    collapse (first element per key, CoGBK-iterable semantics the stateful
+    engine has natively): a ``dropDuplicatesWithinWatermark`` per side before
+    the join. Costs one extra stateful stage whose state is watermark-bounded
+    (key + ts per in-flight key); leave off when upstream keys are unique.
     """
     src = stream_transcripts(
         spark, src_path, watermark=watermark, max_files_per_trigger=max_files_per_trigger
@@ -121,11 +128,12 @@ def run_streaming_validation(
             s.unionByName(t), band_ms=_interval_ms(band)
         )
     else:
-        classified = classify_stream(
-            fingerprint_stream(src, algo=algo),
-            fingerprint_stream(tgt, algo=algo),
-            band=band,
-        )
+        s = fingerprint_stream(src, algo=algo)
+        t = fingerprint_stream(tgt, algo=algo)
+        if dedup_keys:
+            s = s.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+            t = t.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        classified = classify_stream(s, t, band=band)
     classified = classified.where(sentinel_filter())
 
     sink = TallyForeachBatch(out_dir, window_duration=window_duration)

