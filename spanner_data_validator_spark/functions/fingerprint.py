@@ -82,6 +82,12 @@ def normalize_json_string(raw: str | None) -> str | None:
 
 @F.pandas_udf(T.StringType())
 def normalize_json_udf(s: pd.Series) -> pd.Series:
+    # plain map, nulls skipped. A vectorized "doesn't start with {/[" prefilter
+    # was tried and REVERTED: on transcript tool columns every non-null value
+    # is JSON, so the regex pass + series copy was pure overhead on the
+    # fingerprint hot path (measured as a batch-throughput regression in the
+    # 16-core scaling run); the exception fallback only triggers for non-JSON
+    # strings, which are rare by construction
     return s.map(normalize_json_string, na_action="ignore")
 
 

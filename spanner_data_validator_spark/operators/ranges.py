@@ -24,9 +24,12 @@ PartitionRangeTest.java):
 * UUID ranges via 128-bit integer arithmetic (UUIDHelpers.java:23-39).
 * STRING supports exactly one partition (StringPartitionListFetcher.java:23-41).
 
-Range *assignment* is O(1) arithmetic for numeric/timestamp keys (no binary
-search, stays in whole-stage codegen); generic sorted-bounds lookup uses a
-broadcast list + ``width_bucket``-style SQL, never a Python loop.
+Range *assignment* is O(1) arithmetic for uniform numeric lists
+(``assign_range_long``); the generic sorted-bounds floor lookup
+(``assign_range_generic`` / ``with_range_partition``, UUID/TIMESTAMP/STRING
+comparator parity) folds over one broadcast literal starts array, and
+``assign_range_via_join`` covers very large lists with a broadcast range
+join — never a Python loop.
 """
 
 from __future__ import annotations

@@ -502,6 +502,58 @@ def q_ann_cosine_topk(spark, sf_dir):
     return out.withColumn("sim", F.round(F.col("sim"), 3))
 
 
+def _rhp_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Sign-bucket LSH is pure arithmetic over literal hyperplanes, so the
+    whole multi-probe pipeline (bucket, flip-one-bit probes, bucket-local
+    cosine, top-k) is DuckDB-expressible with the planes inlined."""
+    from spanner_data_validator_spark.operators.ann import make_planes
+
+    planes = make_planes(dim, n_planes, seed)
+    bucket = " + ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ",".join(repr(float(x)) for x in p) + f"]) > 0 THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes))
+    probe_list = ", ".join(["0"] + [str(1 << j) for j in range(n_planes)])
+    return f"""
+WITH it AS (
+  SELECT vec_id, embedding, ({bucket}) AS b FROM embeddings
+),
+q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv, b
+  FROM it WHERE vec_id % 100 = 0
+),
+probes AS (
+  SELECT query_id, qv, xor(b, p) AS b FROM q0, UNNEST([{probe_list}]) AS t(p)
+),
+scored AS (
+  SELECT p.query_id, it.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                CAST(it.embedding AS DOUBLE[])) AS sim
+  FROM probes p JOIN it ON it.b = p.b AND it.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 3) AS sim
+FROM r WHERE rank <= 3
+"""
+
+
+@register("ann_rhp_lsh_topk", _rhp_oracle())
+def q_ann_rhp_lsh_topk(spark, sf_dir):
+    """Multi-probe random-hyperplane LSH top-3: sign buckets over 8 literal
+    planes, each query probes its bucket plus the 8 one-bit-flip buckets,
+    scoring bucket-local (operators/ann.rhp_lsh_topk)."""
+    from spanner_data_validator_spark.operators.ann import rhp_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    out = rhp_lsh_topk(emb, emb.where(F.col("vec_id") % 100 == 0), 3,
+                       dim=64, n_planes=8, seed=42, multi_probe=True)
+    return out.withColumn("sim", F.round(F.col("sim"), 3))
+
+
 @register("embedding_near_dups", """
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings

@@ -1,4 +1,5 @@
-"""Sources: transcript batch/stream readers (Iceberg-gated), ranged JDBC."""
+"""Sources: transcript batch/stream readers (Iceberg-gated), ranged JDBC,
+session-file / tablespec / shard-config ingestion."""
 
 from spanner_data_validator_spark.sources.transcript_source import (  # noqa: F401
     KEY_COLS,
@@ -12,4 +13,23 @@ from spanner_data_validator_spark.sources.jdbc_source import (  # noqa: F401
     range_predicates,
     ranged_predicates_for,
     read_jdbc_ranged,
+)
+from spanner_data_validator_spark.sources.session_file import (  # noqa: F401
+    DroppedTableError,
+    Schema,
+    determine_partition_key,
+    read_session_file,
+    table_specs_from_session,
+)
+from spanner_data_validator_spark.sources.shard_config import (  # noqa: F401
+    ShardSpec,
+    read_sharded_union,
+    read_sharding_config,
+    shard_specs_from_json_file,
+)
+from spanner_data_validator_spark.sources.tablespec import (  # noqa: F401
+    QueryTableSpec,
+    generate_table_specs,
+    specs_from_json_file,
+    specs_to_json_file,
 )

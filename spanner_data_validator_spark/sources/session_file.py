@@ -294,6 +294,10 @@ def determine_partition_key(source: SourceTable,
     if pk is None:
         pk = _search_spanner_indexes(src_first.col_id, src_type, spanner.indexes)
     if pk is None:
+        # quirk kept from TableSpecList.java:377-394: the loop has NO break —
+        # a later index whose lead column matches the Spanner PK overwrites an
+        # earlier find (even with None when its type is unsupported); only the
+        # index-search branch is null-guarded
         for ix in source.indexes or []:
             if not ix.keys:
                 continue
@@ -303,8 +307,6 @@ def determine_partition_key(source: SourceTable,
                 pk = _create_partition_key(lead.col_id, lead_type)
             if pk is None:
                 pk = _search_spanner_indexes(lead.col_id, lead_type, spanner.indexes)
-            if pk is not None:
-                break
     return pk
 
 

@@ -10,8 +10,9 @@ two dialect queries and the range/partition/timestamp-threshold config
   generateTableSpec precedence     (JDBCToSpannerDVTWithHash.java:798-850:
       tablespec JSON wins over session-generated specs per table name)
 
-It complements jobs/spec_runner.TableSpec (the Spark-native path-based spec):
-``to_runner_spec`` is the bridge once a user maps queries to table paths.
+It complements jobs/spec_runner.TableSpec (the Spark-native path-based spec);
+jobs/query_spec_runner executes these query-shaped specs end-to-end over JDBC
+(bind substitution per range → readAll fan-out → classify → tally).
 """
 
 from __future__ import annotations
