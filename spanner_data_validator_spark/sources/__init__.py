@@ -14,6 +14,10 @@ from spanner_data_validator_spark.sources.jdbc_source import (  # noqa: F401
     ranged_predicates_for,
     read_jdbc_ranged,
 )
+from spanner_data_validator_spark.sources.bucketed import (  # noqa: F401
+    validate_bucketed,
+    write_bucketed,
+)
 from spanner_data_validator_spark.sources.session_file import (  # noqa: F401
     DroppedTableError,
     Schema,
