@@ -102,3 +102,21 @@ def test_validate_query_spec_counts(spark, derby_pair):
     assert tot["target_count"] == 50
     assert tot["source_conflict_count"] == 2  # MISMATCH + SOURCE_ONLY
     assert tot["target_conflict_count"] == 2  # MISMATCH + TARGET_ONLY
+
+
+def test_run_dvt_cli_validation_mode(spark, derby_pair, tmp_path):
+    """The runDVT CLI end-to-end: spec JSON in, parquet ComparerResult out."""
+    from spanner_data_validator_spark.jobs.run_dvt import main
+    from spanner_data_validator_spark.sources.tablespec import specs_to_json_file
+
+    src_url, tgt_url = derby_pair
+    spec_file = tmp_path / "specs.json"
+    specs_to_json_file([SPEC], str(spec_file))
+    out = tmp_path / "out"
+    main(["--table-spec-json", str(spec_file),
+          "--source-url", src_url, "--target-url", tgt_url,
+          "--out", str(out), "--run-name", "cli"])
+    rep = spark.read.parquet(str(out / "report"))
+    rows = rep.collect()
+    assert {r["run_name"] for r in rows} == {"cli"}
+    assert sum(r["match_count"] for r in rows) == 48

@@ -370,3 +370,32 @@ def test_secret_uri_resolution():
     with pytest.raises(ValueError, match="does not adhere"):
         resolve_password("bogus-uri", None, accessor)
     assert resolve_password(None, "plain", accessor) == "plain"
+
+
+# --------------------------------------------------------------------------
+# run_dvt CLI (runDVT generate-vs-validate entry, JDBCToSpannerDVTWithHash)
+# --------------------------------------------------------------------------
+
+def test_run_dvt_generate_mode(tmp_path, session_path, capsys):
+    from spanner_data_validator_spark.jobs.run_dvt import main
+
+    out = tmp_path / "generated-spec.json"
+    main(["--generate-table-spec", "--session-file", session_path,
+          "--output-spec", str(out), "--partition-count", "25"])
+    assert "has been written" in capsys.readouterr().out
+    (s,) = specs_from_json_file(str(out))
+    assert s.table_name == "member_events" and s.partition_count == 25
+
+
+def test_run_dvt_generate_requires_session(tmp_path):
+    from spanner_data_validator_spark.jobs.run_dvt import main
+
+    with pytest.raises(SystemExit, match="Session file needs to be provided"):
+        main(["--generate-table-spec", "--output-spec", str(tmp_path / "x.json")])
+
+
+def test_run_dvt_validation_requires_urls(session_path):
+    from spanner_data_validator_spark.jobs.run_dvt import main
+
+    with pytest.raises(SystemExit, match="required"):
+        main(["--session-file", session_path])
