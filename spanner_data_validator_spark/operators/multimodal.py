@@ -83,6 +83,56 @@ def extract_features(df: DataFrame, *, dim: int = 8, use_stub: bool = True) -> D
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = ("media_id LONG, kind STRING, mime STRING, payload BINARY, "
+                  "width INT, height INT")
+
+
+def _fake_resize(payload: bytes | None, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image-resize kernel: nearest-neighbor
+    byte sampling to exactly w*h bytes. Keeps output size/shape semantics
+    (and therefore the Arrow plumbing) real without PIL."""
+    n_out = w * h
+    if not payload:
+        return bytes(n_out)
+    n = len(payload)
+    return bytes(payload[(i * n) // n_out] for i in range(n_out))
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 *, use_stub: bool = True) -> DataFrame:
+    """mapInPandas resize stage over image payloads: one Arrow batch in/out,
+    payload replaced by the (stubbed) resized encoding, meta width/height
+    updated. Non-image rows pass through untouched with their original
+    dimensions. ``use_stub=False`` raises the marked codec integration point.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_stub:
+                _require_codec("image resize")
+            is_img = pdf["kind"] == "image"
+            payloads, ws, hs = [], [], []
+            for img, p, meta in zip(is_img, pdf["payload"], pdf["meta"]):
+                if img:
+                    payloads.append(_fake_resize(p, width, height))
+                    ws.append(width)
+                    hs.append(height)
+                else:
+                    payloads.append(p)
+                    ws.append(meta["width"] if meta is not None else None)
+                    hs.append(meta["height"] if meta is not None else None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "mime": pdf["mime"],
+                "payload": payloads,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+            })
+
+    return df.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands metadata into (media_id, frame_ts_ms)
     rows without touching payloads (pure expressions — sequence over duration).

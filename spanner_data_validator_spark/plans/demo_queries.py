@@ -692,6 +692,25 @@ def q_media_feature_extract(spark, sf_dir):
     return extract_features(media, dim=8).select("media_id", "kind", "n_bytes")
 
 
+@register("media_resize", """
+SELECT doc_id AS media_id,
+       CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+       CAST(32 * 32 AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id % 3 = 0
+""")
+def q_media_resize(spark, sf_dir):
+    """mapInPandas image-resize stage (stub kernel, real Arrow plumbing):
+    every image payload comes back exactly width*height bytes with meta
+    updated; the oracle checks ids, dimensions, and output byte counts."""
+    from spanner_data_validator_spark.operators.multimodal import resize_media
+
+    media = _media_from_documents(spark, sf_dir)
+    out = resize_media(media, 32, 32)
+    return (out.where(F.col("kind") == "image")
+               .select("media_id", "width", "height",
+                       F.octet_length(F.col("payload")).cast("long").alias("n_bytes")))
+
+
 @register("media_frame_sample", """
 SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_ts_ms
 FROM documents, UNNEST(range(0, (doc_id % 5) * 1000 + 501, 1000)) AS t(f)
