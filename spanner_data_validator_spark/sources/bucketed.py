@@ -18,10 +18,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spanner_data_validator_spark.streaming.validate_stream import (
-    classify_stream,
-    fingerprint_stream,
-)
+# NOTE: streaming.validate_stream imports sources.transcript_source, and this
+# module is re-exported from sources/__init__ — importing validate_stream at
+# module level would make the package graph circular (it breaks exactly when
+# a foreachBatch callback thread re-imports the package mid-initialization),
+# so the validation imports live inside validate_bucketed.
 
 
 def write_bucketed(
@@ -74,6 +75,11 @@ def validate_bucketed(
     tables. JSON columns were normalized at write time, so the whole plan is
     JVM expressions over the bucketed scans and contains no Exchange
     (asserted in tests/test_bucketed.py)."""
+    from spanner_data_validator_spark.streaming.validate_stream import (
+        classify_stream,
+        fingerprint_stream,
+    )
+
     src = fingerprint_stream(spark.table(source_table), algo=algo,
                              json_cols=frozenset())
     tgt = fingerprint_stream(spark.table(target_table), algo=algo,
