@@ -79,6 +79,34 @@ def test_join_engine_dedup_keys_collapses_duplicates(spark, tmp_path):
     assert res.count() == res.select("conv_id", "turn_idx").distinct().count()
 
 
+def test_continuous_trigger_path_commits_batches(spark, tmp_path):
+    """The processingTime (non-availableNow) trigger — previously unreachable
+    from the CLI — runs, commits batches through the exactly-once sink, and
+    stops cleanly."""
+    import time
+
+    pair, src_dir, tgt_dir = _stage_pair(spark, tmp_path, dup_rows=0)
+    sink = run_streaming_validation(
+        spark, src_dir, tgt_dir, f"{tmp_path}/out", f"{tmp_path}/ckpt",
+        watermark="10 minutes", band="2 hours", engine="join",
+        available_now=False, trigger_interval="1 seconds")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            res = sink.rows_sink.read_committed(spark)
+            if res is not None and res.count() > 0:
+                break
+            time.sleep(1)
+        res = sink.rows_sink.read_committed(spark)
+        assert res is not None and res.count() > 0
+        # every emitted row carries a valid classification
+        assert res.where(~F.col("status").isin(
+            "MATCH", "MISMATCH", "SOURCE_ONLY", "TARGET_ONLY")).count() == 0
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+
+
 def test_late_data_beyond_band_splits_pair(spark, tmp_path):
     """Event-time band semantics: a target row whose ts drifted past the join
     band can no longer pair — the key degrades to SOURCE_ONLY + TARGET_ONLY
