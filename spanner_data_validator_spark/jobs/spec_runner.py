@@ -46,7 +46,12 @@ class TableSpec:
 
     @staticmethod
     def from_dict(d: dict) -> "TableSpec":
-        return TableSpec(**d)
+        # tolerate unknown JSON keys like the reference loader (which reads
+        # only the fields it knows) — forward-compatible spec files
+        from dataclasses import fields
+
+        known = {f.name for f in fields(TableSpec)}
+        return TableSpec(**{k: v for k, v in d.items() if k in known})
 
 
 def load_specs(path: str) -> list[TableSpec]:

@@ -80,3 +80,17 @@ def test_tally_salting_changes_plan_not_result(spark):
     a = {tuple(sorted(r.asDict().items())) for r in plain.collect()}
     b = {tuple(sorted(r.asDict().items())) for r in salted.collect()}
     assert a == b
+
+
+def test_frame_sample_never_reads_payload(spark):
+    """media_frame_sample is a metadata-only explode — the parquet scan's
+    ReadSchema must exclude the (wide) payload-bearing text column."""
+    from spanner_data_validator_spark.plans.demo_queries import QUERIES
+
+    df = QUERIES["media_frame_sample"](spark, SF_DIR)
+    plan = _executed_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "text" not in cols, cols  # text bytes are the payload here
+    assert cols <= {"doc_id"}, cols
