@@ -795,9 +795,9 @@ SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY status
 
 
 # the stateful engine is the SEMANTICS spec (~15x slower than the join
-# engine by design, BENCH.md) — it validates a reduced corpus: every 5th
+# engine by design, BENCH.md) — it validates a reduced corpus: every 10th
 # conversation, whole conversations so turn numbering is unchanged
-_STATEFUL_USER_MOD = 5
+_STATEFUL_USER_MOD = 10
 
 
 def _run_stream_totals(spark, sf_dir, engine, *, user_mod: int | None = None):
