@@ -71,8 +71,11 @@ def normalize_column(
         return F.coalesce(c.cast("string"), F.lit(""))
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
         return F.coalesce(c.cast("string"), F.lit(""))
-    if isinstance(dtype, T.TimestampType):
-        millis = (F.unix_micros(c) / F.lit(1000)).cast("long")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # parquet timestamps surface as TIMESTAMP_NTZ in Spark 4; with the
+        # session pinned to UTC both kinds normalize to the same epoch
+        ts = c.cast("timestamp") if isinstance(dtype, T.TimestampNTZType) else c
+        millis = (F.unix_micros(ts) / F.lit(1000)).cast("long")
         val = (millis / F.lit(1000)).cast("long") if adjust_timestamp_precision else millis
         return F.coalesce(val.cast("string"), F.lit(""))
     if isinstance(dtype, T.DateType):

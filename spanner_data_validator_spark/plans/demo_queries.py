@@ -337,6 +337,75 @@ def q_long_ranges(spark, sf_dir):
     return long_ranges_df(spark, 0, 100_000, 64)
 
 
+_LINEITEM_KEYS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+_LINEITEM_PAYLOAD = ["l_quantity", "l_extendedprice", "l_returnflag",
+                     "l_linestatus", "l_shipdate"]
+_LI_H = "(l_orderkey*31 + l_partkey*7 + l_suppkey*3 + l_linenumber) % 50"
+
+_LINEITEM_SQL = f"""
+WITH src AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_returnflag, l_linestatus, l_shipdate
+  FROM lineitem
+),
+tgt AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         CASE WHEN {_LI_H} = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+         l_extendedprice, l_returnflag, l_linestatus, l_shipdate
+  FROM src WHERE {_LI_H} <> 1
+  UNION ALL
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(l_linenumber + 1000000 AS INT) AS l_linenumber,
+         l_quantity, l_extendedprice, l_returnflag, l_linestatus, l_shipdate
+  FROM src WHERE {_LI_H} = 2
+),
+cls AS (
+  SELECT CASE WHEN s.l_orderkey IS NOT NULL AND t.l_orderkey IS NOT NULL THEN
+                CASE WHEN s.l_quantity = t.l_quantity
+                      AND s.l_extendedprice = t.l_extendedprice
+                      AND s.l_returnflag = t.l_returnflag
+                      AND s.l_linestatus = t.l_linestatus
+                      AND s.l_shipdate = t.l_shipdate
+                     THEN 'MATCH' ELSE 'MISMATCH' END
+              WHEN t.l_orderkey IS NULL THEN 'SOURCE_ONLY' ELSE 'TARGET_ONLY' END AS status
+  FROM src s FULL OUTER JOIN tgt t
+    ON s.l_orderkey = t.l_orderkey AND s.l_partkey = t.l_partkey
+   AND s.l_suppkey = t.l_suppkey AND s.l_linenumber = t.l_linenumber
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY status
+"""
+
+
+@register("validate_lineitem", _LINEITEM_SQL)
+def q_validate_lineitem(spark, sf_dir):
+    """Composite-key validation over a relational fact table: 4-column key
+    (order, part, supplier, line number), payload spanning doubles, strings,
+    and timestamps, through the standard fingerprint → full-outer classify
+    plan — the reference's multi-column PK case (SURVEY §2.2) on TPC-H-shaped
+    data instead of transcripts. The oracle compares raw columns; Spark
+    compares normalized fingerprints — identical classifications because both
+    serializations are injective on these domains."""
+    from spanner_data_validator_spark.functions.fingerprint import fingerprint_turns
+    from spanner_data_validator_spark.operators.comparator import classify_pair
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        *_LINEITEM_KEYS, *_LINEITEM_PAYLOAD)
+    h = (F.col("l_orderkey") * 31 + F.col("l_partkey") * 7
+         + F.col("l_suppkey") * 3 + F.col("l_linenumber")) % 50
+    mutated = (li.where(h != 1)
+                 .withColumn("l_quantity",
+                             F.when(h == 0, F.col("l_quantity") + 1)
+                              .otherwise(F.col("l_quantity"))))
+    inserted = li.where(h == 2).withColumn(
+        "l_linenumber", (F.col("l_linenumber") + 1_000_000).cast("int"))
+    tgt = mutated.unionByName(inserted)
+
+    s = fingerprint_turns(li, _LINEITEM_KEYS, _LINEITEM_PAYLOAD)
+    t = fingerprint_turns(tgt, _LINEITEM_KEYS, _LINEITEM_PAYLOAD)
+    cls = classify_pair(s, t, _LINEITEM_KEYS)
+    return cls.groupBy("status").agg(F.count("*").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # windowed aggregation (streaming ops in their batch-equivalent form)
 # ---------------------------------------------------------------------------
