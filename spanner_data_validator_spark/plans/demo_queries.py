@@ -337,6 +337,58 @@ def q_long_ranges(spark, sf_dir):
     return long_ranges_df(spark, 0, 100_000, 64)
 
 
+_ORDERS_SQL = """
+WITH src AS (
+  SELECT o.o_orderkey AS key,
+         concat_ws('|', coalesce(o.o_orderstatus,''),
+                   coalesce(CAST(o.o_totalprice AS STRING),''),
+                   coalesce(c.c_mktsegment,'')) AS payload
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+tgt AS (
+  SELECT key,
+         CASE WHEN key % 50 = 0 THEN payload || '#mut' ELSE payload END AS payload
+  FROM src WHERE key % 50 <> 1
+  UNION ALL
+  SELECT key + 100000000 AS key, payload FROM src WHERE key % 50 = 2
+),
+cls AS (
+  SELECT CASE WHEN s.payload IS NOT NULL AND t.payload IS NOT NULL THEN
+                CASE WHEN s.payload = t.payload THEN 'MATCH' ELSE 'MISMATCH' END
+              WHEN t.payload IS NULL THEN 'SOURCE_ONLY' ELSE 'TARGET_ONLY' END AS status
+  FROM src s FULL OUTER JOIN tgt t ON s.key = t.key
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY status
+"""
+
+
+@register("validate_orders_enriched", _ORDERS_SQL)
+def q_validate_orders_enriched(spark, sf_dir):
+    """Dimension-enriched validation: the payload joins in a broadcast lookup
+    (customer market segment) BEFORE fingerprinting — the custom-transform-
+    with-lookup pattern at fact-vs-dim scale. The dim side is explicitly
+    broadcast, so the fact table is never shuffled for the enrichment; the
+    only exchange remains the validation join itself."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment")
+    enriched = orders.join(F.broadcast(cust),
+                           orders.o_custkey == cust.c_custkey, "left")
+    payload = F.concat_ws(
+        "|",
+        F.coalesce(F.col("o_orderstatus"), F.lit("")),
+        F.coalesce(F.col("o_totalprice").cast("string"), F.lit("")),
+        F.coalesce(F.col("c_mktsegment"), F.lit("")))
+    src = enriched.select(F.col("o_orderkey").alias("key"), payload.alias("payload"))
+    tgt = events_target(src)
+
+    def prep(df):
+        return df.select("key", fingerprint_expr(F.col("payload")).alias("fingerprint"))
+
+    return (classify_pair(prep(src), prep(tgt), ["key"])
+            .groupBy("status").agg(F.count("*").alias("n")))
+
+
 _LINEITEM_KEYS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
 _LINEITEM_PAYLOAD = ["l_quantity", "l_extendedprice", "l_returnflag",
                      "l_linestatus", "l_shipdate"]
