@@ -389,6 +389,60 @@ def q_validate_orders_enriched(spark, sf_dir):
             .groupBy("status").agg(F.count("*").alias("n")))
 
 
+_SUMMARY_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS key, o_orderpriority AS grp, o_totalprice AS val FROM orders
+),
+tgt AS (
+  SELECT key, grp,
+         CASE WHEN key % 50 = 0 THEN val + 1 ELSE val END AS val
+  FROM src WHERE key % 50 <> 1
+  UNION ALL
+  SELECT key + 100000000 AS key, grp, val FROM src WHERE key % 50 = 2
+),
+a AS (SELECT grp, CAST(count(*) AS BIGINT) AS src_n,
+             round(sum(val), 2) AS src_sum FROM src GROUP BY grp),
+b AS (SELECT grp, CAST(count(*) AS BIGINT) AS tgt_n,
+             round(sum(val), 2) AS tgt_sum FROM tgt GROUP BY grp)
+SELECT coalesce(a.grp, b.grp) AS grp, a.src_n, b.tgt_n,
+       CASE WHEN a.src_n = b.tgt_n AND a.src_sum = b.tgt_sum
+            THEN 'MATCH' ELSE 'MISMATCH' END AS status
+FROM a FULL OUTER JOIN b ON a.grp = b.grp
+"""
+
+
+@register("summary_validation", _SUMMARY_SQL)
+def q_summary_validation(spark, sf_dir):
+    """Aggregate (summary) reconciliation — the count/sum mode of standard
+    data-validation tooling, complementing the reference's row-level mode:
+    per-group counts and sums computed on each side independently (pure
+    map-side-combine hash aggregates, no row-level join at all), then one
+    tiny group-level comparison. At 100 TB this validates with ZERO
+    row-granular shuffle — the exchange carries one row per group."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = orders.select(F.col("o_orderkey").alias("key"),
+                        F.col("o_orderpriority").alias("grp"),
+                        F.col("o_totalprice").alias("val"))
+    mutated = (src.where(F.col("key") % 50 != 1)
+                  .withColumn("val", F.when(F.col("key") % 50 == 0,
+                                            F.col("val") + 1).otherwise(F.col("val"))))
+    inserted = src.where(F.col("key") % 50 == 2).withColumn(
+        "key", F.col("key") + F.lit(100_000_000))
+    tgt = mutated.unionByName(inserted)
+
+    def summarize(df, n, s):
+        return df.groupBy("grp").agg(F.count("*").alias(n),
+                                     F.round(F.sum("val"), 2).alias(s))
+
+    a = summarize(src, "src_n", "src_sum")
+    b = summarize(tgt, "tgt_n", "tgt_sum")
+    status = F.when((F.col("src_n") == F.col("tgt_n"))
+                    & (F.col("src_sum") == F.col("tgt_sum")), "MATCH") \
+              .otherwise("MISMATCH")
+    return (a.join(b, "grp", "full_outer")
+             .select("grp", "src_n", "tgt_n", status.alias("status")))
+
+
 _LINEITEM_KEYS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
 _LINEITEM_PAYLOAD = ["l_quantity", "l_extendedprice", "l_returnflag",
                      "l_linestatus", "l_shipdate"]
