@@ -139,6 +139,9 @@ def verify_candidate_pairs(cands: DataFrame, sh: DataFrame, id_col: str,
                            *, threshold: float = 0.7) -> DataFrame:
     """Exact-Jaccard verification restricted to candidate pairs.
 
+    ``cands`` must hold DISTINCT (a, b) rows (``lsh_candidates`` guarantees
+    this) — a duplicated pair would double its intersection count.
+
     The shingle self-join is GATED by the candidate list — the only shuffles
     are linear in |shingle table| (keyed by doc id, then (b, shingle)) plus
     O(candidate pairs × shingles-per-doc) intersection rows. The full

@@ -216,10 +216,10 @@ def q_validate_sharded_config(spark, sf_dir):
         "databases": [{"dbName": f"db{i}", "databaseId": f"shard-{i}"}
                       for i in range(n_shards)],
     }]}}
-    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+    with tempfile.NamedTemporaryFile("w", suffix=".json") as f:
         _json.dump(cfg, f)
-        cfg_path = f.name
-    shards = read_sharding_config(cfg_path)
+        f.flush()
+        shards = read_sharding_config(f.name)
 
     def read_one(spark_, shard):
         return (events_source(spark_, sf_dir)
