@@ -167,6 +167,45 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     assert committed_total > committed_first  # resume produced new batches
 
 
+def test_stateful_engine_checkpoint_resume(spark, tmp_path):
+    """applyInPandasWithState state survives a stop/resume: deliver the
+    target in two drops with a restart between them; totals still match the
+    generator's ground truth and each key is emitted exactly once."""
+    pair = gen_transcript_pair(20, seed=31, dup_rows=0, hot_convs=1, hot_size=60)
+    src_dir, tgt_dir = f"{tmp_path}/src", f"{tmp_path}/tgt"
+    tgt_sorted = pair.target.sort_values("ts", kind="stable").reset_index(drop=True)
+    cut = len(tgt_sorted) // 2
+    write_transcripts(pair.source, spark, src_dir, n_files=2)
+    write_transcripts(tgt_sorted.iloc[:cut], spark, tgt_dir, n_files=2)
+
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    run_streaming_validation(spark, src_dir, tgt_dir, out, ckpt,
+                             watermark="10 minutes", band="2 hours",
+                             engine="stateful")
+    write_transcripts(tgt_sorted.iloc[cut:], spark, tgt_dir, n_files=2,
+                      subdir="drop2")
+    append_sentinel(spark, src_dir, tgt_dir)
+    sink = run_streaming_validation(spark, src_dir, tgt_dir, out, ckpt,
+                                    watermark="10 minutes", band="2 hours",
+                                    engine="stateful")
+    res = sink.rows_sink.read_committed(spark)
+    assert _status_counts(res) == pair.expected
+    assert res.count() == res.select("conv_id", "turn_idx").distinct().count()
+
+
+def test_empty_streams_commit_cleanly(spark, tmp_path):
+    """Zero-row inputs (only the sentinel) drain without error; the sink
+    commits empty batches and report() stays None."""
+    src_dir, tgt_dir = f"{tmp_path}/src", f"{tmp_path}/tgt"
+    os.makedirs(src_dir), os.makedirs(tgt_dir)
+    append_sentinel(spark, src_dir, tgt_dir)
+    sink = run_streaming_validation(
+        spark, src_dir, tgt_dir, f"{tmp_path}/out", f"{tmp_path}/ckpt",
+        watermark="10 minutes", band="2 hours")
+    assert sink.rows_sink.read_committed(spark) is None
+    assert sink.report(spark) is None
+
+
 def test_sink_replay_is_idempotent(spark, tmp_path):
     sink = ExactlyOnceParquetSink(str(tmp_path / "sink"))
     df = spark.range(5).select(F.col("id"), F.lit("MATCH").alias("status"))
