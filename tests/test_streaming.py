@@ -266,6 +266,73 @@ def test_windowed_tallies_match_batch(spark, tmp_path):
     assert mm.count() == sum(v for k, v in pair.expected.items() if k != "MATCH")
 
 
+def test_streaming_tumbling_window_agg_matches_batch(spark, tmp_path):
+    """A REAL streaming tumbling-window aggregation (watermark + append mode)
+    over one transcript stream equals the batch expression on the same data —
+    the sentinel row advances the watermark so every window closes."""
+    from spanner_data_validator_spark.sources.transcript_source import (
+        read_transcripts,
+        stream_transcripts,
+    )
+
+    pair, src_dir, _ = _stage_pair(spark, tmp_path, dup_rows=0)
+    stream = stream_transcripts(spark, src_dir, watermark="10 minutes")
+    agg = (stream.groupBy(F.window("ts", "1 hour").alias("w"), "role")
+                 .agg(F.count("*").alias("n"))
+                 .select(F.col("w.start").alias("window_start"), "role", "n"))
+    sink = ExactlyOnceParquetSink(str(tmp_path / "winsink"))
+    q = (agg.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/winckpt")
+            .foreachBatch(sink).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["role"]): r["n"]
+           for r in sink.read_committed(spark).collect()}
+
+    batch = (read_transcripts(spark, src_dir)
+             .where(sentinel_filter())
+             .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+             .agg(F.count("*").alias("n"))
+             .select(F.col("w.start").alias("window_start"), "role", "n"))
+    want = {(r["window_start"], r["role"]): r["n"] for r in batch.collect()}
+    # the sentinel's own window stays open (watermark never passes it) — every
+    # REAL window must be emitted exactly once with the exact count
+    assert {k: v for k, v in got.items() if k in want} == want
+    extras = set(got) - set(want)
+    assert all("2100" in str(k[0]) for k in extras), extras  # sentinel only
+
+
+def test_streaming_session_window_agg_matches_batch(spark, tmp_path):
+    """Native streaming session_window aggregation (gap 30 min) per
+    conversation equals the batch session expression on the same stream."""
+    from spanner_data_validator_spark.sources.transcript_source import (
+        read_transcripts,
+        stream_transcripts,
+    )
+
+    pair, src_dir, _ = _stage_pair(spark, tmp_path, dup_rows=0)
+    stream = stream_transcripts(spark, src_dir, watermark="10 minutes")
+    agg = (stream.groupBy("conv_id", F.session_window("ts", "30 minutes").alias("w"))
+                 .agg(F.count("*").alias("n"))
+                 .select("conv_id", F.col("w.start").alias("session_start"), "n"))
+    sink = ExactlyOnceParquetSink(str(tmp_path / "sesssink"))
+    q = (agg.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp_path}/sessckpt")
+            .foreachBatch(sink).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["conv_id"], r["session_start"]): r["n"]
+           for r in sink.read_committed(spark).collect()}
+
+    batch = (read_transcripts(spark, src_dir)
+             .groupBy("conv_id", F.session_window("ts", "30 minutes").alias("w"))
+             .agg(F.count("*").alias("n"))
+             .select("conv_id", F.col("w.start").alias("session_start"), "n"))
+    want = {(r["conv_id"], r["session_start"]): r["n"]
+            for r in batch.collect()
+            if r["conv_id"] != "__sentinel__"}
+    real_got = {k: v for k, v in got.items() if k[0] != "__sentinel__"}
+    assert real_got == want
+
+
 def test_session_windows_split_on_gap(spark):
     """session_mismatch_windows groups diverged turns into gap-delimited
     bursts; a conversation with two bursts 2h apart yields two sessions."""
