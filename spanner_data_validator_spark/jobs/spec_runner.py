@@ -43,6 +43,10 @@ class TableSpec:
     timestamp_delta_mins: int = 0
     ts_col: str | None = None
     fmt: str = "parquet"
+    # config-driven source transform: "module:function" (+ opaque params),
+    # the jarPath/classPath analogue (transform/CustomTransformation.java)
+    transformation: str | None = None
+    transformation_params: str | None = None
 
     @staticmethod
     def from_dict(d: dict) -> "TableSpec":
@@ -76,7 +80,17 @@ def _validate_one(spark: SparkSession, spec: TableSpec, run_name: str):
         return df
 
     kwargs = dict(algo=spec.algo, json_cols=frozenset(spec.json_cols))
-    src = fingerprint_turns(read(spec.source_path), spec.key_cols,
+    source_df = read(spec.source_path)
+    if spec.transformation:
+        from spanner_data_validator_spark.operators.transform import (
+            apply_custom_transformation,
+            load_custom_transformation,
+        )
+
+        fn = load_custom_transformation(spec.transformation,
+                                        spec.transformation_params)
+        source_df = apply_custom_transformation(source_df, fn)
+    src = fingerprint_turns(source_df, spec.key_cols,
                             spec.payload_cols, ts_col=spec.ts_col, **kwargs)
     tgt = fingerprint_turns(read(spec.target_path), spec.key_cols,
                             spec.payload_cols, ts_col=spec.ts_col, **kwargs)

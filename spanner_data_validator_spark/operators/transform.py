@@ -25,6 +25,31 @@ from pyspark.sql import types as T
 TransformFn = Callable[[pd.DataFrame], "pd.DataFrame | None"]
 
 
+def load_custom_transformation(path: str,
+                               custom_parameters: str | None = None) -> TransformFn:
+    """Config-driven transform loading: ``"pkg.module:function"`` → callable.
+
+    The Python analogue of the reference's jarPath/classPath dynamic loading
+    (transform/CustomTransformation.java builder,
+    CustomTransformationImplFetcher.java:17-40, JarFileReader.java:24-48) —
+    a spec file can name the transform instead of code passing a callable.
+    ``custom_parameters`` mirrors the reference's opaque parameter string: if
+    the named object is a FACTORY taking one string (detected by calling it
+    with the parameters), the factory's return is the transform; otherwise
+    the object itself is the transform.
+    """
+    import importlib
+
+    mod_name, sep, attr = path.partition(":")
+    if not sep or not attr:
+        raise ValueError(
+            f"transformation path must be 'module:function', got {path!r}")
+    obj = getattr(importlib.import_module(mod_name), attr)
+    if custom_parameters is not None:
+        return obj(custom_parameters)
+    return obj
+
+
 def apply_custom_transformation(
     df: DataFrame,
     fn: TransformFn,

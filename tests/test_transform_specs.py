@@ -178,3 +178,35 @@ def test_run_specs_throttles_concurrent_table_actions(spark, tmp_path):
               per_table_action=action)
     assert sorted(active["tables"]) == [f"tab{i}" for i in range(6)]
     assert active["max"] <= 2
+
+
+def test_spec_driven_transformation_loading(spark, tmp_path):
+    """A spec names its transform by module path (jarPath/classPath analogue):
+    the loaded callable rewrites source rows before fingerprinting, and a
+    factory receives the opaque parameter string."""
+    from spanner_data_validator_spark.operators.transform import (
+        load_custom_transformation,
+    )
+
+    a = spark.range(20).select(F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("v"))
+    a.write.parquet(f"{tmp_path}/src")
+    a.selectExpr("id", "upper(v) AS v").write.parquet(f"{tmp_path}/tgt")
+
+    spec = TableSpec(
+        table_name="t", source_path=f"{tmp_path}/src",
+        target_path=f"{tmp_path}/tgt", key_cols=["id"], payload_cols=["v"],
+        num_ranges=2, transformation="tests.helper_transforms:uppercase_v")
+    report = run_specs(spark, [spec], run_name="r3").collect()
+    # transform uppercases the source -> everything matches the target
+    assert sum(r["match_count"] for r in report) == 20
+    assert sum(r["source_conflict_count"] for r in report) == 0
+
+    # factory form: parameters string configures the transform
+    fn = load_custom_transformation("tests.helper_transforms:drop_mod_factory", "5")
+    import pandas as pd
+    out = fn(pd.DataFrame({"id": range(10), "v": list("abcdefghij")}))
+    assert list(out["id"]) == [i for i in range(10) if i % 5 != 0]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="module:function"):
+        load_custom_transformation("no_colon_here")
