@@ -1,14 +1,15 @@
 """Execute a reference-shaped QueryTableSpec end-to-end over JDBC.
 
 This is the bridge from the reference's config surface (dialect SQL with
-range binds) to the Spark validation plan: for each partition range the
-bind placeholders are substituted (``?``/``?`` on the source side,
+range binds) to the Spark validation plan: the spec's outer bounds are
+substituted into the bind placeholders ONCE (``?``/``?`` on the source side,
 ``@p1``/``@p2`` on the destination side — TableSpecList.java:56-80,
-dto/session/SourceTable.java:104-106 / SpannerTable.java:116-118), each bound
-query becomes one single-partition JDBC subquery scan, the per-range scans
-union into one side (the JdbcIO.readAll fan-out,
-JDBCToSpannerDVTWithHash.java:580-604), and both sides flow through the
-standard fingerprint → full-outer classify → tally plan.
+dto/session/SourceTable.java:104-106 / SpannerTable.java:116-118) to form the
+subquery hull, the per-range bounds become Spark JDBC ``predicates`` — one
+scan partition per range, each executor issuing its own bound query (the
+JdbcIO.readAll fan-out, JDBCToSpannerDVTWithHash.java:580-604) — and both
+sides flow through the standard fingerprint → full-outer classify → tally
+plan.
 
 Row hashing follows HashResult.fromJDBCResultSet (dto/HashResult.java:173-326):
 EVERY selected column contributes its normalized serialization to the
@@ -19,8 +20,6 @@ is exactly the reference's behavior (it never joins by name).
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,18 +48,25 @@ def bind_query(sql: str, lo: str, hi: str, *, dialect: str, field_type: str) -> 
     """Substitute one range's bounds into a spec query.
 
     ``dialect='source'`` replaces the two positional ``?`` in order;
-    ``dialect='dest'`` replaces ``@p1`` / ``@p2``.
+    ``dialect='dest'`` replaces ``@p1`` / ``@p2``. Substitution is a SINGLE
+    pass over the template — sequential str.replace would rescan the already-
+    substituted lo literal, so a bound containing ``?`` (or ``@p2``) could
+    corrupt the SQL and escape its quoting.
     """
+    import re
+
     lo_l, hi_l = _quote(lo, field_type), _quote(hi, field_type)
     if dialect == "source":
-        out = sql.replace("?", lo_l, 1)
-        if out == sql:
-            raise ValueError(f"no positional bind found in source query: {sql}")
-        return out.replace("?", hi_l, 1)
+        parts = sql.split("?")
+        if len(parts) != 3:
+            raise ValueError(
+                f"expected exactly two positional binds in source query: {sql}")
+        return parts[0] + lo_l + parts[1] + hi_l + parts[2]
     if dialect == "dest":
         if "@p1" not in sql or "@p2" not in sql:
             raise ValueError(f"no @p1/@p2 binds found in dest query: {sql}")
-        return sql.replace("@p1", lo_l).replace("@p2", hi_l)
+        return re.sub(r"@p[12]",
+                      lambda m: lo_l if m.group(0) == "@p1" else hi_l, sql)
     raise ValueError(f"unknown dialect {dialect}")
 
 
@@ -92,15 +98,28 @@ def read_spec_side(
     Each range's SQL runs as a subquery scan on its own connection — Spark
     schedules all ranges' partitions concurrently, the readAll fan-out.
     """
+    from spanner_data_validator_spark.sources.jdbc_source import range_predicates
+
     sql = spec.source_query if dialect == "source" else spec.dest_query
     ranges = ranges if ranges is not None else spec_ranges(spec)
-    parts = []
-    for i, r in enumerate(ranges):
-        bound = bind_query(sql, r.start, r.end, dialect=dialect,
-                           field_type=spec.range_field_type)
-        parts.append(spark.read.jdbc(url, f"({bound}) AS r{i}",
-                                     properties=properties or {}))
-    return reduce(DataFrame.unionByName, parts)
+    props = properties or {}
+    # ONE relation, not partition_count of them: the full-key-space query is
+    # the subquery hull (its binds get the spec's outer bounds) and the
+    # per-range bounds become Spark predicates — a single driver-side schema
+    # probe and one scan partition per range, instead of O(ranges) blocking
+    # JDBC schema round trips + an O(ranges) union plan. The key COLUMN name
+    # (which may differ per dialect) comes from the probed schema by the
+    # spec's range_field_index.
+    hull = bind_query(sql, spec.range_start, spec.range_end, dialect=dialect,
+                      field_type=spec.range_field_type)
+    dbtable = f"({hull}) AS spec_hull"
+    schema = spark.read.jdbc(url, dbtable, properties=props).schema
+    key_col = schema[spec.range_field_index].name
+    contiguous = (spec.partition_filter_ratio <= 0
+                  and (spec.range_coverage >= 100 or spec.range_coverage == 1))
+    preds = range_predicates(ranges, key_col, spec.range_field_type,
+                             contiguous=contiguous)
+    return spark.read.jdbc(url, dbtable, predicates=preds, properties=props)
 
 
 def validate_query_spec(

@@ -95,8 +95,12 @@ def main(argv: list[str] | None = None) -> None:
                                    algo=args.algo, run_name=args.run_name)
                for s in specs]
     report = reduce(DataFrame.unionByName, reports)
-    report.write.mode("overwrite").parquet(os.path.join(args.out, "report"))
-    report.orderBy("table_or_query", "range").show(100, truncate=False)
+    out_path = os.path.join(args.out, "report")
+    report.write.mode("overwrite").parquet(out_path)
+    # display from the just-written parquet — showing the lazy plan would
+    # re-execute every per-range JDBC scan of both databases
+    spark.read.parquet(out_path).orderBy("table_or_query", "range") \
+        .show(100, truncate=False)
 
 
 if __name__ == "__main__":

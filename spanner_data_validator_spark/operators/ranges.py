@@ -300,8 +300,12 @@ def assign_range_via_join(df: DataFrame, ranges: list[PartitionRange],
     bounds = spark.createDataFrame(rows, schema)
     k = _range_key_expr(F.col(key_col), field_type)
     cond = (k >= F.col("lo")) & (F.col("hi").isNull() | (k < F.col("hi")))
+    # keys below every start miss the join — clamp to bucket 0 exactly like
+    # assign_range_generic, so the two forms are swap-compatible
     return (df.join(F.broadcast(bounds), cond, "left")
               .drop("lo", "hi")
+              .withColumn("partition_id",
+                          F.coalesce(F.col("partition_id"), F.lit(0)))
               .withColumnRenamed("partition_id", out_col))
 
 

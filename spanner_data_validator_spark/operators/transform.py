@@ -33,10 +33,11 @@ def load_custom_transformation(path: str,
     (transform/CustomTransformation.java builder,
     CustomTransformationImplFetcher.java:17-40, JarFileReader.java:24-48) —
     a spec file can name the transform instead of code passing a callable.
-    ``custom_parameters`` mirrors the reference's opaque parameter string: if
-    the named object is a FACTORY taking one string (detected by calling it
-    with the parameters), the factory's return is the transform; otherwise
-    the object itself is the transform.
+    ``custom_parameters`` mirrors the reference's opaque parameter string:
+    when it is given (non-None), the named object MUST be a factory taking
+    that one string and returning the transform; when it is None, the named
+    object itself is the transform. (Specs pairing a plain transform with
+    parameters are a config error and fail loudly at load time.)
     """
     import importlib
 

@@ -325,6 +325,66 @@ def q_uuid_range_assign(spark, sf_dir):
             .groupBy("partition_id").agg(F.count("*").alias("n")))
 
 
+@register("long_range_assign_join", """
+WITH r AS (SELECT event_id % 10000 AS k FROM events)
+SELECT CAST(CASE WHEN k >= 9671 THEN 31
+            ELSE CAST(floor(k / 312) AS INT) END AS INT) AS partition_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1
+""")
+def q_long_range_assign_join(spark, sf_dir):
+    """K1 large-list path: broadcast range JOIN assignment
+    (ranges.assign_range_via_join) of every key into 32 uniform LONG ranges —
+    one BroadcastNestedLoopJoin, no shuffle of the fact side. The oracle is
+    the closed-form uniform floor (step 312) with the reference's last-range
+    overlap quirk (bucket 31 starts at the previous range's END, 9671)."""
+    from spanner_data_validator_spark.operators.ranges import (
+        assign_range_via_join,
+        long_ranges,
+    )
+
+    ranges = long_ranges(0, 10_000, 32)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_id") % 10_000).alias("k"))
+    return (assign_range_via_join(ev, ranges, "LONG", "k")
+            .groupBy("partition_id").agg(F.count("*").alias("n")))
+
+
+@register("range_key_modes", """
+WITH r AS (
+  SELECT event_id, event_id % 10000 AS k FROM events WHERE event_id % 97 = 0
+),
+p AS (
+  SELECT event_id,
+         CASE WHEN k >= 9671 THEN 31 ELSE CAST(floor(k / 312) AS INT) END AS pid
+  FROM r
+)
+SELECT CAST(CASE WHEN pid = 31 THEN 9671 ELSE pid * 312 END AS STRING)
+       || '|' ||
+       CAST(CASE WHEN pid = 31 THEN 10000 ELSE pid * 312 + 311 END AS STRING)
+       || '|' || CAST(event_id AS STRING) AS range_key
+FROM p
+""")
+def q_range_key_modes(spark, sf_dir):
+    """K1 composite grouping keys (MapWithRangeFn.java:99-116): the
+    RANGE_PLUS_HASH-style 'start|end|<key>' rendering over uniform LONG
+    ranges, oracle-checked against the closed-form range bounds including
+    the last-range overlap quirk."""
+    from spanner_data_validator_spark.operators.ranges import (
+        long_ranges,
+        map_with_range_key,
+    )
+
+    ranges = long_ranges(0, 10_000, 32)
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("event_id") % 97 == 0)
+          .select((F.col("event_id") % 10_000).alias("k"),
+                  F.col("event_id").cast("string").alias("h")))
+    out = map_with_range_key(ev, ranges, "LONG", "k",
+                             mapping_type="RANGE_PLUS_HASH", hash_col="h")
+    return out.select("range_key")
+
+
 @register("long_ranges", """
 SELECT CAST(i AS INT) AS partition_id,
        CASE WHEN i = 63 THEN 0 + i * 1562 - 1 ELSE 0 + i * 1562 END AS start_long,

@@ -69,11 +69,22 @@ def range_predicates(
         return preds
     # non-contiguous lists (partition-filter sampling): deriving bounds from
     # consecutive starts would silently FILL the gaps the filter skipped —
-    # render each range independently with closed bounds instead, matching
-    # the reference's session-generated SQL (>= @p1 AND <= @p2,
-    # dto/session/SpannerTable.java:117-118)
-    return [f"{key_col} >= {lit(r.start)} AND {key_col} <= {lit(r.end)}"
-            for r in ranges]
+    # render each range independently instead. Where a kept range touches or
+    # overlaps the NEXT kept range (the generator's seed/closing ranges can
+    # be adjacent), clip to a half-open bound so the seam key is read exactly
+    # once; elsewhere the closed bound matches the reference's
+    # session-generated SQL (>= @p1 AND <= @p2, SpannerTable.java:117-118).
+    numeric = not quote
+    preds = []
+    for i, r in enumerate(ranges):
+        nxt = ranges[i + 1].start if i + 1 < len(ranges) else None
+        overlaps = nxt is not None and (
+            (int(r.end) >= int(nxt)) if numeric else (r.end >= nxt))
+        if overlaps:
+            preds.append(f"{key_col} >= {lit(r.start)} AND {key_col} < {lit(nxt)}")
+        else:
+            preds.append(f"{key_col} >= {lit(r.start)} AND {key_col} <= {lit(r.end)}")
+    return preds
 
 
 def ranged_predicates_for(
@@ -87,7 +98,7 @@ def ranged_predicates_for(
     partition_filter_ratio: int = 0,
 ) -> list[str]:
     """Driver-side scan planning: range fetcher (§2.7) → predicate list."""
-    if partition_filter_ratio and field_type.upper() in ("LONG", "INTEGER", "INT"):
+    if partition_filter_ratio > 0 and field_type.upper() in ("LONG", "INTEGER", "INT"):
         ranges = long_ranges_with_filter(start, end, partitions, partition_filter_ratio)
         return range_predicates(ranges, key_col, field_type, contiguous=False)
     ranges = fetch_ranges(field_type, start, end, partitions, coverage)

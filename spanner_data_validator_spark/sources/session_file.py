@@ -130,6 +130,10 @@ class Schema:
         # iterate spSchema: srcSchema may hold extra (dropped) tables; keep
         # only columns present on BOTH sides (synthetic PKs are Spanner-only)
         for tid, sp in self.sp_schema.items():
+            if tid not in self.src_schema:
+                raise ValueError(
+                    f"Missing entry for {tid} in SrcSchema, "
+                    "provide a valid session file.")
             src = self.src_schema[tid]
             common = [c for c in sp.col_ids if c in src.col_defs]
             self.to_spanner[src.name] = {

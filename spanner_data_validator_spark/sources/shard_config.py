@@ -126,6 +126,15 @@ def shard_specs_from_def(d: dict) -> list[ShardSpec]:
     suffix. Keys match the reference's JSON def (shard-spec-sample-v1.json)."""
     host_count = int(d["host-count"])
     shard_count = int(d["shard-count"])
+    if shard_count % host_count != 0:
+        # deliberate divergence: the reference's integer division
+        # (ShardSpecList.java:76) would silently DROP the remainder shards —
+        # the worst failure mode for a validator (missing databases read as
+        # "nothing to report"); we refuse instead
+        raise ValueError(
+            f"shard-count ({shard_count}) must be divisible by host-count "
+            f"({host_count}); otherwise {shard_count % host_count} shard(s) "
+            "would silently never be validated")
     per_host = shard_count // host_count
     host_digits = int(d["hostname-suffix-digits"])
     shard_digits = int(d["shard-suffix-digits"])

@@ -120,3 +120,14 @@ def test_run_dvt_cli_validation_mode(spark, derby_pair, tmp_path):
     rows = rep.collect()
     assert {r["run_name"] for r in rows} == {"cli"}
     assert sum(r["match_count"] for r in rows) == 48
+
+
+def test_bind_query_bound_containing_placeholder_chars():
+    """Round-2 review regression: a bound containing '?' (or '@p2') must not
+    be rescanned by the second substitution."""
+    q = bind_query("select * from t where k >= ? and k <= ?", "a?b", "zz",
+                   dialect="source", field_type="STRING")
+    assert q == "select * from t where k >= 'a?b' and k <= 'zz'"
+    d = bind_query("select * from t where k >= @p1 and k <= @p2", "x@p2y", "zz",
+                   dialect="dest", field_type="STRING")
+    assert d == "select * from t where k >= 'x@p2y' and k <= 'zz'"

@@ -210,3 +210,17 @@ def test_map_with_range_key_modes(spark):
                               mapping_type="RANGE_PLUS_KEY_PLUS_HASH",
                               hash_col="h").collect()
     assert {r["range_key"] for r in rpkh} == {"0|24|10|h10", "50|74|60|h60"}
+
+
+def test_assign_range_via_join_clamps_below_first_start(spark):
+    """Keys below every range start clamp to bucket 0 — swap-compatible with
+    assign_range_generic (round-2 review regression)."""
+    from spanner_data_validator_spark.operators.ranges import (
+        assign_range_via_join,
+    )
+
+    ranges = long_ranges(0, 100, 4)
+    df = spark.createDataFrame([(-5,), (0,), (1000,)], "k LONG")
+    got = {r["k"]: r["partition_id"]
+           for r in assign_range_via_join(df, ranges, "LONG", "k").collect()}
+    assert got == {-5: 0, 0: 0, 1000: 3}

@@ -399,3 +399,18 @@ def test_run_dvt_validation_requires_urls(session_path):
 
     with pytest.raises(SystemExit, match="required"):
         main(["--session-file", session_path])
+
+
+def test_shard_def_refuses_nondivisible_counts():
+    d = dict(_SHARD_DEF, **{"shard-count": "15"})
+    with pytest.raises(ValueError, match="divisible"):
+        shard_specs_from_def(d)
+
+
+def test_session_spanner_extra_table_raises_cleanly():
+    """SpSchema table with no SrcSchema counterpart must raise the module's
+    documented ValueError, not a raw KeyError (round-2 review regression)."""
+    d = _session_dict()
+    d["SpSchema"]["t9"] = d["SpSchema"]["t4"]
+    with pytest.raises(ValueError, match="SrcSchema"):
+        parse_session(d)

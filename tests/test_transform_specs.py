@@ -210,3 +210,34 @@ def test_spec_driven_transformation_loading(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="module:function"):
         load_custom_transformation("no_colon_here")
+
+
+def test_partition_filter_ratio_disabled_sentinel_uses_normal_path():
+    """-1 (the documented 'off' value) must take the exactly-once contiguous
+    path, not filter mode (round-2 review regression)."""
+    on = ranged_predicates_for("LONG", "id", "0", "99", 4)
+    off = ranged_predicates_for("LONG", "id", "0", "99", 4,
+                                partition_filter_ratio=-1)
+    assert off == on
+
+
+def test_filtered_predicates_never_overlap():
+    """Adjacent kept ranges (ratio=2 hits the closing-range adjacency) must
+    not double-read the seam key (round-2 review regression)."""
+    import re
+
+    for ratio in (1, 2, 3, 4):
+        preds = ranged_predicates_for("LONG", "id", "0", "99", 8,
+                                      partition_filter_ratio=ratio)
+        spans = []
+        for p in preds:
+            lo = int(re.search(r">= (-?\d+)", p).group(1))
+            m_closed = re.search(r"<= (-?\d+)", p)
+            m_open = re.search(r"< (-?\d+)", p)
+            hi = int(m_closed.group(1)) if m_closed else int(m_open.group(1)) - 1
+            spans.append((lo, hi))
+        covered = set()
+        for lo, hi in spans:
+            for k in range(lo, hi + 1):
+                assert k not in covered, (ratio, k, preds)
+                covered.add(k)
