@@ -200,12 +200,15 @@ def centroids_from_items(
 
 
 _CMAT_CACHE: dict[tuple, Column] = {}
+_CMAT_CACHE_MAX = 16  # a handful of quantizers per session; bound the memo
 
 
 def _centroid_literal(centroids: list[list[float]]) -> Column:
     key = tuple(tuple(float(x) for x in c) for c in centroids)
     col = _CMAT_CACHE.get(key)
     if col is None:
+        if len(_CMAT_CACHE) >= _CMAT_CACHE_MAX:
+            _CMAT_CACHE.pop(next(iter(_CMAT_CACHE)))  # FIFO eviction
         col = _CMAT_CACHE[key] = F.lit([list(c) for c in key])
     return col
 
