@@ -7,7 +7,8 @@ Five strategies, all shuffle-aware:
                            (self-join on shingle, NOT an O(n²) cross join)
 * ``minhash_lsh_pairs``  — MinHash signatures + banded LSH candidate
                            generation, then exact-Jaccard verification
-* ``simhash64``          — 64-bit SimHash per doc + Hamming-band candidates
+* ``simhash_near_dups``  — multi-word SimHash signatures + Manku-style
+                           block-combination probing (corpus-scale blocking)
 * embedding cosine near-dup lives in ``operators/ann.py``
 
 Scale notes: every strategy reduces docs to (id, small-token) BEFORE any
@@ -181,40 +182,143 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
-    """64-bit SimHash per doc: sign of the per-bit sum of shingle hashes.
+    """64-bit SimHash per doc (single-word convenience over ``simhash_sig``)."""
+    sig = simhash_sig(df, id_col, text_col, n=n, bits=64)
+    return sig.select(id_col, F.col("sig")[0].alias("simhash"))
 
-    Pure expressions: explode shingles → 64 conditional sums (one hash
-    aggregate, combiner-lifted) → reassemble bits. No UDF.
+
+def simhash_sig(df: DataFrame, id_col: str, text_col: str,
+                *, n: int = 3, bits: int = 128, word_bits: int = 64,
+                hash_fn=None) -> DataFrame:
+    """``bits``-wide SimHash signature per doc as ``sig: array<long>``.
+
+    Word ``w`` (low-to-high) holds signature bits ``[w*word_bits,
+    w*word_bits + wb)`` where ``wb = min(word_bits, bits - w*word_bits)``;
+    its shingle hash is ``hash_fn(shingle, seed=w)`` (independent seeded
+    words — two xxhash64 seeds give the 128-bit signature of Manku et al.'s
+    construction). Bit j of a word is set iff the ±1 sum of that hash bit
+    over the doc's shingles is positive.
+
+    Pure expressions end-to-end: one shingle explode → ``bits`` conditional
+    sums in ONE combiner-lifted hash aggregate → per-word bit reassembly.
     """
-    sh = shingle_table(df, id_col, text_col, n).select(
-        id_col, F.xxhash64("shingle").alias("h"))
-    bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-               .otherwise(-1)).alias(f"b{j}")
-        for j in range(64)
-    ]
-    agg = sh.groupBy(id_col).agg(*bit_sums)
-    acc = F.lit(0).cast("long")
-    for j in range(64):
-        bit = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = long sign bit
-        acc = acc + F.when(F.col(f"b{j}") > 0, F.lit(bit).cast("long")).otherwise(0)
-    return agg.select(id_col, acc.alias("simhash"))
+    from spanner_data_validator_spark.functions.hashing import xxhash64_family
+
+    hash_fn = hash_fn or xxhash64_family
+    n_words = -(-bits // word_bits)  # ceil
+    sh = shingle_table(df, id_col, text_col, n)
+    hcols = [hash_fn(F.col("shingle"), w).alias(f"h{w}") for w in range(n_words)]
+    hashed = sh.select(id_col, *hcols)
+
+    bit_sums = []
+    for w in range(n_words):
+        wb = min(word_bits, bits - w * word_bits)
+        for j in range(wb):
+            bit_sums.append(
+                F.sum(F.when(F.shiftright(F.col(f"h{w}"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                       .otherwise(-1)).alias(f"b{w}_{j}"))
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+
+    words = []
+    for w in range(n_words):
+        wb = min(word_bits, bits - w * word_bits)
+        acc = F.lit(0).cast("long")
+        for j in range(wb):
+            bit = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = long sign bit
+            acc = acc + F.when(F.col(f"b{w}_{j}") > 0, F.lit(bit).cast("long")).otherwise(0)
+        words.append(acc)
+    return agg.select(id_col, F.array(*words).alias("sig"))
+
+
+def simhash_block_layout(bits: int, n_blocks: int, word_bits: int = 64
+                         ) -> list[tuple[int, int, int]]:
+    """Contiguous equal blocks over a multi-word signature:
+    ``[(word_index, offset_in_word, width), ...]`` — each block must lie
+    inside one word (choose ``n_blocks`` so the per-word bit count divides
+    evenly; e.g. 128 bits / 8 blocks → 4 blocks of 16 per word)."""
+    if bits % n_blocks:
+        raise ValueError(f"n_blocks={n_blocks} must divide bits={bits}")
+    width = bits // n_blocks
+    layout = []
+    for i in range(n_blocks):
+        lo = i * width
+        if lo // word_bits != (lo + width - 1) // word_bits:
+            raise ValueError(
+                f"block {i} ([{lo},{lo + width})) spans a {word_bits}-bit word "
+                f"boundary; pick n_blocks so blocks nest in words")
+        layout.append((lo // word_bits, lo % word_bits, width))
+    return layout
+
+
+def _block_value(sig_col: str, word: int, offset: int, width: int):
+    v = F.shiftrightunsigned(F.col(sig_col)[word], offset)
+    if width < 64:
+        v = v.bitwiseAND(F.lit((1 << width) - 1))
+    return v
+
+
+def simhash_candidates(sig_df: DataFrame, *, id_col: str, bits: int,
+                       n_blocks: int, max_hamming: int,
+                       word_bits: int = 64, sig_col: str = "sig") -> DataFrame:
+    """Candidate pairs via block-combination probing (the Manku/Jain/Sarma
+    permuted-table construction, expressed as a bucket equi-join).
+
+    Split the signature into ``b = n_blocks`` equal blocks. A pair within
+    Hamming distance ``h = max_hamming`` has differing bits in at most h
+    blocks, so it agrees EXACTLY on some (b-h)-subset of blocks (pigeonhole)
+    — emit one probe row per (b-h)-combination (``C(b, h)`` rows/doc), keyed
+    by (combo_id, concatenated kept-block values), and equi-join.
+
+    Expected RANDOM collisions ≈ ``C(b,h) · C(n,2) / 2^(width·(b-h))``:
+    size the kept-key width to the corpus — ``width·(b-h) ≳ 2·log2(n) + 20``
+    keeps random candidates ~0 at any n. The r2 fixed 4×16-bit quarters
+    (kept key = ONE 16-bit block) collapse at ~10^8 docs (~n²/2^16 pairs);
+    the 128-bit/8-block/h=3 default keys on 80 bits → ~2e-5 expected random
+    pairs even at 10^9 docs, ~56 probe rows per doc.
+
+    Output: distinct ``(a, b, sig_a, sig_b)`` with a < b.
+    """
+    from itertools import combinations
+
+    layout = simhash_block_layout(bits, n_blocks, word_bits)
+    keep = n_blocks - max_hamming
+    if keep < 1:
+        raise ValueError("max_hamming must be < n_blocks")
+    combos = list(combinations(range(n_blocks), keep))
+    keys = F.array(*[
+        F.concat_ws("_", *[_block_value(sig_col, *layout[b]).cast("string")
+                           for b in combo])
+        for combo in combos])
+    probes = sig_df.select(F.col(id_col), F.col(sig_col),
+                           F.posexplode(keys).alias("combo", "key"))
+    l = probes.select(F.col(id_col).alias("a"), F.col(sig_col).alias("sig_a"),
+                      "combo", "key")
+    r = probes.select(F.col(id_col).alias("b"), F.col(sig_col).alias("sig_b"),
+                      "combo", "key")
+    return (l.join(r, ["combo", "key"]).where(F.col("a") < F.col("b"))
+             .select("a", "b", "sig_a", "sig_b").distinct())
+
+
+def sig_hamming(sig_a, sig_b):
+    """Hamming distance between two array<long> signatures (pure expression)."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0), lambda acc, x: acc + x)
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
-                      *, n: int = 3, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit quarters (any equal quarter →
-    candidate; pigeonhole guarantees recall for hamming <= 3), verify with
-    bit_count of xor."""
-    sig = simhash64(df, id_col, text_col, n=n)
-    quarters = sig.select(
-        id_col, "simhash",
-        F.posexplode(F.array(*[
-            (F.shiftrightunsigned(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF)))
-            for q in range(4)])).alias("q", "qv"))
-    l = quarters.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "q", "qv")
-    r = quarters.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "q", "qv")
-    cand = (l.join(r, ["q", "qv"]).where(F.col("a") < F.col("b"))
-             .select("a", "b", "ha", "hb").distinct())
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                      *, n: int = 3, max_hamming: int = 3,
+                      bits: int = 128, n_blocks: int = 8,
+                      word_bits: int = 64, hash_fn=None) -> DataFrame:
+    """SimHash near-dup pairs: blocked candidate generation (``C(n_blocks,
+    max_hamming)`` combination probes — recall is exact by pigeonhole), then
+    bit_count-of-xor verification. Defaults (128-bit signature, 8 blocks,
+    h=3 → 80-bit bucket keys) are sized for 10^9-doc corpora; see
+    ``simhash_candidates`` for the candidate-count bound and sizing rule.
+    """
+    sig = simhash_sig(df, id_col, text_col, n=n, bits=bits,
+                      word_bits=word_bits, hash_fn=hash_fn)
+    cand = simhash_candidates(sig, id_col=id_col, bits=bits, n_blocks=n_blocks,
+                              max_hamming=max_hamming, word_bits=word_bits)
+    ham = sig_hamming(F.col("sig_a"), F.col("sig_b"))
     return cand.select("a", "b", ham.alias("hamming")).where(ham <= max_hamming)

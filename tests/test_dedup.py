@@ -127,6 +127,96 @@ def test_max_shingle_df_bounds_hot_shingle_blowup(spark, docs):
     assert pairs.count() < n_docs * (n_docs - 1) / 2
 
 
+def _synthetic_corpus(spark, n_docs, *, vocab=5000, words=40, planted_every=25):
+    """Deterministic word-salad corpus + planted near-dups: doc i+10^6 copies
+    doc i (i % planted_every == 0) with its first two words replaced."""
+    import hashlib
+
+    def word(d, p):
+        h = hashlib.md5(f"{d}:{p}".encode()).digest()
+        return f"w{int.from_bytes(h[:4], 'big') % vocab}"
+
+    rows = []
+    for d in range(n_docs):
+        ws = [word(d, p) for p in range(words)]
+        rows.append((d, " ".join(ws)))
+        if d % planted_every == 0:
+            rows.append((d + 1_000_000, " ".join(["zz1", "zz2"] + ws[2:])))
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_simhash_candidate_bound_two_corpus_sizes(spark):
+    """The scale-config candidate count stays ~planted-only at BOTH corpus
+    sizes (kept-key width 80 bits >> 2·log2 n), while a deliberately narrow
+    key (one 4-bit block kept) grows ~C(n,2) — the C(b,h)·C(n,2)/2^(w·(b-h))
+    bound from simhash_candidates' docstring, demonstrated empirically."""
+    from math import comb
+
+    from spanner_data_validator_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_sig,
+    )
+
+    sizes = [250, 1000]
+    narrow_counts = []
+    for n_docs in sizes:
+        corpus = _synthetic_corpus(spark, n_docs)
+        n_total = corpus.count()
+        n_planted = n_docs // 25 + (1 if n_docs % 25 else 0)
+
+        # scale config: 128-bit signature, 8 blocks, h=3 -> kept keys 80 bits
+        sig = simhash_sig(corpus, "doc_id", "text", bits=128)
+        cand = simhash_candidates(sig, id_col="doc_id", bits=128, n_blocks=8,
+                                  max_hamming=3)
+        bound = comb(8, 3) * comb(n_total, 2) / 2 ** 80  # ~1e-18: zero random
+        assert cand.count() <= n_planted + 3 * bound + 2
+
+        # narrow config: 16-bit signature, 4 blocks, h=3 -> kept keys 4 bits;
+        # random pairs ~ C(4,3)·C(n,2)/2^4 — the r2 quarter-scheme failure
+        # mode, reproduced in miniature
+        sig16 = simhash_sig(corpus, "doc_id", "text", bits=16)
+        narrow = simhash_candidates(sig16, id_col="doc_id", bits=16,
+                                    n_blocks=4, max_hamming=3)
+        narrow_counts.append(narrow.count())
+
+    # quadratic blowup across the two corpus sizes: 4x docs -> ~16x candidates
+    ratio = narrow_counts[1] / max(narrow_counts[0], 1)
+    assert 8 <= ratio <= 32, (narrow_counts, ratio)
+
+
+def test_simhash_block_layout_validation():
+    import pytest as _pytest
+
+    from spanner_data_validator_spark.operators.dedup import simhash_block_layout
+
+    assert simhash_block_layout(128, 8) == [(i // 4, (i % 4) * 16, 16)
+                                            for i in range(8)]
+    with _pytest.raises(ValueError, match="divide"):
+        simhash_block_layout(128, 7)
+    with _pytest.raises(ValueError, match="spans"):
+        simhash_block_layout(96, 2)  # 48-bit blocks would straddle word 0/1
+
+
+def test_simhash_portable_hash_matches_duckdb(spark):
+    """portable_hash60 (Spark md5-conv) == the documented DuckDB rendering."""
+    import duckdb
+
+    from spanner_data_validator_spark.functions.hashing import (
+        portable_hash60,
+        portable_hash60_sql,
+    )
+
+    vals = ["", "a", "hello world", "naïve ünïcode", "x" * 100]
+    df = spark.createDataFrame([(v,) for v in vals], "s STRING")
+    got = {r["s"]: r["h"] for r in
+           df.select("s", portable_hash60(F.col("s"), 7).alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        lit = "'" + v.replace("'", "''") + "'"
+        want = con.sql("SELECT " + portable_hash60_sql(lit, 7)).fetchone()[0]
+        assert got[v] == want, v
+
+
 def test_simhash_identical_zero_hamming(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "q r s t u v w x")],
