@@ -40,19 +40,63 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def topk_per_query(scored: DataFrame, k: int,
+                   *, key_col: str = "query_id", order_col: str = "sim",
+                   tie_col: str = "neighbor_id",
+                   two_phase: bool = True) -> DataFrame:
+    """Exact per-key top-k with a bounded exchange.
+
+    Phase 1 (``two_phase``): a NARROW per-partition top-k — mapInPandas over
+    the already-partitioned scored rows, incrementally reducing each Arrow
+    batch against a running (key → k best) frame, so no shuffle happens and
+    peak memory is O(keys·k) per partition. Phase 2: the global
+    row_number window, now exchanging only ≤ partitions·keys·k skinny rows
+    instead of every scored candidate (r2 verdict item 3: the brute-force /
+    IVF window previously shuffled ALL candidates — ~items·queries rows at
+    ~24 B each). The union of per-partition top-k provably contains the
+    global top-k, so the result is identical.
+
+    Call it on a SKINNY projection (key, neighbor, score) — never ship
+    embedding arrays through Arrow.
+    """
+    from pyspark.sql import Window
+
+    if two_phase:
+        schema = scored.schema
+
+        def reduce_part(batches):
+            import pandas as pd
+
+            best = None
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cur = pdf if best is None else pd.concat((best, pdf))
+                cur = cur.sort_values([key_col, order_col, tie_col],
+                                      ascending=[True, False, True])
+                best = cur.groupby(key_col, sort=False).head(k)
+            if best is not None:
+                yield best
+
+        scored = scored.mapInPandas(reduce_part, schema)
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc(), F.col(tie_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
 def cosine_topk(
     items: DataFrame, queries: DataFrame, k: int,
     *, id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str | None = None, exclude_self: bool = True,
+    two_phase: bool = True,
 ) -> DataFrame:
     """Brute-force cosine top-k: (query_id, neighbor_id, rank, sim).
 
     Broadcast-joins the query set against items (no shuffle of the item
-    table), pre-normalizes both sides once, then a window top-k per query.
-    Deterministic tie-break by neighbor id.
+    table), pre-normalizes both sides once, then per-partition partial top-k
+    + a window over the reduced rows (``topk_per_query``). Deterministic
+    tie-break by neighbor id.
     """
-    from pyspark.sql import Window
-
     qid = query_id_col or id_col
     q = queries.select(
         F.col(qid).alias("query_id"),
@@ -69,10 +113,9 @@ def cosine_topk(
                             / (F.col("qn") * F.col("inorm"))))
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id", "rank", "sim"))
+    return topk_per_query(scored.select("query_id", "neighbor_id", "sim"), k,
+                          two_phase=two_phase) \
+        .select("query_id", "neighbor_id", "rank", "sim")
 
 
 def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
@@ -100,7 +143,7 @@ def rhp_lsh_topk(
     items: DataFrame, queries: DataFrame, k: int,
     *, id_col: str = "vec_id", vec_col: str = "embedding",
     dim: int, n_planes: int = 12, seed: int = 42,
-    multi_probe: bool = True,
+    multi_probe: bool = True, two_phase: bool = True,
 ) -> DataFrame:
     """LSH-bucketed ANN: items and queries hashed to sign buckets; scoring is
     bucket-local (equi-join on the signature), then per-query top-k.
@@ -111,8 +154,6 @@ def rhp_lsh_topk(
     the ITEM side is untouched: items stay single-bucket, so the join still
     scans each item at most once per probing query bucket.
     """
-    from pyspark.sql import Window
-
     planes = make_planes(dim, n_planes, seed)
     it = (items.withColumn("__bucket", rhp_signature(F.col(vec_col), planes))
                .withColumn("__inorm", _norm(F.col(vec_col))))
@@ -133,10 +174,11 @@ def rhp_lsh_topk(
                 .where(F.col(id_col) != F.col("query_id"))
                 .withColumn("sim", _dot(F.col("qv"), F.col(vec_col))
                             / (F.col("__qn") * F.col("__inorm"))))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "sim"))
+    # a (query, item) pair joins at most once: probe buckets are pairwise
+    # distinct and each item lives in exactly one bucket — no dedup needed
+    skinny = scored.select("query_id", F.col(id_col).alias("neighbor_id"), "sim")
+    return topk_per_query(skinny, k, two_phase=two_phase) \
+        .select("query_id", "neighbor_id", "rank", "sim")
 
 
 def embedding_near_dups(
@@ -275,6 +317,7 @@ def ivf_topk(
     n_lists: int = 16, nprobe: int = 2, seed: int = 42,
     centroids: list[list[float]] | None = None,
     index: DataFrame | None = None,
+    two_phase: bool = True,
 ) -> DataFrame:
     """IVF ANN top-k: items live in their single nearest list; each query
     probes its ``nprobe`` nearest lists; scoring is list-local.
@@ -283,8 +326,12 @@ def ivf_topk(
     persisted/bucketed by list_id); queries shuffle only to their probed
     lists — n/n_lists of the data each, instead of a full scan.
     """
-    from pyspark.sql import Window
-
+    if index is not None and centroids is None:
+        raise ValueError(
+            "centroids are required when a prebuilt index is supplied "
+            "(queries must be assigned with the index's quantizer)")
+    if index is None and items is None:
+        raise ValueError("either items or a prebuilt index is required")
     if centroids is None:
         centroids = train_centroids(
             items, vec_col=vec_col, n_lists=n_lists, seed=seed)
@@ -303,7 +350,8 @@ def ivf_topk(
                 .where(F.col("neighbor_id") != F.col("query_id"))
                 .withColumn("sim", _dot(F.col("qv"), F.col("iv"))
                             / (F.col("qn") * F.col("inorm"))))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id", "rank", "sim"))
+    # an item lives in exactly ONE list, so even nprobe>1 queries meet each
+    # item at most once — no (query, neighbor) duplicates to collapse
+    return topk_per_query(scored.select("query_id", "neighbor_id", "sim"), k,
+                          two_phase=two_phase) \
+        .select("query_id", "neighbor_id", "rank", "sim")

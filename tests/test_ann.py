@@ -172,3 +172,70 @@ def test_centroids_from_items_deterministic(spark, emb):
     a = centroids_from_items(emb, modulus=61, residue=3, n_lists=4)
     b = centroids_from_items(emb, modulus=61, residue=3, n_lists=4)
     assert a == b and len(a) == 4 and len(a[0]) == 64
+
+
+def test_topk_two_phase_matches_single_phase(spark, emb):
+    """The per-partition partial top-k (mapInPandas reduce) + window must give
+    IDENTICAL rows to the plain global window — the union of per-partition
+    top-k provably contains the global top-k (r2 verdict item 3)."""
+    from spanner_data_validator_spark.operators.ann import cosine_topk, ivf_topk
+
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    for fn, kw in ((cosine_topk, {}),
+                   (ivf_topk, {"n_lists": 8, "nprobe": 2, "seed": 7})):
+        a = fn(emb, queries, 5, two_phase=True, **kw)
+        b = fn(emb, queries, 5, two_phase=False, **kw)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and len(ra) > 0
+
+
+def test_topk_partial_reduce_before_window_exchange(spark, emb):
+    """Plan shape: the window's hash-partition Exchange must sit ABOVE the
+    MapInPandas partial reduce, so the exchange carries <= partitions*queries*k
+    skinny rows instead of every scored candidate."""
+    from spanner_data_validator_spark.operators.ann import cosine_topk
+
+    plan = cosine_topk(emb, emb.limit(3), 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    i_map = plan.find("MapInPandas")
+    i_ex = plan.find("Exchange hashpartitioning(query_id")
+    assert i_map != -1 and i_ex != -1
+    # toString prints parents before children: Exchange appearing BEFORE
+    # MapInPandas in the text means it is ABOVE it in the plan tree
+    assert i_ex < i_map, plan
+
+
+def test_topk_partial_reduce_bounds_rows(spark):
+    """The mapInPandas reducer emits <= keys*k rows per partition even when a
+    partition holds many more candidates."""
+    from spanner_data_validator_spark.operators.ann import topk_per_query
+
+    rows = [(q, i, float((q * 7 + i) % 101)) for q in range(4) for i in range(200)]
+    scored = spark.createDataFrame(
+        rows, "query_id LONG, neighbor_id LONG, sim DOUBLE").coalesce(2)
+    out = topk_per_query(scored, 3)
+    got = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in got) and len(got) == 4
+    # exact equivalence with the single-phase window
+    single = topk_per_query(scored, 3, two_phase=False)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, single.collect()))
+
+
+def test_ivf_topk_argument_validation(spark, emb):
+    """index without centroids / neither items nor index must fail fast with a
+    clear message (ADVICE r2)."""
+    from spanner_data_validator_spark.operators.ann import (
+        centroids_from_items, ivf_index, ivf_topk,
+    )
+
+    cents = centroids_from_items(emb, n_lists=4)
+    idx = ivf_index(emb, cents)
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_topk(None, emb.limit(2), 3, index=idx)
+    with pytest.raises(ValueError, match="items"):
+        ivf_topk(None, emb.limit(2), 3)
+    # the valid prebuilt-index path still works
+    ok = ivf_topk(None, emb.where(F.col("vec_id") == 0), 3,
+                  index=idx, centroids=cents)
+    assert ok.count() == 3
