@@ -132,10 +132,24 @@ def validate_query_spec(
     target_properties: dict[str, str] | None = None,
     algo: str = "xxhash64",
     run_name: str = "run",
+    extra_dest_cols: int = 0,
 ) -> DataFrame:
     """Full spec-driven validation: ranged reads on both sides → positional
     column rename → fingerprint over ALL selected columns → full-outer
-    classify on the range-field column → per-range ComparerResult tally."""
+    classify on the range-field column → timestamp-threshold window →
+    per-range ComparerResult tally.
+
+    ``extra_dest_cols``: trailing destination-side columns intentionally
+    absent from the source (the reference's --custom-transformation appends
+    them on the dest side only); any OTHER column-count mismatch is refused —
+    silently fingerprinting the common prefix would skip validating real
+    columns and never report it.
+
+    When the spec carries a timestampThreshold config, classified rows are
+    filtered to the reference's threshold window (CountMatchesDoFn.java:47-65)
+    using the column at ``timestamp_threshold_col_index`` — previously the
+    parsed config was silently ignored (ADVICE r2).
+    """
     ranges = spec_ranges(spec)
     src = read_spec_side(spark, source_url, spec, dialect="source",
                          properties=source_properties, ranges=ranges)
@@ -146,13 +160,57 @@ def validate_query_spec(
         return df.toDF(*[f"c{i}" for i in range(len(df.columns))])
 
     src, tgt = positional(src), positional(tgt)
+    if len(tgt.columns) - len(src.columns) != max(0, extra_dest_cols):
+        raise ValueError(
+            f"column count mismatch: source has {len(src.columns)}, dest has "
+            f"{len(tgt.columns)}, extra_dest_cols={extra_dest_cols} — every "
+            "selected column is fingerprinted, so a silent common-prefix "
+            "truncation would skip validating the rest; pass extra_dest_cols "
+            "for intentional custom-transformation columns")
     n_cols = min(len(src.columns), len(tgt.columns))
     payload_cols = [f"c{i}" for i in range(n_cols)]
     key = f"c{spec.range_field_index}"
-    fp = dict(algo=algo)
-    s = fingerprint_turns(src.select(*payload_cols), [key], payload_cols, **fp)
-    t = fingerprint_turns(tgt.select(*payload_cols), [key], payload_cols, **fp)
-    classified = classify_pair(s, t, [key])
+
+    threshold_ms = spec.timestamp_threshold_value_ms
+    ts_idx = spec.timestamp_threshold_col_index
+    if threshold_ms > 0 and ts_idx < 0:
+        raise ValueError(
+            "spec sets timestampThresholdValue but no timestampThresholdColIndex "
+            "— cannot locate the timestamp column to apply the window to")
+    use_threshold = threshold_ms > 0 and ts_idx >= 0
+    if use_threshold:
+        ts_name = f"c{ts_idx}"
+        if ts_name not in payload_cols:
+            raise ValueError(
+                f"timestampThresholdColIndex={ts_idx} is outside the "
+                f"{n_cols}-column SELECT list")
+
+        def with_millis(df: DataFrame) -> DataFrame:
+            dt = dict(df.dtypes)[ts_name]
+            ts = F.col(ts_name)
+            millis = ((ts.cast("double") * 1000).cast("long")
+                      if dt.startswith("timestamp") or dt == "date"
+                      else ts.cast("long"))
+            return df.withColumn("__ts_millis", millis)
+
+        src, tgt = with_millis(src), with_millis(tgt)
+
+    fp = dict(algo=algo, ts_col="__ts_millis" if use_threshold else None)
+    s = fingerprint_turns(src, [key], payload_cols, **fp)
+    t = fingerprint_turns(tgt, [key], payload_cols, **fp)
+    classified = classify_pair(
+        s, t, [key], carry_cols=["__ts_millis"] if use_threshold else None)
+    if use_threshold:
+        from spanner_data_validator_spark.operators.comparator import (
+            apply_timestamp_threshold,
+        )
+        classified = apply_timestamp_threshold(
+            classified,
+            threshold_millis=threshold_ms,
+            delta_mins=spec.timestamp_threshold_delta_mins,
+            src_ts_col="src___ts_millis",
+            tgt_ts_col="tgt___ts_millis",
+        )
     report = tally_report(
         classified,
         F.pmod(F.xxhash64(F.col(key)), F.lit(max(1, spec.partition_count))),

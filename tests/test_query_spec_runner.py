@@ -131,3 +131,92 @@ def test_bind_query_bound_containing_placeholder_chars():
     d = bind_query("select * from t where k >= @p1 and k <= @p2", "x@p2y", "zz",
                    dialect="dest", field_type="STRING")
     assert d == "select * from t where k >= 'x@p2y' and k <= 'zz'"
+
+
+def _seed_ts(spark, url, table, rows):
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(f"CREATE TABLE {table} "
+               "(id BIGINT PRIMARY KEY, code VARCHAR(24), updated TIMESTAMP)")
+    ps = conn.prepareStatement(f"INSERT INTO {table} VALUES (?, ?, ?)")
+    for i, code, epoch_ms in rows:
+        ps.setLong(1, i)
+        ps.setString(2, code)
+        ps.setTimestamp(3, jvm.java.sql.Timestamp(epoch_ms))
+        ps.executeUpdate()
+    ps.close()
+    st.close()
+    conn.close()
+
+
+OLD_MS = 1_600_000_000_000   # before the threshold
+NEW_MS = 1_700_000_000_000   # at/after the threshold
+
+
+@pytest.fixture(scope="module")
+def derby_ts_pair(spark, tmp_path_factory):
+    """Both sides have 20 rows; ids < 10 updated BEFORE the threshold, the
+    rest at/after. A mismatch is planted in each half (ids 3 and 13)."""
+    d = tmp_path_factory.mktemp("derby_ts_specs")
+    src_url = f"jdbc:derby:{d}/src;create=true"
+    tgt_url = f"jdbc:derby:{d}/tgt;create=true"
+    rows = [(i, f"code{i}", OLD_MS if i < 10 else NEW_MS) for i in range(20)]
+    mut = [(i, "MUTATED" if i in (3, 13) else c, ts) for i, c, ts in rows]
+    _seed_ts(spark, src_url, "member_events", rows)
+    _seed_ts(spark, tgt_url, "member_events", mut)
+    return src_url, tgt_url
+
+
+def _ts_spec(**overrides):
+    base = dict(
+        table_name="member_events",
+        source_query="select id, code, updated from member_events "
+                     "where id >= ? and id <= ?",
+        dest_query="select id, code, updated from member_events "
+                   "where id >= @p1 and id <= @p2",
+        range_field_index=0, range_field_type="LONG",
+        range_start="0", range_end="100", partition_count=2,
+    )
+    base.update(overrides)
+    return QueryTableSpec(**base)
+
+
+def test_validate_query_spec_applies_timestamp_threshold(spark, derby_ts_pair):
+    """A spec with timestampThreshold* must only tally rows inside the
+    threshold window (ADVICE r2: the parsed config was silently ignored)."""
+    src_url, tgt_url = derby_ts_pair
+    spec = _ts_spec(timestamp_threshold_col_index=2,
+                    timestamp_threshold_value_ms=NEW_MS)
+    rows = validate_query_spec(spark, spec, src_url, tgt_url).collect()
+    tot = {k: sum(r[k] for r in rows) for k in
+           ("match_count", "source_count", "target_count")}
+    # only the 10 NEW_MS rows survive the [th, th+10000d] window
+    assert tot["source_count"] == 10 and tot["target_count"] == 10
+    assert tot["match_count"] == 9  # id 13 mismatches inside the window
+
+    # without the threshold config all 20 rows tally
+    rows_all = validate_query_spec(spark, _ts_spec(), src_url, tgt_url).collect()
+    assert sum(r["match_count"] for r in rows_all) == 18
+
+
+def test_validate_query_spec_threshold_value_without_col_index(spark, derby_ts_pair):
+    src_url, tgt_url = derby_ts_pair
+    spec = _ts_spec(timestamp_threshold_value_ms=NEW_MS)
+    with pytest.raises(ValueError, match="ColIndex"):
+        validate_query_spec(spark, spec, src_url, tgt_url)
+
+
+def test_validate_query_spec_refuses_silent_column_truncation(spark, derby_ts_pair):
+    """A dest SELECT with more columns than the source must fail fast unless
+    the caller marks the trailing columns as intentional (ADVICE r2: the
+    common-prefix min() silently skipped validating them)."""
+    src_url, tgt_url = derby_ts_pair
+    spec = _ts_spec(
+        source_query="select id, code from member_events "
+                     "where id >= ? and id <= ?")
+    with pytest.raises(ValueError, match="column count mismatch"):
+        validate_query_spec(spark, spec, src_url, tgt_url)
+    rows = validate_query_spec(spark, spec, src_url, tgt_url,
+                               extra_dest_cols=1).collect()
+    assert sum(r["match_count"] for r in rows) == 18
