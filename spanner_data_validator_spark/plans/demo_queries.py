@@ -1205,7 +1205,18 @@ def q_sliding_mismatch_counts(spark, sf_dir):
                        "status", "n"))
 
 
-_IVF_CENT_CACHE: dict[str, list] = {}
+_IVF_CENT_CACHE: dict[str, tuple] = {}
+_IVF_CENT_CACHE_MAX = 2  # corpora cached concurrently; evictees are unpersisted
+
+
+def _ivf_cache_put(sf_dir: str, entry: tuple) -> None:
+    """FIFO-bounded insert: unpersist the evicted corpus's index so repeated
+    bench loops over many sf_dirs can't leak executor storage (ADVICE r2)."""
+    while len(_IVF_CENT_CACHE) >= _IVF_CENT_CACHE_MAX:
+        oldest = next(iter(_IVF_CENT_CACHE))
+        _, old_idx = _IVF_CENT_CACHE.pop(oldest)
+        old_idx.unpersist()
+    _IVF_CENT_CACHE[sf_dir] = entry
 
 _IVF_SQL = """
 WITH cent AS (
@@ -1269,7 +1280,8 @@ def q_ann_ivf_topk(spark, sf_dir):
         cents = centroids_from_items(emb, modulus=61, residue=3, n_lists=8)
         idx = ivf_index(emb, cents).persist()
         idx.count()
-        cached = _IVF_CENT_CACHE[sf_dir] = (cents, idx)
+        cached = (cents, idx)
+        _ivf_cache_put(sf_dir, cached)
     cents, idx = cached
     out = ivf_topk(None, emb.where(F.col("vec_id") % 100 == 0), 3,
                    nprobe=2, centroids=cents, index=idx)

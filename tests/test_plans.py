@@ -94,3 +94,25 @@ def test_frame_sample_never_reads_payload(spark):
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert "text" not in cols, cols  # text bytes are the payload here
     assert cols <= {"doc_id"}, cols
+
+
+def test_ivf_cent_cache_bounded_and_unpersists(spark):
+    """Repeated ann_ivf_topk runs over many corpora must hold at most
+    _IVF_CENT_CACHE_MAX persisted indexes; evicted ones are unpersisted
+    (ADVICE r2: the unbounded cache leaked executor storage memory)."""
+    from pyspark import StorageLevel
+    from spanner_data_validator_spark.plans import demo_queries as dq
+
+    dirs = [f"/root/testdata/sf0.001{'/' * i}" for i in range(1, 5)]  # 4 distinct keys, same data
+    dq._IVF_CENT_CACHE.clear()
+    seen = []
+    for d in dirs:
+        dq.QUERIES["ann_ivf_topk"](spark, d).count()
+        seen.append(dq._IVF_CENT_CACHE[d][1])
+        assert len(dq._IVF_CENT_CACHE) <= dq._IVF_CENT_CACHE_MAX
+    live = [df for df in seen if df.storageLevel != StorageLevel.NONE]
+    assert len(live) <= dq._IVF_CENT_CACHE_MAX
+    # the survivors are exactly the cache's current entries
+    assert all(idx.storageLevel != StorageLevel.NONE
+               for _, idx in dq._IVF_CENT_CACHE.values())
+    dq._IVF_CENT_CACHE.clear()
