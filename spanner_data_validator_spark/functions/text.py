@@ -67,6 +67,74 @@ def lang_id_heuristic(text: Column | str, markers: dict[str, list[str]] | None =
     return expr
 
 
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-grams of the whitespace-normalized, lowercased text as an
+    array<string> (empty when the text is shorter than n chars).
+
+    Pure expressions (split-free): length → index sequence → per-index substr.
+    The ``when`` guard keeps ``sequence`` from going descending on short docs.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    ln = F.length(c)
+    idx = F.sequence(F.lit(1), ln - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: c.substr(i, F.lit(n)))
+    return F.when(ln >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def train_lang_profiles(df, lang_col: str = "lang", text_col: str = "text",
+                        *, n: int = 3, top_k: int = 64):
+    """Cavnar–Trenkle n-gram language profiles: the ``top_k`` most frequent
+    char n-grams per language with INTEGER rank weights (top gram →
+    ``top_k``, rank r → ``top_k + 1 - r``).
+
+    Integer weights keep scoring exact across engines (no float-sum
+    association drift), which makes the whole pipeline oracle-checkable.
+    Deterministic under count ties (rank orders by count desc, gram asc).
+    Output: (lang, gram, weight) — ≤ langs·top_k rows, broadcastable at any
+    corpus size; training itself is one explode + one hash agg + a window
+    over the per-language counts.
+    """
+    from pyspark.sql import Window
+
+    g = df.select(F.col(lang_col).alias("lang"),
+                  F.explode(char_ngrams(text_col, n)).alias("gram"))
+    cnt = g.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "gram")
+    return (cnt.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= top_k)
+               .select("lang", "gram",
+                       (F.lit(top_k + 1) - F.col("rank")).cast("long").alias("weight")))
+
+
+def lang_id_ngram(docs, profiles, *, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3):
+    """Language ID by profile scoring: score(doc, lang) = Σ over the doc's
+    char n-gram OCCURRENCES of the profile weight; argmax per doc (ties to
+    the lexicographically first language); no profile hit at all → 'und'.
+
+    100 TB shape: the profile is tiny and broadcast, so the gram join is
+    map-side; the only wide shuffles are the (doc, lang) score agg and the
+    per-doc argmax window over ≤ |langs| rows per doc. Scores are exact
+    BIGINTs — byte-identical across engines.
+    Output: (``id_col``, pred_lang, score).
+    """
+    from pyspark.sql import Window
+
+    g = docs.select(F.col(id_col),
+                    F.explode(char_ngrams(text_col, n)).alias("gram"))
+    scored = (g.join(F.broadcast(profiles), "gram")
+               .groupBy(id_col, "lang").agg(F.sum("weight").alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "lang")
+    best = (scored.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1)
+                  .select(id_col, F.col("lang").alias("pred_lang"), "score"))
+    return (docs.select(id_col).join(best, id_col, "left")
+                .select(id_col,
+                        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+                        F.coalesce("score", F.lit(0)).cast("long").alias("score")))
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (empty for docs with < n words).
     Pure expressions: split → sequence → transform(slice + array_join)."""

@@ -918,6 +918,67 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id_heuristic("text").alias("pred_lang"), "lang")
 
 
+_LANG_NGRAM_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+tg AS (
+  SELECT lang, substr(t, CAST(u.i AS INT), 3) AS gram
+  FROM (SELECT lang, t FROM norm WHERE doc_id % 5 = 0) tr,
+       unnest(generate_series(1, length(t) - 2)) AS u(i)
+),
+prof AS (
+  SELECT lang, gram, CAST(65 - rnk AS BIGINT) AS weight FROM (
+    SELECT lang, gram,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, gram) AS rnk
+    FROM tg GROUP BY lang, gram)
+  WHERE rnk <= 64
+),
+dg AS (
+  SELECT doc_id, substr(t, CAST(u.i AS INT), 3) AS gram
+  FROM (SELECT doc_id, t FROM norm WHERE doc_id % 5 <> 0) te,
+       unnest(generate_series(1, length(t) - 2)) AS u(i)
+),
+sc AS (
+  SELECT doc_id, lang, CAST(sum(weight) AS BIGINT) AS score
+  FROM dg JOIN prof USING (gram) GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang AS pred_lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM sc
+)
+SELECT n.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang,
+       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+FROM (SELECT doc_id FROM norm WHERE doc_id % 5 <> 0) n
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
+@register("lang_id_ngram", _LANG_NGRAM_SQL)
+def q_lang_id_ngram(spark, sf_dir):
+    """Char-trigram profile language ID (functions/text.train_lang_profiles +
+    lang_id_ngram): train Cavnar–Trenkle integer-rank profiles on the
+    doc_id%5==0 split, score the held-out docs. Integer rank weights make
+    every score an exact BIGINT, so the full train+score pipeline is
+    hash-matched against DuckDB; real multilingual accuracy is asserted in
+    tests/test_text.py on a planted 4-language fixture (this corpus's lang
+    labels are synthetic and share one vocabulary)."""
+    from spanner_data_validator_spark.functions.text import (
+        lang_id_ngram,
+        train_lang_profiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = train_lang_profiles(docs.where(F.col("doc_id") % 5 == 0),
+                               "lang", "text", n=3, top_k=64)
+    return lang_id_ngram(docs.where(F.col("doc_id") % 5 != 0), prof,
+                         id_col="doc_id", text_col="text", n=3)
+
+
 @register("doc_fingerprint", """
 SELECT doc_id,
        CAST(list_reduce(
