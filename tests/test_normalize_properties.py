@@ -132,3 +132,89 @@ def test_normalize_column_rules_match_python_oracle(spark):
     for got, want_row in zip(out, rows):
         want = oracle(want_row)
         assert tuple(got) == want, (tuple(got), want)
+
+
+# ---------------------------------------------------------------------------
+# decimal / double serialization at the type edges (VERDICT r2 item 10)
+# ---------------------------------------------------------------------------
+
+def _spark_normalize(spark, values, dtype):
+    from pyspark.sql import types as T
+
+    from spanner_data_validator_spark.functions.normalize import normalize_column
+
+    df = spark.createDataFrame([(v,) for v in values],
+                               T.StructType([T.StructField("v", dtype)]))
+    return [r[0] for r in df.select(normalize_column("v", dtype)).collect()]
+
+
+def _duckdb_strip(values):
+    """The oracle-side rendering of the reference's
+    stripTrailingZeros().toPlainString() (dto/HashResult.java:260-267)."""
+    import duckdb
+
+    vals = ",".join(f"('{v}')" for v in values)
+    q = (r"SELECT regexp_replace(regexp_replace("
+         r"CAST(CAST(v AS DECIMAL(38,10)) AS VARCHAR),"
+         r" '(\.\d*?)0+$', '\1'), '\.$', '') FROM (VALUES " + vals + ") t(v)")
+    return [r[0] for r in duckdb.sql(q).fetchall()]
+
+
+@given(st.lists(st.decimals(min_value=Decimal("-1e18"), max_value=Decimal("1e18"),
+                            allow_nan=False, allow_infinity=False, places=10),
+                min_size=1, max_size=50))
+@settings(max_examples=12, deadline=None)
+def test_decimal_normalization_matches_duckdb(spark, values):
+    """Spark's DECIMAL serialization must equal the DuckDB oracle rendering
+    for arbitrary (38,10) decimals — this is the exact string the fingerprint
+    hashes, so any divergence is a silent MISMATCH misclassification."""
+    got = _spark_normalize(spark, values, __import__(
+        "pyspark.sql.types", fromlist=["DecimalType"]).DecimalType(38, 10))
+    want = _duckdb_strip(values)
+    assert got == want
+
+
+def test_decimal_double_edge_vectors(spark):
+    """The reference's corner cases (stripTrailingZeros().toPlainString() and
+    Double.toString, dto/HashResult.java:260-267 / :106-113), pinned exactly."""
+    from pyspark.sql import types as T
+
+    decs = [Decimal("5.000"), Decimal("0.10"), Decimal("-0.000"), Decimal("0"),
+            Decimal("10000000000000000"), Decimal("-12.3400000001"),
+            Decimal("0.0000000001"), None]
+    assert _spark_normalize(spark, decs, T.DecimalType(38, 10)) == \
+        ["5", "0.1", "0", "0", "10000000000000000", "-12.3400000001",
+         "0.0000000001", ""]
+    assert _duckdb_strip([d for d in decs if d is not None]) == \
+        ["5", "0.1", "0", "0", "10000000000000000", "-12.3400000001",
+         "0.0000000001"]
+
+    dbls = [5.0, 0.1, 1e16, -0.0, 1e7, 9999999.0, 0.001, 0.0001,
+            float("nan"), float("inf"), float("-inf"), 5e-324,
+            1.7976931348623157e308, None]
+    # Java Double.toString grammar: plain decimal in [1e-3, 1e7), otherwise
+    # computerized scientific; negative zero keeps its sign; NULL -> ''
+    assert _spark_normalize(spark, dbls, T.DoubleType()) == \
+        ["5.0", "0.1", "1.0E16", "-0.0", "1.0E7", "9999999.0", "0.001",
+         "1.0E-4", "NaN", "Infinity", "-Infinity", "4.9E-324",
+         "1.7976931348623157E308", ""]
+
+
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False, width=64),
+                min_size=1, max_size=50))
+@settings(max_examples=12, deadline=None)
+def test_double_serialization_roundtrips_exactly(spark, values):
+    """The double serialization must be LOSSLESS (shortest-roundtrip digits):
+    parsing the fingerprinted string recovers the exact bits, so two doubles
+    hash equal iff they are equal — the injectivity the classifier needs."""
+    import math
+    import struct
+
+    from pyspark.sql import types as T
+
+    out = _spark_normalize(spark, values, T.DoubleType())
+    for v, s in zip(values, out):
+        back = float(s)
+        assert struct.pack("d", back) == struct.pack("d", v), (v, s)
+        if v != 0:
+            assert math.copysign(1, back) == math.copysign(1, v)
