@@ -96,6 +96,24 @@ class ExactlyOnceParquetSink:
         return spark.read.parquet(*paths)
 
 
+def build_merge_sql(table: str, view: str, key_cols: list[str]) -> str:
+    """The exactly-once upsert statement the Iceberg sink executes per batch.
+
+    Null-safe key equality (``<=>``) so a NULL key component still matches
+    its own row on replay; UPDATE+INSERT * makes a replayed batch converge to
+    the same table state (same keys re-written with the same values) — the
+    MERGE-level analogue of the parquet sink's batch-id fencing.
+    """
+    if not key_cols:
+        raise ValueError("MERGE requires at least one key column")
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
+    return (
+        f"MERGE INTO {table} t USING {view} s ON {on}\n"
+        "WHEN MATCHED THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 def merge_into_iceberg(
     batch_df: DataFrame,
     table: str,
@@ -103,20 +121,16 @@ def merge_into_iceberg(
 ) -> None:
     """Iceberg ``MERGE INTO`` upsert for one micro-batch (real-cluster path).
 
-    Requires an Iceberg catalog on the SparkSession. Keys
-    ``(conv_id, turn_idx, window_start)`` per BASELINE.json north_star.
+    Requires an Iceberg catalog on the SparkSession — no Iceberg runtime jar
+    ships in this sandbox, so the statement construction is contract-tested
+    (tests/test_streaming.py) and the batch-fenced parquet sink above is the
+    executed stand-in; see README "Iceberg surfaces". Keys
+    ``(conv_id, turn_idx, window_start)`` per the target pipeline.
     """
     spark = batch_df.sparkSession
     view = f"__merge_src_{abs(hash(table)) % 10_000}"
     batch_df.createOrReplaceTempView(view)
-    on = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
-    spark.sql(
-        f"""
-        MERGE INTO {table} t USING {view} s ON {on}
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *
-        """
-    )
+    spark.sql(build_merge_sql(table, view, key_cols))
 
 
 class TallyForeachBatch:

