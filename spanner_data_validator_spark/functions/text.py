@@ -67,19 +67,49 @@ def lang_id_heuristic(text: Column | str, markers: dict[str, list[str]] | None =
     return expr
 
 
-def char_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Character n-grams of the whitespace-normalized, lowercased text as an
-    array<string> (empty when the text is shorter than n chars).
-
-    Pure expressions (split-free): length → index sequence → per-index substr.
-    The ``when`` guard keeps ``sequence`` from going descending on short docs.
-    """
+def normalize_text_expr(text: Column | str) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text (the char-ngram prep)."""
     c = F.col(text) if isinstance(text, str) else text
-    c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def char_ngrams_of(attr: Column | str, n: int = 3) -> Column:
+    """Char n-grams of an ALREADY-NORMALIZED column as array<string> (empty
+    below n chars).
+
+    ``attr`` must be a bound column attribute, not a computed expression: the
+    transform lambda references it once per index, and Catalyst inlines a
+    computed expression into every element (CollapseProject — the O(len²)
+    re-evaluation trap, see CLAUDE.md), turning e.g. the regexp normalization
+    into per-gram work. Materialize expressions through an explode barrier
+    first (``_exploded_grams``). The ``when`` guard keeps ``sequence`` from
+    going descending on short docs.
+    """
+    c = F.col(attr) if isinstance(attr, str) else attr
     ln = F.length(c)
     idx = F.sequence(F.lit(1), ln - F.lit(n - 1))
     grams = F.transform(idx, lambda i: c.substr(i, F.lit(n)))
     return F.when(ln >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Char n-grams of raw text: normalization + gram expansion as ONE column
+    expression. Convenience for small inputs/tests — on hot paths use
+    ``_exploded_grams`` (normalizes through a Generate barrier so the regexp
+    runs once per ROW, not once per gram)."""
+    return char_ngrams_of(normalize_text_expr(text), n)
+
+
+def _exploded_grams(df, out_cols: list[str], text_col: str, n: int):
+    """(out_cols..., gram) rows with the normalization evaluated once per row.
+
+    Two Generate steps: explode(array(normalized)) is an evaluation barrier
+    (projection collapse can't inline through it), then the gram explode reads
+    the materialized attribute — per-gram work is just a 3-char substr."""
+    normed = df.select(*out_cols,
+                       F.explode(F.array(normalize_text_expr(text_col))).alias("__t"))
+    return normed.select(*out_cols,
+                         F.explode(char_ngrams_of("__t", n)).alias("gram"))
 
 
 def train_lang_profiles(df, lang_col: str = "lang", text_col: str = "text",
@@ -97,8 +127,8 @@ def train_lang_profiles(df, lang_col: str = "lang", text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    g = df.select(F.col(lang_col).alias("lang"),
-                  F.explode(char_ngrams(text_col, n)).alias("gram"))
+    g = _exploded_grams(df.select(F.col(lang_col).alias("lang"), text_col),
+                        ["lang"], text_col, n)
     cnt = g.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "gram")
     return (cnt.withColumn("rank", F.row_number().over(w))
@@ -121,8 +151,7 @@ def lang_id_ngram(docs, profiles, *, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    g = docs.select(F.col(id_col),
-                    F.explode(char_ngrams(text_col, n)).alias("gram"))
+    g = _exploded_grams(docs.select(id_col, text_col), [id_col], text_col, n)
     scored = (g.join(F.broadcast(profiles), "gram")
                .groupBy(id_col, "lang").agg(F.sum("weight").alias("score")))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), "lang")
