@@ -285,18 +285,37 @@ def simhash_candidates(sig_df: DataFrame, *, id_col: str, bits: int,
     if keep < 1:
         raise ValueError("max_hamming must be < n_blocks")
     combos = list(combinations(range(n_blocks), keep))
+    # 8-byte bucket key: xxhash64 over the kept block values, not their
+    # decimal-string concat — the probe shuffle carries C(b,h) rows/doc, so
+    # key width dominates its bytes (~100 B string -> 8 B long). A hash
+    # collision can only MERGE buckets (extra candidates, removed by the
+    # hamming verify); it can never split one, so recall stays exact.
     keys = F.array(*[
-        F.concat_ws("_", *[_block_value(sig_col, *layout[b]).cast("string")
-                           for b in combo])
+        F.xxhash64(*[_block_value(sig_col, *layout[b]) for b in combo])
         for combo in combos])
     probes = sig_df.select(F.col(id_col), F.col(sig_col),
                            F.posexplode(keys).alias("combo", "key"))
-    l = probes.select(F.col(id_col).alias("a"), F.col(sig_col).alias("sig_a"),
-                      "combo", "key")
-    r = probes.select(F.col(id_col).alias("b"), F.col(sig_col).alias("sig_b"),
-                      "combo", "key")
-    return (l.join(r, ["combo", "key"]).where(F.col("a") < F.col("b"))
-             .select("a", "b", "sig_a", "sig_b").distinct())
+    # bucket-collect instead of a probe self-join: the join evaluated the
+    # (expensive) signature subplan once per side — Catalyst does not reuse
+    # the exchange across the aliased branches — and shuffled the probe table
+    # twice. One groupBy computes signatures ONCE and shuffles once; pair
+    # expansion is an in-bucket expression, O(|bucket|²) per bucket — exactly
+    # the pairs the join would emit for that bucket. array_sort inside the
+    # agg (an evaluation barrier) both orders ids for a < b and keeps the
+    # sort from being re-inlined per element (CollapseProject).
+    buckets = (probes.groupBy("combo", "key")
+               .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col(id_col).alias("i"),
+                             F.col(sig_col).alias("s")))).alias("ds"))
+               .where(F.size("ds") > 1))
+    ds = F.col("ds")
+    pair_arrays = F.transform(
+        ds, lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.size(ds)),
+            lambda y: F.struct(x["i"].alias("a"), y["i"].alias("b"),
+                               x["s"].alias("sig_a"), y["s"].alias("sig_b"))))
+    return (buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+                   .select("p.a", "p.b", "p.sig_a", "p.sig_b").distinct())
 
 
 def sig_hamming(sig_a, sig_b):

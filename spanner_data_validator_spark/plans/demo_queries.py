@@ -682,10 +682,18 @@ WHERE CAST(i.k AS DOUBLE) / (sa.n + sb.n - i.k) >= 0.7
 
 def _neardup_corpus(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return docs.unionByName(
+    corpus = docs.unionByName(
         docs.where(F.col("doc_id") % 20 == 0)
             .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
                     F.concat(F.lit("XX "), F.col("text")).alias("text")))
+    # the sketch pipelines do their heavy per-doc work (shingle explode,
+    # hashing, signature bit sums) in the SCAN stage; the test corpus is two
+    # parquet files, which would pin that stage to 2 cores. A real 100 TB
+    # table arrives in thousands of splits and skips this.
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    return corpus
 
 
 @register("ngram_jaccard_pairs", _JACCARD_SQL)
