@@ -175,6 +175,29 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround/backrefs) so the identical pattern runs in Spark and any
+# RE2-based oracle engine (DuckDB). Order matters: emails first (their local
+# part may contain digits), then dotted quads, then phone-like digit runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / IPv4 addresses / phone-like digit runs with typed
+    placeholders — a chain of global regexp_replace expressions (JVM-side,
+    codegen; zero Python). The blunt-by-design patterns favor recall:
+    redacting a long non-phone digit run is the safe failure mode for
+    training-data scrubbing."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 @F.pandas_udf(T.LongType())
 def rolling_fingerprint_udf(s: pd.Series) -> pd.Series:
     """Polynomial rolling hash over UTF-8 bytes (base 256, mod 2^61-1) — a

@@ -1,0 +1,95 @@
+"""Document-quality operators for training-data curation at 100 TB scale.
+
+* ``repetition_metrics`` — Gopher-style repetition statistics (duplicate-word
+  fraction, top-word fraction, duplicate-n-gram fraction) per document.
+* ``contamination_overlap`` — benchmark-contamination screen: the share of a
+  document's n-gram shingles that appear in a (small) benchmark/eval set.
+
+Shapes chosen for scale, not per-row convenience: repetition counting uses
+the explode → (doc, token) groupBy path — one shuffle whose rows carry an
+8-byte doc id plus the token — rather than per-row O(distinct·n) array
+expressions that blow up on long documents; the contamination join
+broadcasts the benchmark gram set (eval suites are tiny by definition) so
+the corpus is never shuffled.
+
+These extend the reference's capability surface (SURVEY.md §2.10 — the
+reference validates rows, it has no curation ops); they follow its core
+shape: reduce rows to small tokens before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.functions.text import shingles
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", *, n: int = 3) -> DataFrame:
+    """Per-document repetition statistics:
+
+    ``n_words``            whitespace token count
+    ``dup_word_frac``      1 - distinct_words / n_words (0 when empty)
+    ``top_word_frac``      occurrences of the most frequent word / n_words
+    ``dup_ngram_frac``     1 - distinct_ngrams / n_ngrams (0 when < n words)
+
+    High duplicate fractions flag boilerplate/spam (the Gopher quality-filter
+    family). One explode per granularity; each groupBy carries (doc, token)
+    and reduces map-side, so the exchanged bytes are bounded by the distinct
+    tokens per doc, not the text.
+    """
+    words = df.select(F.col(id_col), F.explode(
+        F.split(F.col(text_col), " ")).alias("w")).where(F.col("w") != "")
+    wstats = (words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+              .groupBy(id_col)
+              .agg(F.sum("c").alias("n_words"),
+                   F.count("*").alias("n_distinct"),
+                   F.max("c").alias("top_c")))
+    grams = df.select(F.col(id_col),
+                      F.explode(shingles(text_col, n)).alias("g"))
+    gstats = (grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+              .groupBy(id_col)
+              .agg(F.sum("c").alias("n_grams"),
+                   F.count("*").alias("n_distinct_grams")))
+    base = df.select(id_col)
+    out = (base.join(wstats, id_col, "left").join(gstats, id_col, "left"))
+    nw = F.coalesce(F.col("n_words"), F.lit(0))
+    ng = F.coalesce(F.col("n_grams"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        F.when(nw > 0, F.lit(1.0) - F.col("n_distinct") / nw)
+         .otherwise(0.0).alias("dup_word_frac"),
+        F.when(nw > 0, F.col("top_c") / nw).otherwise(0.0).alias("top_word_frac"),
+        F.when(ng > 0, F.lit(1.0) - F.col("n_distinct_grams") / ng)
+         .otherwise(0.0).alias("dup_ngram_frac"),
+    )
+
+
+def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
+                          *, id_col: str = "doc_id", text_col: str = "text",
+                          bench_text_col: str = "text", n: int = 8,
+                          threshold: float = 0.0) -> DataFrame:
+    """Benchmark-contamination screen: per doc, the fraction of its DISTINCT
+    word ``n``-gram shingles that occur anywhere in ``benchmark``.
+
+    Output: (id_col, n_shingles, n_hits, overlap_frac), docs with
+    ``overlap_frac >= threshold`` (pass 0.0 to keep all docs with >= n
+    words). Eval suites are small, so the benchmark gram set broadcasts and
+    the corpus-side plan is scan → explode → broadcast semi-ish join →
+    per-doc count: the corpus is never shuffled by gram, only the per-doc
+    tallies move (8-byte id + two longs).
+    """
+    bench = (benchmark.select(F.explode(F.array_distinct(
+        shingles(bench_text_col, n))).alias("g")).distinct())
+    dg = docs.select(F.col(id_col), F.explode(F.array_distinct(
+        shingles(text_col, n))).alias("g"))
+    hits = (dg.join(F.broadcast(bench), "g")
+              .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+    sizes = dg.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    out = (sizes.join(hits, id_col, "left")
+           .select(F.col(id_col), "n_shingles",
+                   F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"))
+           .withColumn("overlap_frac", F.col("n_hits") / F.col("n_shingles")))
+    return out.where(F.col("overlap_frac") >= threshold)

@@ -987,6 +987,149 @@ def q_lang_id_ngram(spark, sf_dir):
                          id_col="doc_id", text_col="text", n=3)
 
 
+@register("doc_repetition", """
+WITH wnz AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM wnz GROUP BY doc_id, w),
+ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              count(*) AS n_distinct, max(c) AS top_c
+       FROM wc GROUP BY doc_id),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                                 ' ') AS g
+  FROM documents, UNNEST(range(1, len(string_split(text, ' ')) - 1)) AS t(i)
+  WHERE len(string_split(text, ' ')) >= 3
+),
+gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+              count(*) AS n_distinct_grams
+       FROM gc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+       CASE WHEN coalesce(ws.n_words, 0) > 0
+            THEN 1.0 - ws.n_distinct / ws.n_words ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN coalesce(ws.n_words, 0) > 0
+            THEN ws.top_c / ws.n_words ELSE 0.0 END AS top_word_frac,
+       CASE WHEN coalesce(gs.n_grams, 0) > 0
+            THEN 1.0 - gs.n_distinct_grams / gs.n_grams ELSE 0.0 END AS dup_ngram_frac
+FROM documents d LEFT JOIN ws USING (doc_id) LEFT JOIN gs USING (doc_id)
+""")
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality metrics (operators/quality
+    .repetition_metrics): duplicate-word / top-word / duplicate-3-gram
+    fractions per document, exploded-groupBy shape (bounded shuffle rows)."""
+    from spanner_data_validator_spark.operators.quality import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(docs, "doc_id", "text", n=3)
+
+
+_PII_PLANT_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.'
+                      || CAST((doc_id * 7) % 250 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call +1 555-123-4567'
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _pii_oracle() -> str:
+    from spanner_data_validator_spark.functions.text import PII_PATTERNS
+
+    expr = "text"
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH planted AS ({_PII_PLANT_SQL}),
+red AS (SELECT doc_id, {expr} AS redacted FROM planted)
+SELECT doc_id, redacted,
+       contains(redacted, '<EMAIL>') AS had_email,
+       contains(redacted, '<IP>') AS had_ip,
+       contains(redacted, '<PHONE>') AS had_phone
+FROM red
+"""
+
+
+@register("pii_redaction", _pii_oracle())
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub (functions/text.redact_pii): emails / IPv4 / phone-like
+    digit runs planted deterministically into the corpus, redacted by the
+    shared Java-regex∩RE2 pattern chain — the full redacted TEXT is
+    hash-compared against DuckDB, so pattern drift between engines fails
+    the gate."""
+    from spanner_data_validator_spark.functions.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    planted = docs.select(
+        did,
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com"))).otherwise(""),
+            F.when(did % 11 == 0,
+                   F.concat(F.lit(" host 10.0."), (did % 250).cast("string"),
+                            F.lit("."), ((did * 7) % 250).cast("string")))
+             .otherwise(""),
+            F.when(did % 13 == 0, F.lit(" call +1 555-123-4567")).otherwise(""),
+        ).alias("text"))
+    red = planted.select("doc_id", redact_pii("text").alias("redacted"))
+    return red.select(
+        "doc_id", "redacted",
+        F.col("redacted").contains("<EMAIL>").alias("had_email"),
+        F.col("redacted").contains("<IP>").alias("had_ip"),
+        F.col("redacted").contains("<PHONE>").alias("had_phone"))
+
+
+@register("contamination_overlap", """
+WITH bg AS (
+  SELECT DISTINCT array_to_string(list_slice(string_split(text, ' '), i, i + 7),
+                                  ' ') AS g
+  FROM documents, UNNEST(range(1, len(string_split(text, ' ')) - 6)) AS t(i)
+  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 8
+),
+dg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ') AS g
+  FROM documents, UNNEST(range(1, len(string_split(text, ' ')) - 6)) AS t(i)
+  WHERE doc_id % 97 <> 0 AND len(string_split(text, ' ')) >= 8
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM dg GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM dg JOIN bg USING (g) GROUP BY doc_id)
+SELECT s.doc_id, s.n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) / s.n_shingles AS overlap_frac
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+""")
+def q_contamination_overlap(spark, sf_dir):
+    """Benchmark-contamination screen (operators/quality
+    .contamination_overlap): share of each doc's distinct 8-gram shingles
+    that appear in the doc_id%97==0 'eval set'; the benchmark gram table
+    broadcasts, the corpus is never gram-shuffled."""
+    from spanner_data_validator_spark.operators.quality import (
+        contamination_overlap,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination_overlap(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        id_col="doc_id", text_col="text", n=8, threshold=0.0)
+
+
 @register("doc_fingerprint", """
 SELECT doc_id,
        CAST(list_reduce(
