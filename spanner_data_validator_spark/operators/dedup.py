@@ -110,12 +110,21 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def lsh_candidates(signatures: DataFrame, id_col: str, num_perm: int,
-                   *, bands: int = 8) -> DataFrame:
+                   *, bands: int = 8,
+                   max_bucket_size: int | None = None) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` rows, hash each band,
     equi-join docs sharing any (band_id, band_hash) bucket → candidate pairs.
 
     The join key is (band, hash-of-rows) so bucket sizes stay tiny; this is
     the n·bands shuffle that replaces the n² comparison at 10^9-doc scale.
+
+    ``max_bucket_size`` is the hot-bucket skew guard for web-scale corpora:
+    a boilerplate mega-cluster (10^5 near-identical docs) otherwise lands in
+    one bucket and emits O(|bucket|²) pairs. Overfull buckets are DROPPED —
+    the documented recall tradeoff of every production LSH dedup: run
+    ``exact_dedup`` first so exact mass-duplicates never reach this stage,
+    and members of a dropped mega-cluster still pair through their OTHER
+    bands' (smaller) buckets when they differ at all.
     """
     sig = signatures.select(id_col, "signature")
     rows_per_band = max(1, num_perm // bands)
@@ -129,6 +138,13 @@ def lsh_candidates(signatures: DataFrame, id_col: str, num_perm: int,
                 for bi in range(bands)])
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        hot = (banded.groupBy("band", "band_hash")
+               .agg(F.count("*").alias("__n"))
+               .where(F.col("__n") > max_bucket_size)
+               .select("band", "band_hash"))
+        banded = banded.join(F.broadcast(hot), ["band", "band_hash"],
+                             "left_anti")
     l = banded.select(F.col(id_col).alias("a"), "band", "band_hash")
     r = banded.select(F.col(id_col).alias("b"), "band", "band_hash")
     return (l.join(r, ["band", "band_hash"])
@@ -167,7 +183,8 @@ def verify_candidate_pairs(cands: DataFrame, sh: DataFrame, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       *, n: int = 3, num_perm: int = 32, bands: int = 8,
                       threshold: float = 0.7,
-                      max_shingle_df: int | None = None) -> DataFrame:
+                      max_shingle_df: int | None = None,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """MinHash+LSH near-dup pipeline: candidates from banded signatures, then
     exact-Jaccard verification of ONLY the candidates.
 
@@ -177,7 +194,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     sh = shingle_table(df, id_col, text_col, n, max_shingle_df=max_shingle_df)
     cands = lsh_candidates(_signatures_from_shingles(sh, id_col, num_perm),
-                           id_col, num_perm, bands=bands)
+                           id_col, num_perm, bands=bands,
+                           max_bucket_size=max_bucket_size)
     return verify_candidate_pairs(cands, sh, id_col, threshold=threshold)
 
 
@@ -259,7 +277,8 @@ def _block_value(sig_col: str, word: int, offset: int, width: int):
 
 def simhash_candidates(sig_df: DataFrame, *, id_col: str, bits: int,
                        n_blocks: int, max_hamming: int,
-                       word_bits: int = 64, sig_col: str = "sig") -> DataFrame:
+                       word_bits: int = 64, sig_col: str = "sig",
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Candidate pairs via block-combination probing (the Manku/Jain/Sarma
     permuted-table construction, expressed as a bucket equi-join).
 
@@ -295,6 +314,15 @@ def simhash_candidates(sig_df: DataFrame, *, id_col: str, bits: int,
         for combo in combos])
     probes = sig_df.select(F.col(id_col), F.col(sig_col),
                            F.posexplode(keys).alias("combo", "key"))
+    if max_bucket_size is not None:
+        # hot-bucket guard (see lsh_candidates): drop overfull buckets BEFORE
+        # collecting them — the count agg reduces map-side to (bucket, n), so
+        # the mega-cluster's array is never materialized. Members of a
+        # dropped bucket still meet through their other C(b,h)-1 probe combos
+        # whenever any kept block differs.
+        hot = (probes.groupBy("combo", "key").agg(F.count("*").alias("__n"))
+               .where(F.col("__n") > max_bucket_size).select("combo", "key"))
+        probes = probes.join(F.broadcast(hot), ["combo", "key"], "left_anti")
     # bucket-collect instead of a probe self-join: the join evaluated the
     # (expensive) signature subplan once per side — Catalyst does not reuse
     # the exchange across the aliased branches — and shuffled the probe table
@@ -328,7 +356,8 @@ def sig_hamming(sig_a, sig_b):
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       *, n: int = 3, max_hamming: int = 3,
                       bits: int = 128, n_blocks: int = 8,
-                      word_bits: int = 64, hash_fn=None) -> DataFrame:
+                      word_bits: int = 64, hash_fn=None,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """SimHash near-dup pairs: blocked candidate generation (``C(n_blocks,
     max_hamming)`` combination probes — recall is exact by pigeonhole), then
     bit_count-of-xor verification. Defaults (128-bit signature, 8 blocks,
@@ -338,6 +367,7 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     sig = simhash_sig(df, id_col, text_col, n=n, bits=bits,
                       word_bits=word_bits, hash_fn=hash_fn)
     cand = simhash_candidates(sig, id_col=id_col, bits=bits, n_blocks=n_blocks,
-                              max_hamming=max_hamming, word_bits=word_bits)
+                              max_hamming=max_hamming, word_bits=word_bits,
+                              max_bucket_size=max_bucket_size)
     ham = sig_hamming(F.col("sig_a"), F.col("sig_b"))
     return cand.select("a", "b", ham.alias("hamming")).where(ham <= max_hamming)

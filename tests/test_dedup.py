@@ -226,3 +226,43 @@ def test_simhash_identical_zero_hamming(spark):
     nd = {(r["a"], r["b"]): r["hamming"] for r in
           simhash_near_dups(df, "doc_id", "text", max_hamming=3).collect()}
     assert nd.get((1, 2)) == 0 and (1, 3) not in nd
+
+
+def test_hot_bucket_guard_drops_mega_cluster(spark):
+    """max_bucket_size: 60 identical docs form one LSH bucket per band
+    (C(60,2)=1770 pairs); with the guard at 10 the mega-cluster emits no
+    candidates while a small planted near-dup pair elsewhere survives."""
+    from spanner_data_validator_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        simhash_candidates,
+        simhash_near_dups,
+        simhash_sig,
+    )
+
+    boiler = "cookie policy terms of service all rights reserved contact us"
+    rows = [(i, boiler) for i in range(60)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    sigs = minhash_signatures(df, "doc_id", "text", n=3, num_perm=16)
+    open_pairs = lsh_candidates(sigs, "doc_id", 16, bands=8).count()
+    guarded = lsh_candidates(sigs, "doc_id", 16, bands=8, max_bucket_size=10)
+    gp = {(r["a"], r["b"]) for r in guarded.collect()}
+    assert open_pairs >= 1770            # the blowup is real
+    assert all(a >= 100 for a, _ in gp)  # mega-cluster fully suppressed
+    assert (100, 101) in gp              # small near-dups still found
+
+    sig = simhash_sig(df, "doc_id", "text", n=3, bits=128)
+    unguarded = {(r["a"], r["b"]) for r in simhash_candidates(
+        sig, id_col="doc_id", bits=128, n_blocks=8, max_hamming=3).collect()}
+    spp = {(r["a"], r["b"]) for r in simhash_candidates(
+        sig, id_col="doc_id", bits=128, n_blocks=8, max_hamming=3,
+        max_bucket_size=10).collect()}
+    assert len(unguarded) >= 1770
+    # the guard removes exactly the mega-cluster's pairs, nothing else
+    assert spp == {(a, b) for a, b in unguarded if a >= 100}
+    # end-to-end variant honors the guard too
+    nd = simhash_near_dups(df, "doc_id", "text", max_bucket_size=10)
+    assert all(r["a"] >= 100 for r in nd.collect())
