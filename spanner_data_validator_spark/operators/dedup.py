@@ -346,6 +346,110 @@ def simhash_candidates(sig_df: DataFrame, *, id_col: str, bits: int,
                    .select("p.a", "p.b", "p.sig_a", "p.sig_b").distinct())
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over an undirected edge list ``(a, b)``.
+
+    Symmetrize, then for every node u connect each strictly-larger neighbor v
+    to ``m = min(neighbors(u) + [u])``. Shuffles: one groupBy(u) + one
+    equi-join on u — both keyed by node id, both linear in |E|.
+    """
+    sym = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v"))))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("__mn"))
+               .select("u", F.least("__mn", F.col("u")).alias("m")))
+    return (sym.join(mins, "u")
+               .where(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("a"), F.col("m").alias("b"))
+               .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge (u > v), connect all of u's
+    (smaller) neighbors AND u itself to ``m = min(neighbors(u))``."""
+    o = e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    stars = (o.join(mins, "u")
+              .select(F.col("v").alias("a"), F.col("m").alias("b"))
+              .unionByName(mins.select(F.col("u").alias("a"),
+                                       F.col("m").alias("b"))))
+    return stars.where(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components(edges: DataFrame, *, a_col: str = "a",
+                         b_col: str = "b", max_iter: int = 25) -> DataFrame:
+    """Connected components of an undirected edge list → ``(node, component)``
+    where component = the minimum node id in the component.
+
+    Alternating large-star/small-star (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") — the standard way to cluster near-duplicate
+    PAIRS into dup groups so one canonical doc per group survives. Each round
+    is two node-keyed shuffles; the edge set provably converges to min-rooted
+    stars in O(log n) rounds, so ``max_iter=25`` covers any real corpus (the
+    loop raises if the fixpoint is not reached — never returns silently-wrong
+    partial labels).
+
+    Per-round ``localCheckpoint`` truncates the iterative lineage (at 10^9
+    edges the un-truncated plan tree, not the data, becomes the bottleneck);
+    on a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for fault tolerance across executor loss.
+
+    Only nodes that appear in ``edges`` are labeled — join the full corpus
+    with ``assign_components`` to label singletons.
+    """
+    # materialize the input edges up front: each star round reads its edge set
+    # twice (symmetrize / orient union branches), and Catalyst does not reuse
+    # exchanges across aliased branches — without this the (often expensive)
+    # pair-generation subplan would run twice in round 1.
+    e = (edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+              .where(F.col("a") != F.col("b")).distinct()
+              .localCheckpoint(eager=True))
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # xor-fold of the (distinct) edge hashes: an order-independent,
+        # overflow-free set signature (ANSI mode forbids a sum here)
+        chk = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("s")).first()
+        sig = (chk["n"], chk["s"])
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # converged: e is a star forest (member -> component min)
+    return (e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+             .unionByName(e.select(F.col("b").alias("node"),
+                                   F.col("b").alias("component")))
+             .distinct())
+
+
+def assign_components(df: DataFrame, pairs: DataFrame, id_col: str,
+                      *, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Label EVERY row of ``df`` with its near-dup component (docs in no pair
+    are their own singleton component). Output: df columns + ``component``.
+
+    The component map is one row per doc-in-a-dup-group — tiny relative to
+    the corpus (dup groups are sparse after ``exact_dedup``), so the join
+    broadcasts when it fits; Catalyst/AQE picks that automatically under the
+    default autoBroadcastJoinThreshold at real-world dup densities.
+    """
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    return (df.join(cc, df[id_col] == cc["node"], "left")
+              .drop("node")
+              .withColumn("component",
+                          F.coalesce(F.col("component"), F.col(id_col))))
+
+
+def canonical_docs(df: DataFrame, pairs: DataFrame, id_col: str,
+                   *, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """The deduplicated corpus: keep one canonical doc (min id) per near-dup
+    component, all singletons included. Same columns as ``df``."""
+    labeled = assign_components(df, pairs, id_col, a_col=a_col, b_col=b_col)
+    return labeled.where(F.col(id_col) == F.col("component")).drop("component")
+
+
 def sig_hamming(sig_a, sig_b):
     """Hamming distance between two array<long> signatures (pure expression)."""
     return F.aggregate(

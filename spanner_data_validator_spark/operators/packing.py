@@ -1,0 +1,75 @@
+"""Sequence packing for training-batch assembly at 100 TB scale.
+
+``pack_greedy`` assigns documents to fixed-token-budget bins (training
+sequences) with the standard greedy sequential fill: walk the docs of a shard
+in a deterministic order, start a new bin whenever the next doc would
+overflow the budget. Packing is inherently order-sequential, so the scale
+design is *shard-parallel*: documents are hash-sharded (deterministically),
+each shard packs independently inside ONE `applyInPandas` group, and bins
+are namespaced by shard. At 10^9 docs with ~10^5-doc shards that is 10^4
+independent groups — the grouping shuffle is the only exchange, and the
+per-group work is a vectorized cumsum + one tight loop over bin breaks.
+
+A doc larger than the budget gets a bin of its own (callers chunk oversized
+docs upstream); fill never exceeds the budget otherwise.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.functions.hashing import xxhash64_family
+
+
+def shard_assign(key: Column, n_shards: int, *, hash_fn=None, seed: int = 0) -> Column:
+    """Deterministic shard id in [0, n_shards): pmod(hash(key, seed))."""
+    hash_fn = hash_fn or xxhash64_family
+    return F.pmod(hash_fn(key, seed), F.lit(n_shards)).cast("int")
+
+
+def _pack_shard(pdf: pd.DataFrame, capacity: int, order_cols: list[str]) -> pd.DataFrame:
+    pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+    toks = pdf["__tokens"].to_numpy()
+    bins = []
+    offsets = []
+    bin_id, fill = 0, 0
+    for t in toks:  # sequential by definition; ~10^5 iterations per shard
+        if fill > 0 and fill + t > capacity:
+            bin_id += 1
+            fill = 0
+        offsets.append(fill)
+        bins.append(bin_id)
+        fill += t
+    pdf["bin_id"] = pd.Series(bins, dtype="int64")
+    pdf["bin_offset"] = pd.Series(offsets, dtype="int64")
+    return pdf.drop(columns=["__tokens"])
+
+
+def pack_greedy(df: DataFrame, id_col: str, tokens: Column, *,
+                capacity: int, n_shards: int,
+                shard_col: str = "shard", hash_fn=None,
+                order_col: str | None = None) -> DataFrame:
+    """Greedy sequential packing: df columns + (shard, bin_id, bin_offset).
+
+    ``tokens`` is the per-doc token-count expression (stays JVM-side; the
+    Python boundary carries only (id, shard, token_count) + pass-through
+    columns). Docs are ordered by ``order_col`` (default ``id_col``) within
+    their shard, so the assignment is deterministic and reproducible across
+    runs — a requirement for resumable training-data builds.
+    """
+    order = order_col or id_col
+    capacity = int(capacity)
+    with_keys = df.withColumn(shard_col,
+                              shard_assign(F.col(id_col), n_shards,
+                                           hash_fn=hash_fn)) \
+                  .withColumn("__tokens", tokens.cast("long"))
+    out_schema = with_keys.drop("__tokens").schema \
+        .add("bin_id", "long").add("bin_offset", "long")
+    return (with_keys
+            .groupBy(shard_col)
+            .applyInPandas(
+                lambda pdf: _pack_shard(pdf, capacity, [order]),
+                schema=out_schema))

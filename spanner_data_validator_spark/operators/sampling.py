@@ -1,0 +1,59 @@
+"""Deterministic hash sampling for training-mix construction.
+
+At 100 TB the sampler must be (a) a pure per-row expression — no shuffle, no
+RNG state, evaluated inside whole-stage codegen right after the scan — and
+(b) reproducible: the same doc is kept or dropped in every run and on every
+re-shard, so incremental rebuilds and A/B mix experiments agree. Both fall
+out of keyed hashing: keep a row iff ``pmod(hash(key, seed), M) < rate*M``.
+Changing ``seed`` draws an independent sample; nested rates are monotone
+(rate 0.1 ⊂ rate 0.2 at the same seed), which is the property mix tuning
+relies on.
+
+``stratified_sample`` applies a per-stratum rate (e.g. per ``lang`` or per
+``source`` domain weights in a data-mix recipe) via an inline literal map —
+strata sets are small, so the rate lookup is a codegen expression, not a
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.functions.hashing import xxhash64_family
+
+SAMPLE_MODULUS = 1 << 20
+
+
+def sample_keep(key: Column, rate: Column, *, seed: int = 0, hash_fn=None) -> Column:
+    """Boolean keep-expression: pmod(hash(key, seed), M) < rate * M."""
+    hash_fn = hash_fn or xxhash64_family
+    bucket = F.pmod(hash_fn(key, seed), F.lit(SAMPLE_MODULUS))
+    return bucket < (rate.cast("double") * SAMPLE_MODULUS).cast("long")
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, *,
+                seed: int = 0, hash_fn=None) -> DataFrame:
+    """Uniform deterministic sample of ~``rate`` of the rows, keyed on
+    ``key_col`` (same key → same decision, across runs and tables)."""
+    return df.where(sample_keep(F.col(key_col), F.lit(float(rate)),
+                                seed=seed, hash_fn=hash_fn))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      rates: dict[str, float], *, default_rate: float = 0.0,
+                      seed: int = 0, hash_fn=None) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mix primitive: keep
+    stratum s at rates[s] (missing strata at ``default_rate``).
+
+    The rates map becomes one inline literal lookup; the whole sampler is a
+    single codegen filter over the scan — zero exchanges, zero Python.
+    """
+    if not rates:
+        raise ValueError("rates must name at least one stratum")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv])
+    rate = F.coalesce(rate_map[F.col(strata_col)],
+                      F.lit(float(default_rate)))
+    return df.where(sample_keep(F.col(key_col), rate,
+                                seed=seed, hash_fn=hash_fn))

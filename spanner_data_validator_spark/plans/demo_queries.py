@@ -42,6 +42,7 @@ from spanner_data_validator_spark.operators.comparator import (
     tally_report,
 )
 from spanner_data_validator_spark.operators.dedup import (
+    assign_components,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -658,7 +659,7 @@ corpus AS (
 # the skew control that bounds the inverted-index blowup at 100 TB.
 _MAX_SHINGLE_DF = 8
 
-_JACCARD_SQL = "WITH " + _NEARDUP_CORPUS + f""",
+_JACCARD_CTES = _NEARDUP_CORPUS + f""",
 sh AS (
   SELECT doc_id,
          array_to_string(list_slice(string_split(text,' '), i, i+2), ' ') AS shingle
@@ -674,10 +675,15 @@ inter AS (
   FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+_JACCARD_SELECT = """
 SELECT i.a, i.b, CAST(i.k AS DOUBLE) / (sa.n + sb.n - i.k) AS jaccard
 FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
 WHERE CAST(i.k AS DOUBLE) / (sa.n + sb.n - i.k) >= 0.7
 """
+
+_JACCARD_SQL = "WITH " + _JACCARD_CTES + _JACCARD_SELECT
 
 
 def _neardup_corpus(spark, sf_dir):
@@ -713,6 +719,119 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_neardup_corpus(spark, sf_dir), "doc_id", "text",
                              n=3, num_perm=32, bands=16, threshold=0.7,
                              max_shingle_df=_MAX_SHINGLE_DF)
+
+
+# Connected components over the near-dup pair graph: the clustering step that
+# turns pairwise matches into dup GROUPS so exactly one canonical doc per
+# group survives. The oracle computes the same min-label components with a
+# recursive CTE: (v, s) is reachable iff some path s->v keeps every later
+# node > s — always true when s is the component minimum, so min(label) per
+# node IS the component min.
+_COMPONENTS_SQL = "WITH RECURSIVE " + _JACCARD_CTES + f""",
+pairs AS ({_JACCARD_SELECT}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node WHERE w.label < e.v
+)
+SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+"""
+
+
+@register("dedup_components", _COMPONENTS_SQL)
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clustering: exact-Jaccard pairs -> alternating large/small-star
+    connected components (operators/dedup.connected_components) -> every corpus
+    doc labeled with its dup-group id (component = min doc_id; singletons label
+    themselves)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.7,
+                          max_shingle_df=_MAX_SHINGLE_DF)
+    return (assign_components(corpus, pairs, "doc_id")
+            .select("doc_id", "component"))
+
+
+_PACK_CAPACITY, _PACK_SHARDS = 256, 8
+
+
+def _pack_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST({h} % {_PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (
+           PARTITION BY CAST({h} % {_PACK_SHARDS} AS INT) ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack(shard, rn, doc_id, n_tokens, bin_id, fill) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.fill + t.n_tokens <= {_PACK_CAPACITY}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= {_PACK_CAPACITY}
+              THEN p.fill + t.n_tokens ELSE t.n_tokens END
+  FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tokens, bin_id, fill - n_tokens AS bin_offset FROM pack
+"""
+
+
+@register("pack_greedy_bins", _pack_oracle())
+def q_pack_greedy_bins(spark, sf_dir):
+    """Greedy sequence packing into 256-token training bins, shard-parallel
+    (operators/packing.pack_greedy): hash-shard docs, order by doc_id within
+    the shard, fill bins sequentially inside one applyInPandas group per
+    shard. The oracle replays the identical walk with a recursive CTE."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.packing import pack_greedy
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", token_count_ws("text").alias("n_tokens")))
+    return pack_greedy(docs, "doc_id", F.col("n_tokens"),
+                       capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS,
+                       hash_fn=portable_hash60) \
+        .select("doc_id", "shard", "n_tokens", "bin_id", "bin_offset")
+
+
+# dyadic rates (k/2^20 exact) so rate*2^20 is integral in both engines —
+# double->long casts truncate in Spark but round in DuckDB.
+_MIX_RATES = {"en": 0.75, "de": 0.5, "zh": 0.25}
+_MIX_DEFAULT, _MIX_SEED = 0.125, 7
+
+
+def _mix_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import portable_hash60_sql
+    from spanner_data_validator_spark.operators.sampling import SAMPLE_MODULUS
+
+    h = portable_hash60_sql("CAST(doc_id AS VARCHAR)", _MIX_SEED)
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {h} % {SAMPLE_MODULUS} <
+      CAST(floor((CASE lang {cases} ELSE {_MIX_DEFAULT} END) * {SAMPLE_MODULUS})
+           AS BIGINT)
+"""
+
+
+@register("stratified_sample_mix", _mix_oracle())
+def q_stratified_sample_mix(spark, sf_dir):
+    """Deterministic per-language mix sampling (operators/sampling
+    .stratified_sample): keyed-hash keep decision per doc, per-stratum rates
+    from a data-mix recipe — a pure codegen filter, reproducible across runs."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, "doc_id", "lang", _MIX_RATES,
+                             default_rate=_MIX_DEFAULT, seed=_MIX_SEED,
+                             hash_fn=portable_hash60).select("doc_id", "lang")
 
 
 # simhash demo parameters: one 60-bit portable-hash word, 6 blocks of 10 bits,

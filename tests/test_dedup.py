@@ -266,3 +266,45 @@ def test_hot_bucket_guard_drops_mega_cluster(spark):
     # end-to-end variant honors the guard too
     nd = simhash_near_dups(df, "doc_id", "text", max_bucket_size=10)
     assert all(r["a"] >= 100 for r in nd.collect())
+
+
+def test_connected_components_planted(spark):
+    """Chain, triangle+tail, singleton-free edge list -> min-labeled groups."""
+    from spanner_data_validator_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 7),          # chain {3,5,7,9} -> 3
+         (20, 21), (21, 22), (20, 22), (22, 30),  # triangle+tail -> 20
+         (41, 40)],                        # pair -> 40
+        "a LONG, b LONG")
+    got = {(r["node"], r["component"])
+           for r in connected_components(edges).collect()}
+    want = {(n, 3) for n in (3, 5, 7, 9)} | \
+           {(n, 20) for n in (20, 21, 22, 30)} | {(40, 40), (41, 40)}
+    assert got == want
+
+
+def test_connected_components_empty_and_selfloop(spark):
+    from spanner_data_validator_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "a LONG, b LONG")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame([(4, 4), (4, 2)], "a LONG, b LONG")
+    got = {(r["node"], r["component"]) for r in connected_components(loops).collect()}
+    assert got == {(2, 2), (4, 2)}
+
+
+def test_assign_components_and_canonical(spark):
+    from spanner_data_validator_spark.operators.dedup import (
+        assign_components,
+        canonical_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5)], "doc_id LONG, text STRING")
+    pairs = spark.createDataFrame([(2, 4), (4, 5)], "a LONG, b LONG")
+    labeled = {(r["doc_id"], r["component"])
+               for r in assign_components(docs, pairs, "doc_id").collect()}
+    assert labeled == {(1, 1), (2, 2), (3, 3), (4, 2), (5, 2)}
+    kept = sorted(r["doc_id"] for r in canonical_docs(docs, pairs, "doc_id").collect())
+    assert kept == [1, 2, 3]

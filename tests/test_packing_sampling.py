@@ -1,0 +1,80 @@
+"""Sequence packing + deterministic sampling operators."""
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_pack_greedy_planted(spark):
+    from spanner_data_validator_spark.operators.packing import pack_greedy
+
+    # one shard (n_shards=1) -> fully deterministic walk ordered by doc_id
+    rows = [(1, 100), (2, 100), (3, 60),   # 100+100 fits 256; +60 fits
+            (4, 90),                        # 260+90 > 256 -> wait: fill=260?
+            (5, 300),                       # oversized doc -> own bin
+            (6, 10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n_tokens LONG")
+    out = {r["doc_id"]: (r["bin_id"], r["bin_offset"])
+           for r in pack_greedy(df, "doc_id", F.col("n_tokens"),
+                                capacity=256, n_shards=1).collect()}
+    # walk: 100(fill 100) 100(200) 60 -> 260 > 256 => new bin; 60(60) 90(150)
+    # 300 -> 150+300 > 256 => new bin, oversized alone; 10 -> 300+10 > 256 => new bin
+    assert out == {1: (0, 0), 2: (0, 100), 3: (1, 0), 4: (1, 60),
+                   5: (2, 0), 6: (3, 0)}
+
+
+def test_pack_greedy_shard_invariants(spark):
+    from spanner_data_validator_spark.operators.packing import pack_greedy
+
+    df = spark.range(0, 400).select(F.col("id").alias("doc_id"),
+                                    (F.col("id") % 97 + 1).alias("n_tokens"))
+    out = pack_greedy(df, "doc_id", F.col("n_tokens"),
+                      capacity=128, n_shards=4)
+    # no bin exceeds capacity unless it holds a single oversized doc (none here)
+    fills = out.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n"))
+    assert fills.where(F.col("fill") > 128).count() == 0
+    # offsets are the within-bin prefix sums
+    w = (Window.partitionBy("shard", "bin_id").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    bad = out.withColumn(
+        "expected_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))) \
+        .where(F.col("expected_off") != F.col("bin_offset"))
+    assert bad.count() == 0
+    # deterministic: second run identical
+    again = pack_greedy(df, "doc_id", F.col("n_tokens"),
+                        capacity=128, n_shards=4)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_hash_sample_nested_and_deterministic(spark):
+    from spanner_data_validator_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 10000).select(F.col("id").alias("k"))
+    s10 = {r["k"] for r in hash_sample(df, "k", 0.10, seed=3).collect()}
+    s20 = {r["k"] for r in hash_sample(df, "k", 0.20, seed=3).collect()}
+    assert s10 <= s20                       # nested at the same seed
+    assert 800 <= len(s10) <= 1200          # ~rate
+    assert s10 == {r["k"] for r in hash_sample(df, "k", 0.10, seed=3).collect()}
+    other = {r["k"] for r in hash_sample(df, "k", 0.10, seed=4).collect()}
+    assert other != s10                     # independent draw per seed
+
+
+def test_stratified_sample_rates(spark):
+    from spanner_data_validator_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("k"),
+        F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("s"))
+    out = stratified_sample(df, "k", "s", {"a": 1.0, "b": 0.25},
+                            default_rate=0.0)
+    counts = {r["s"]: r["n"] for r in
+              out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("a") == 2000          # rate 1.0 keeps everything
+    assert 350 <= counts.get("b", 0) <= 650  # ~0.25 of 2000
+    assert "c" not in counts                # default 0.0 drops the stratum
+
+    import pytest
+    with pytest.raises(ValueError):
+        stratified_sample(df, "k", "s", {})
