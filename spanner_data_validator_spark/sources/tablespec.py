@@ -168,3 +168,32 @@ def generate_table_specs(
 def spec_dict(spec: QueryTableSpec) -> dict:
     """Plain-dict view (stable field names) for logging / dataframes."""
     return asdict(spec)
+
+
+def with_last_updated_cutoff(spec: QueryTableSpec, col_index: int, *,
+                             hours_back: float = 1.0,
+                             now_ms: int | None = None) -> QueryTableSpec:
+    """A copy of ``spec`` that validates only rows last-updated BEFORE
+    ``now - hours_back`` (rows touched more recently are classified into the
+    in-flight bucket, not counted as mismatches).
+
+    Re-expresses TableSpecList.getTableSpecsWithLastUpdatedTimeCutoff
+    (TableSpecList.java:85-123), which builds its sample specs with
+    ``DateTime.now().minusHours(1)`` and a per-table threshold column index.
+    The reference deliberately does NOT push the cutoff into the SQL — the
+    last-updated column is unindexed on the source — and neither do we: the
+    filter runs post-read in the classify stage
+    (operators/comparator.apply_timestamp_threshold), a codegen filter that
+    costs nothing next to the fingerprint join. ``now_ms`` pins the clock for
+    deterministic tests and resumable runs.
+    """
+    from dataclasses import replace
+    import time
+
+    if now_ms is None:
+        now_ms = int(time.time() * 1000)
+    return replace(
+        spec,
+        timestamp_threshold_col_index=col_index,
+        timestamp_threshold_value_ms=now_ms - int(hours_back * 3_600_000),
+    )

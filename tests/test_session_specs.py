@@ -414,3 +414,27 @@ def test_session_spanner_extra_table_raises_cleanly():
     d["SpSchema"]["t9"] = d["SpSchema"]["t4"]
     with pytest.raises(ValueError, match="SrcSchema"):
         parse_session(d)
+
+
+def test_with_last_updated_cutoff():
+    from spanner_data_validator_spark.sources.tablespec import (
+        QueryTableSpec,
+        with_last_updated_cutoff,
+    )
+
+    base = QueryTableSpec(table_name="member_events",
+                          source_query="select 1", dest_query="select 1")
+    now = 1_700_000_000_000
+    spec = with_last_updated_cutoff(base, 7, hours_back=1, now_ms=now)
+    assert spec.timestamp_threshold_col_index == 7
+    assert spec.timestamp_threshold_value_ms == now - 3_600_000
+    # original untouched; other fields carried over
+    assert base.timestamp_threshold_col_index == -1
+    assert spec.table_name == "member_events"
+    # fractional hours work and default clock is "about now"
+    half = with_last_updated_cutoff(base, 3, hours_back=0.5, now_ms=now)
+    assert half.timestamp_threshold_value_ms == now - 1_800_000
+    import time
+    live = with_last_updated_cutoff(base, 3)
+    assert abs(live.timestamp_threshold_value_ms
+               - (time.time() * 1000 - 3_600_000)) < 60_000
