@@ -48,6 +48,47 @@ def _pack_shard(pdf: pd.DataFrame, capacity: int, order_cols: list[str]) -> pd.D
     return pdf.drop(columns=["__tokens"])
 
 
+def pack_concat_chunks(df: DataFrame, id_col: str, tokens: Column, *,
+                       context_len: int, n_shards: int,
+                       shard_col: str = "shard", hash_fn=None,
+                       order_col: str | None = None) -> DataFrame:
+    """Concat-and-chunk packing (the other standard mode): treat each shard's
+    docs, in deterministic order, as ONE concatenated token stream split into
+    fixed ``context_len`` chunks; a doc may straddle a chunk boundary.
+
+    Output: df columns + (shard, tok_start, first_chunk, last_chunk,
+    n_chunks) — ``tok_start`` is the doc's offset in the shard stream,
+    ``n_chunks`` how many training sequences the doc touches.
+
+    Unlike ``pack_greedy`` this needs no Python at all: one running-sum
+    window per shard (sort happens inside the per-shard exchange partition)
+    and pure arithmetic. Prefer it when the tokenizer-side loader can split
+    documents across sequence boundaries.
+    """
+    from pyspark.sql import Window
+
+    order = order_col or id_col
+    with_keys = df.withColumn(shard_col,
+                              shard_assign(F.col(id_col), n_shards,
+                                           hash_fn=hash_fn)) \
+                  .withColumn("__tokens", tokens.cast("long"))
+    w = (Window.partitionBy(shard_col).orderBy(order)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("__tokens").over(w), F.lit(0))
+    out = (with_keys
+           .withColumn("tok_start", start)
+           .withColumn("first_chunk",
+                       F.floor(F.col("tok_start") / context_len))
+           .withColumn(
+               "last_chunk",
+               F.floor((F.col("tok_start")
+                        + F.greatest(F.col("__tokens"), F.lit(1)) - 1)
+                       / context_len))
+           .withColumn("n_chunks",
+                       F.col("last_chunk") - F.col("first_chunk") + 1))
+    return out.drop("__tokens")
+
+
 def pack_greedy(df: DataFrame, id_col: str, tokens: Column, *,
                 capacity: int, n_shards: int,
                 shard_col: str = "shard", hash_fn=None,

@@ -800,6 +800,55 @@ def q_pack_greedy_bins(spark, sf_dir):
         .select("doc_id", "shard", "n_tokens", "bin_id", "bin_offset")
 
 
+_CHUNK_CTX = 512
+
+
+def _chunk_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST({h} % {_PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, tok_start,
+       CAST(floor(tok_start / {_CHUNK_CTX}) AS BIGINT) AS first_chunk,
+       CAST(floor((tok_start + greatest(n_tokens, 1) - 1) / {_CHUNK_CTX})
+            AS BIGINT) AS last_chunk,
+       CAST(floor((tok_start + greatest(n_tokens, 1) - 1) / {_CHUNK_CTX})
+            - floor(tok_start / {_CHUNK_CTX}) + 1 AS BIGINT) AS n_chunks
+FROM s
+"""
+
+
+@register("pack_concat_chunks", _chunk_oracle())
+def q_pack_concat_chunks(spark, sf_dir):
+    """Concat-and-chunk packing (operators/packing.pack_concat_chunks): each
+    shard's doc stream split into fixed 512-token training sequences, docs
+    straddling boundaries — pure per-shard window arithmetic, zero Python."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.packing import pack_concat_chunks
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", token_count_ws("text").alias("n_tokens")))
+    return pack_concat_chunks(docs, "doc_id", F.col("n_tokens"),
+                              context_len=_CHUNK_CTX, n_shards=_PACK_SHARDS,
+                              hash_fn=portable_hash60) \
+        .select("doc_id", "shard", "n_tokens", "tok_start",
+                "first_chunk", "last_chunk", "n_chunks")
+
+
 # dyadic rates (k/2^20 exact) so rate*2^20 is integral in both engines —
 # double->long casts truncate in Spark but round in DuckDB.
 _MIX_RATES = {"en": 0.75, "de": 0.5, "zh": 0.25}
@@ -1490,6 +1539,55 @@ def q_validate_stream_stateful_totals(spark, sf_dir):
     over the reduced corpus — it's the semantics spec, never the bulk path."""
     return _run_stream_totals(spark, sf_dir, "stateful",
                               user_mod=_STATEFUL_USER_MOD)
+
+
+@register("stream_dedup_lang_counts", """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 10 = 0
+)
+SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS n_docs
+FROM corpus GROUP BY lang
+""")
+def q_stream_dedup_lang_counts(spark, sf_dir):
+    """REAL structured-streaming dedup run: a doc stream with planted repeats
+    (every 10th doc arrives twice, in different micro-batches) through
+    dropDuplicatesWithinWatermark keyed on the 8-byte text fingerprint
+    (streaming/dedup_stream.dedup_text_stream), append-sinked, then counted
+    per language. The watermark horizon (2h) exceeds the event-time spread
+    (10 min), so the streaming result equals batch distinct-text counts."""
+    import tempfile
+
+    from spanner_data_validator_spark.streaming.dedup_stream import (
+        dedup_text_stream,
+    )
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    "text", "lang"))
+    corpus = corpus.withColumn(
+        "ts", (F.lit(1_600_000_000) + F.col("doc_id") % 600).cast("timestamp"))
+
+    work = tempfile.mkdtemp(prefix="sdv_q_stream_dedup_")
+    in_dir = f"{work}/in"
+    corpus.repartition(4).write.parquet(in_dir)
+
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    deduped = dedup_text_stream(stream, "text", ts_col="ts", delay="2 hours")
+    q = (deduped.select("lang", "text_fp")
+         .writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    return (spark.read.parquet(f"{work}/out")
+            .groupBy("lang").agg(F.count("*").alias("n_docs")))
 
 
 # ---------------------------------------------------------------------------

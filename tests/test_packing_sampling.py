@@ -78,3 +78,19 @@ def test_stratified_sample_rates(spark):
     import pytest
     with pytest.raises(ValueError):
         stratified_sample(df, "k", "s", {})
+
+
+def test_pack_concat_chunks_planted(spark):
+    from spanner_data_validator_spark.operators.packing import pack_concat_chunks
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 400), (3, 30), (4, 600)], "doc_id LONG, n_tokens LONG")
+    out = {r["doc_id"]: (r["tok_start"], r["first_chunk"],
+                         r["last_chunk"], r["n_chunks"])
+           for r in pack_concat_chunks(df, "doc_id", F.col("n_tokens"),
+                                       context_len=256, n_shards=1).collect()}
+    # stream offsets 0, 100, 500, 530; chunks of 256 tokens
+    assert out == {1: (0, 0, 0, 1),      # [0,100) inside chunk 0
+                   2: (100, 0, 1, 2),    # [100,500) straddles 0->1
+                   3: (500, 1, 2, 2),    # [500,530) straddles 1->2 (512)
+                   4: (530, 2, 4, 3)}    # [530,1130) spans 2..4

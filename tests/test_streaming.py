@@ -551,3 +551,47 @@ def test_iceberg_merge_sink_contract(spark, monkeypatch):
     # the micro-batch was registered under the view the MERGE reads from
     view = captured[0].split(" USING ")[1].split(" ")[0]
     assert spark.table(view).count() == 1
+
+
+def test_streaming_dedup_within_horizon_and_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics end-to-end: a repeat inside the
+    watermark horizon is dropped; once the watermark evicts the key's state,
+    the same key is emitted again (bounded-state contract). Three availableNow
+    runs over one checkpoint pin the micro-batch order deterministically."""
+    from spanner_data_validator_spark.streaming.dedup_stream import (
+        streaming_first_seen,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    t0 = datetime(2020, 1, 1, 12, 0, 0)
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "k LONG, ts TIMESTAMP") \
+             .coalesce(1).write.parquet(f"{in_dir}/{name}")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("k LONG, ts TIMESTAMP")
+                  .option("recursiveFileLookup", "true").parquet(in_dir))
+        q = (streaming_first_seen(stream, ["k"], ts_col="ts", delay="1 hour")
+             .writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    from datetime import timedelta as td
+    drop("f1", [(1, t0), (2, t0)])
+    run_once()
+    # dup of k=1 10 min later: inside the 1h horizon -> dropped;
+    # k=3 at +3h advances the watermark to +2h, evicting k=1's state (+1h)
+    drop("f2", [(1, t0 + td(minutes=10)), (3, t0 + td(hours=3))])
+    run_once()
+    # same key after eviction -> re-emitted (horizon-bounded, not global)
+    drop("f3", [(1, t0 + td(hours=3, minutes=10))])
+    run_once()
+
+    counts = {r["k"]: r["n"] for r in spark.read.parquet(out_dir)
+              .groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 2, 2: 1, 3: 1}
