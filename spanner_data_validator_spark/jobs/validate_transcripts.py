@@ -77,10 +77,24 @@ def run_batch_validation(
     *,
     algo: str = "xxhash64",
     band: str = "2 hours",
+    dedup_keys: bool = True,
 ) -> DataFrame:
-    """Batch classification through the SAME join expression as streaming."""
+    """Batch classification through the SAME join expression as streaming.
+
+    ``dedup_keys`` (default on — the reference inspects only the first element
+    per key, CountMatchesDoFn.java:73-80) collapses duplicate (conv_id,
+    turn_idx) rows per side to the deterministic min-(fingerprint, ts) row
+    before the join; without it each dup key would fan out k_src×k_tgt joined
+    rows and inflate the tallies. The dedup aggregate hashes on the same keys
+    as the join, so Catalyst reuses the exchange — still one shuffle per side.
+    """
+    from spanner_data_validator_spark.operators.comparator import dedup_first
+
     src = fingerprint_stream(read_transcripts(spark, src_path), algo=algo)
     tgt = fingerprint_stream(read_transcripts(spark, tgt_path), algo=algo)
+    if dedup_keys:
+        src = dedup_first(src, ["conv_id", "turn_idx"], carry_cols=["ts"])
+        tgt = dedup_first(tgt, ["conv_id", "turn_idx"], carry_cols=["ts"])
     return classify_stream(src, tgt, band=band).where(sentinel_filter())
 
 
@@ -186,6 +200,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="drain all available input then stop (default); "
                     "--no-available-now runs a continuous processing-time "
                     "trigger instead")
+    ap.add_argument("--dedup-keys", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="collapse duplicate (conv_id, turn_idx) rows per "
+                    "side before the join (the reference's first-element "
+                    "rule, CountMatchesDoFn.java:73-80); --no-dedup-keys "
+                    "skips the extra stage when upstream keys are unique")
     args = ap.parse_args(argv)
 
     from spanner_data_validator_spark.session import get_spark
@@ -199,7 +219,8 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.mode == "batch":
         classified = run_batch_validation(
-            spark, args.source, args.target, algo=args.algo, band=args.band
+            spark, args.source, args.target, algo=args.algo, band=args.band,
+            dedup_keys=args.dedup_keys,
         )
         classified.write.mode("overwrite").parquet(os.path.join(args.out, "classified"))
     else:
@@ -215,6 +236,7 @@ def main(argv: list[str] | None = None) -> None:
             engine=args.engine,
             window_duration=args.window,
             available_now=args.available_now,
+            dedup_keys=args.dedup_keys and args.engine == "join",
         )
         if args.available_now:
             report = sink.report(spark)
