@@ -119,6 +119,28 @@ def run_default() -> None:
     import __spark_entry__ as entry
 
     queries = entry.queries()
+
+    # Steady-state measurement (same rationale as the --scaling protocol,
+    # BENCH.md "Cold-start noise"): one untimed pass over every query at the
+    # tiny warm-up scale factor compiles the JIT/codegen paths and starts the
+    # Python UDF workers, so the timed numbers below measure the PLAN, not
+    # first-run compilation (±40% observed on the first query of a session).
+    # Disable with SPARK_GRAFT_BENCH_WARMUP=0; the warm-up cost is reported.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    warmup_sec = 0.0
+    if os.path.isdir(warm_dir) and os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        t0 = time.time()
+        warm_failures = []
+        for name, fn in queries.items():
+            try:
+                _noop_write(fn(spark, warm_dir))
+            except Exception:  # noqa: BLE001 — a warm-up miss only costs heat
+                warm_failures.append(name)
+        warmup_sec = round(time.time() - t0, 3)
+        if warm_failures:
+            print(f"warmup failures (queries still timed cold): {warm_failures}",
+                  file=sys.stderr)
+
     times: dict[str, float] = {}
     total = 0.0
     for name, fn in queries.items():
@@ -145,6 +167,7 @@ def run_default() -> None:
         "queries": times,
         "sf": sf,
         "cpus": CPUS,
+        "warmup_sec": warmup_sec,
         "transcript": tr,
     }))
     spark.stop()
