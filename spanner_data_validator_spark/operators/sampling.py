@@ -40,6 +40,35 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, *,
                                 seed=seed, hash_fn=hash_fn))
 
 
+def epoch_shuffle(df: DataFrame, key_col: str, *, seed: int = 0,
+                  n_shards: int = 1024, hash_fn=None,
+                  shard_col: str = "shard", pos_col: str = "pos") -> DataFrame:
+    """Deterministic global training-order shuffle: df columns +
+    ``(shard, pos)`` such that reading shards ``0..n_shards`` in order, rows
+    ordered by ``pos`` within each shard, yields a seeded pseudo-random
+    permutation of the corpus — the epoch-ordering primitive for training
+    runs (new ``seed`` per epoch → independent order, same seed → identical
+    order on every rerun and re-shard, so a resumed run replays exactly).
+
+    Scale shape: NO global sort and no single-partition window — one hash
+    exchange onto ``n_shards`` buckets, then a per-shard external sort for
+    the rank. With 10^9 docs and 2^10 shards each shard sorts ~10^6
+    (8-byte hash, key) pairs; the payload columns ride along untouched.
+    Loaders that only need shard-local order (the common case — each data-
+    parallel worker reads its own shards) skip any cross-shard coordination.
+    """
+    from pyspark.sql import Window
+
+    hash_fn = hash_fn or xxhash64_family
+    h = hash_fn(F.col(key_col), seed)
+    w = Window.partitionBy(shard_col).orderBy("__h", key_col)
+    return (df.withColumn("__h", h)
+              .withColumn(shard_col,
+                          F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+              .withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
+              .drop("__h"))
+
+
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                       rates: dict[str, float], *, default_rate: float = 0.0,
                       seed: int = 0, hash_fn=None) -> DataFrame:

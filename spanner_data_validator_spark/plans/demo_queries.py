@@ -1848,3 +1848,34 @@ def q_incremental_validate_counts(spark, sf_dir):
     rid = F.floor(F.col("key") / F.lit(1000)).cast("long")
     _drift, classified = incremental_validate(src_fp, tgt_fp, ["key"], rid)
     return classified.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def _epoch_shuffle_oracle(seed: int = 0, n_shards: int = 8) -> str:
+    from spanner_data_validator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("CAST(doc_id AS VARCHAR)", seed=seed)
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS h FROM documents),
+r AS (
+  SELECT doc_id, CAST(h % {n_shards} AS INT) AS shard,
+         CAST(row_number() OVER (
+              PARTITION BY h % {n_shards} ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+  FROM h
+)
+SELECT doc_id, shard, pos FROM r WHERE pos < 5
+"""
+
+
+@register("epoch_shuffle_order", _epoch_shuffle_oracle())
+def q_epoch_shuffle_order(spark, sf_dir):
+    """Deterministic epoch shuffle (operators/sampling.epoch_shuffle): seeded
+    pseudo-random training order as (shard, pos) — one hash exchange + a
+    per-shard sort, never a global sort. Emits the first 5 positions of each
+    shard (the rows a loader would read first)."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = epoch_shuffle(docs, "doc_id", seed=0, n_shards=8,
+                        hash_fn=portable_hash60)
+    return out.where(F.col("pos") < 5).select("doc_id", "shard", "pos")

@@ -94,3 +94,29 @@ def test_pack_concat_chunks_planted(spark):
                    2: (100, 0, 1, 2),    # [100,500) straddles 0->1
                    3: (500, 1, 2, 2),    # [500,530) straddles 1->2 (512)
                    4: (530, 2, 4, 3)}    # [530,1130) spans 2..4
+
+
+def test_epoch_shuffle_is_deterministic_seeded_permutation(spark):
+    from spanner_data_validator_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = epoch_shuffle(df, "doc_id", seed=1, n_shards=16)
+    b = epoch_shuffle(df, "doc_id", seed=1, n_shards=16)
+
+    rows_a = {(r["doc_id"], r["shard"], r["pos"]) for r in a.collect()}
+    rows_b = {(r["doc_id"], r["shard"], r["pos"]) for r in b.collect()}
+    assert rows_a == rows_b                      # rerun-identical
+    assert len(rows_a) == 2000                   # a permutation: every doc once
+    # (shard, pos) is a dense unique ordering within each shard
+    per_shard: dict[int, list[int]] = {}
+    for _d, s, p in rows_a:
+        per_shard.setdefault(s, []).append(p)
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+    # a different seed yields a genuinely different order
+    c = {(r["doc_id"], r["shard"], r["pos"])
+         for r in epoch_shuffle(df, "doc_id", seed=2, n_shards=16).collect()}
+    assert c != rows_a
+    # ...but still a full permutation of the same docs
+    assert {d for d, _s, _p in c} == {d for d, _s, _p in rows_a}
