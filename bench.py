@@ -217,6 +217,85 @@ def run_child(cpus: int) -> None:
         spark.stop()
 
 
+def run_batch_child(cpus: int) -> None:
+    """Batch-only timed reps for the stable scaling protocol (BENCH.md):
+    the full-harness child interleaves streaming, whose state pressure
+    perturbs the batch reps; this child times ONLY the batch validation plan
+    — 2 untimed warm-ups then SPARK_GRAFT_SCALING_REPS (default 5) reps."""
+    from spanner_data_validator_spark.session import get_spark
+    from spanner_data_validator_spark.jobs.validate_transcripts import (
+        run_batch_validation,
+    )
+
+    spark = get_spark(app_name=f"sdv-bscale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    corpus = os.environ["SPARK_GRAFT_SCALING_CORPUS"]
+    src_dir, tgt_dir = os.path.join(corpus, "src"), os.path.join(corpus, "tgt")
+    turns = int(open(os.path.join(corpus, "turns.txt")).read())
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
+
+    def one_pass() -> float:
+        t0 = time.time()
+        run_batch_validation(spark, src_dir, tgt_dir).write.format("noop") \
+            .mode("overwrite").save()
+        return time.time() - t0
+
+    for _ in range(2):  # JIT/codegen + page-cache warmup, untimed
+        one_pass()
+    times = sorted(round(one_pass(), 3) for _ in range(reps))
+    med = times[len(times) // 2]
+    print("CHILD_RESULT " + json.dumps({
+        "cpus": cpus, "turns": turns, "batch_secs": times,
+        "median_sec": med, "min_sec": times[0],
+        "median_turns_per_sec": round(turns / med, 1),
+    }))
+    spark.stop()
+
+
+def run_batch_scaling(lo: int, hi: int) -> dict:
+    """The stable batch-scaling protocol: one staged corpus (own exiting
+    subprocess — see run_scaling for why), then one CPU-pinned batch-only
+    child per level, 5 timed reps each; efficiency from the medians (min
+    also reported)."""
+    corpus = tempfile.mkdtemp(prefix="sdv_bscaling_corpus_")
+    try:
+        sf = _sf_from_dir(SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", corpus],
+            capture_output=True, text=True, timeout=1800, cwd=REPO)
+        turns_file = os.path.join(corpus, "turns.txt")
+        if not os.path.exists(turns_file):
+            raise RuntimeError(f"staging failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+        results = {}
+        for cpus in (lo, hi):
+            env = dict(os.environ, SPARK_GRAFT_SCALING_CORPUS=corpus)
+            out = subprocess.run(
+                [*_taskset_prefix(cpus), sys.executable,
+                 os.path.abspath(__file__), "--batch-child", str(cpus)],
+                capture_output=True, text=True, env=env, timeout=3600, cwd=REPO)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("CHILD_RESULT ")]
+            if not line:
+                raise RuntimeError(
+                    f"batch child {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+            results[cpus] = json.loads(line[-1][len("CHILD_RESULT "):])
+        summary = {
+            "sf": sf,
+            "turns": results[lo]["turns"],
+            "levels": results,
+            "batch_scaling_efficiency_median": round(
+                (results[hi]["median_turns_per_sec"]
+                 / results[lo]["median_turns_per_sec"]) / (hi / lo), 3),
+            "batch_scaling_efficiency_min": round(
+                ((results[lo]["turns"] / results[hi]["min_sec"])
+                 / (results[lo]["turns"] / results[lo]["min_sec"])) / (hi / lo), 3),
+        }
+        print(json.dumps(summary))
+        return summary
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+
+
 def _taskset_prefix(cpus: int) -> list[str]:
     if shutil.which("taskset"):
         return ["taskset", "-c", f"0-{cpus - 1}"]
@@ -397,6 +476,12 @@ if __name__ == "__main__":
         run_rate_stage(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--child":
         run_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--batch-child":
+        run_batch_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--batch-scaling":
+        lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+        run_batch_scaling(lo, hi)
     elif len(sys.argv) > 1 and sys.argv[1] == "--rate-child":
         run_rate_child(int(sys.argv[2]), float(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--rate":

@@ -1879,3 +1879,40 @@ def q_epoch_shuffle_order(spark, sf_dir):
     out = epoch_shuffle(docs, "doc_id", seed=0, n_shards=8,
                         hash_fn=portable_hash60)
     return out.where(F.col("pos") < 5).select("doc_id", "shard", "pos")
+
+
+@register("corpus_token_stats", """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
+FROM t GROUP BY lang
+""")
+def q_corpus_token_stats(spark, sf_dir):
+    """Per-language corpus profile — the mix-design dashboard numbers (doc
+    counts, token totals, length distribution incl. exact p50/p90). One
+    map-side-combined hash aggregate; the exchange carries one partial row
+    per (partition, lang). Exact `percentile` (sort-based per group) matches
+    DuckDB's quantile_cont interpolation bit-for-bit on integer inputs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit("")))
+    t = docs.select("lang", toks.alias("n_tokens"))
+    return (t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"),
+    ))
