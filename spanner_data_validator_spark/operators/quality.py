@@ -67,6 +67,53 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", *, min_df: int = 30,
+               delim: str = "\n", hash_fn=None,
+               broadcast_hot: bool = True) -> DataFrame:
+    """Boilerplate-line removal (the C4/RefinedWeb line-dedup rule): drop
+    every line that occurs in >= ``min_df`` DISTINCT documents (nav bars,
+    cookie banners, footers), keep everything else in original order.
+
+    Output: ``(id_col, clean_text, n_lines, n_removed)``.
+
+    Scale shape: lines are hashed to 8 bytes before any shuffle, so the
+    document-frequency count exchanges (hash, doc_id) pairs, never text; the
+    hot set (lines above min_df) is small and broadcast, and the hot-line
+    mark is a broadcast LEFT join + flag folded into the SAME per-doc
+    aggregate that reassembles the text — one shuffle for the DF count, one
+    for the reassembly, zero anti-join passes. Set ``broadcast_hot=False``
+    when the hot set is too large to broadcast (AQE then picks the join).
+    """
+    from spanner_data_validator_spark.functions.hashing import xxhash64_family
+
+    hash_fn = hash_fn or xxhash64_family
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+    ).withColumn("__h", hash_fn(F.col("line"), 0))
+
+    hot = (lines.select("__h", id_col).distinct()
+           .groupBy("__h").agg(F.count("*").alias("df"))
+           .where(F.col("df") >= min_df)
+           .select("__h", F.lit(True).alias("__hot")))
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+
+    marked = lines.join(hot, on="__h", how="left")
+    kept_line = F.when(F.col("__hot").isNull(), F.struct("line_no", "line"))
+    return (marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_line)),
+                lambda x: x["line"]),
+            delim).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__hot").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("n_removed"),
+    ))
+
+
 def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
                           *, id_col: str = "doc_id", text_col: str = "text",
                           bench_text_col: str = "text", n: int = 8,

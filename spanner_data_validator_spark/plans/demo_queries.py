@@ -1916,3 +1916,52 @@ def q_corpus_token_stats(spark, sf_dir):
         F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
         F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"),
     ))
+
+
+@register("line_dedup_clean", """
+WITH corpus AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0
+                      THEN chr(10) || 'copyright footer boilerplate' ELSE '' END
+              || CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || 'subscribe to newsletter' ELSE '' END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i - 1 AS line_no, string_split(text, chr(10))[i] AS line
+  FROM corpus, UNNEST(range(1, len(string_split(text, chr(10))) + 1)) AS t(i)
+),
+hot AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+  GROUP BY line HAVING count(*) >= 50
+),
+marked AS (
+  SELECT l.doc_id, l.line_no, l.line, h.line IS NOT NULL AS is_hot
+  FROM lines l LEFT JOIN hot h ON l.line = h.line
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT is_hot THEN line END,
+                           chr(10) ORDER BY line_no), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM marked GROUP BY doc_id
+""")
+def q_line_dedup_clean(spark, sf_dir):
+    """Boilerplate line removal (operators/quality.line_dedup, the C4-style
+    line-dedup rule) on a corpus with planted repeated footers: lines in
+    >= 50 distinct docs are dropped, content survives in order. The DF count
+    shuffles 8-byte line hashes, the hot set broadcasts, and the hot mark
+    folds into the reassembly aggregate — no anti-join pass."""
+    from spanner_data_validator_spark.operators.quality import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\ncopyright footer boilerplate")).otherwise(""),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\nsubscribe to newsletter")).otherwise(""),
+        ).alias("text"))
+    return line_dedup(corpus, "doc_id", "text", min_df=50)

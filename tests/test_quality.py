@@ -79,3 +79,20 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = contamination_overlap(docs, bench)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_line_dedup_removes_boilerplate_keeps_order(spark):
+    from spanner_data_validator_spark.operators.quality import line_dedup
+
+    boiler = "subscribe now"
+    rows = [(i, f"unique {i} alpha\n{boiler}\nunique {i} beta") for i in range(10)]
+    rows.append((100, boiler))                       # all-boilerplate doc
+    rows.append((101, "lonely line\nanother lonely"))  # nothing removed
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+           for r in line_dedup(df, min_df=5).collect()}
+
+    for i in range(10):   # boilerplate gone, content order preserved
+        assert out[i] == (f"unique {i} alpha\nunique {i} beta", 3, 1)
+    assert out[100] == ("", 1, 1)                    # fully-boilerplate doc
+    assert out[101] == ("lonely line\nanother lonely", 2, 0)
