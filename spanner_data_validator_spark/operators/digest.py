@@ -71,20 +71,25 @@ def digest_drift(
     src_digest: DataFrame,
     tgt_digest: DataFrame,
     *,
-    range_col: str = "range_id",
+    range_col: str | list[str] = "range_id",
 ) -> DataFrame:
-    """Ranges whose digests disagree: ``(range_col, status, src_n, tgt_n)``.
+    """Ranges whose digests disagree: ``(*range_col, status, src_n, tgt_n)``.
 
     A tiny full-outer join (n_ranges × n_ranges); ranges digesting equal on
     all four components are dropped — those need no row-level work.
+    ``range_col`` may be a composite key (e.g. ``["window_start",
+    "range_id"]`` for the windowed streaming monitor).
     """
+    keys = [range_col] if isinstance(range_col, str) else list(range_col)
     s = src_digest.select(
-        F.col(range_col), *[F.col(c).alias(f"s_{c}") for c in _DIGEST_COLS]
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"s_{c}") for c in _DIGEST_COLS],
     )
     t = tgt_digest.select(
-        F.col(range_col), *[F.col(c).alias(f"t_{c}") for c in _DIGEST_COLS]
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"t_{c}") for c in _DIGEST_COLS],
     )
-    j = s.join(t, on=range_col, how="full_outer")
+    j = s.join(t, on=keys, how="full_outer")
     same = F.lit(True)
     for c in _DIGEST_COLS:
         same = same & (F.col(f"s_{c}") == F.col(f"t_{c}"))
@@ -96,7 +101,7 @@ def digest_drift(
     return (
         j.where(~F.coalesce(same, F.lit(False)))
         .select(
-            F.col(range_col),
+            *[F.col(k) for k in keys],
             status.alias("status"),
             F.coalesce(F.col("s_n_rows"), F.lit(0)).alias("src_n"),
             F.coalesce(F.col("t_n_rows"), F.lit(0)).alias("tgt_n"),

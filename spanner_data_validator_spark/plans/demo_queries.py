@@ -1965,3 +1965,113 @@ def q_line_dedup_clean(spark, sf_dir):
                    F.lit("\nsubscribe to newsletter")).otherwise(""),
         ).alias("text"))
     return line_dedup(corpus, "doc_id", "text", min_df=50)
+
+
+def _stream_digest_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import portable_hash60_sql
+
+    fp = portable_hash60_sql("payload")
+    digest = """
+  SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+         CAST(conv_id AS BIGINT) % 64 AS range_id,
+         CAST(count(*) AS BIGINT) AS n_rows, bit_xor(fp) AS xor_fp,
+         sum(fp & 4294967295) AS sum_lo, sum(fp >> 32) AS sum_hi
+  FROM {side} GROUP BY 1, 2"""
+    return f"""
+WITH src AS (
+  SELECT CAST(user_id AS STRING) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         coalesce(event_type, '') AS role,
+         coalesce(props, '') AS text,
+         ts
+  FROM events
+),
+tgt AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN (CAST(conv_id AS BIGINT) * 31 + turn_idx) % 50 = 0
+              THEN text || '#mut' ELSE text END AS text, ts
+  FROM src WHERE (CAST(conv_id AS BIGINT) * 31 + turn_idx) % 50 <> 1
+  UNION ALL
+  SELECT conv_id, CAST(turn_idx + 100000 AS INT) AS turn_idx, role, text, ts
+  FROM src WHERE (CAST(conv_id AS BIGINT) * 31 + turn_idx) % 50 = 2
+),
+sfp AS (SELECT conv_id, ts, {fp} AS fp FROM
+        (SELECT conv_id, ts, concat_ws('|', role, text) AS payload FROM src)),
+tfp AS (SELECT conv_id, ts, {fp} AS fp FROM
+        (SELECT conv_id, ts, concat_ws('|', role, text) AS payload FROM tgt)),
+sd AS ({digest.format(side='sfp')}),
+td AS ({digest.format(side='tfp')})
+SELECT coalesce(s.window_start_ms, t.window_start_ms) AS window_start_ms,
+       coalesce(s.range_id, t.range_id) AS range_id,
+       CASE WHEN s.n_rows IS NULL THEN 'RANGE_TARGET_ONLY'
+            WHEN t.n_rows IS NULL THEN 'RANGE_SOURCE_ONLY'
+            ELSE 'RANGE_CHANGED' END AS status,
+       CAST(coalesce(s.n_rows, 0) AS BIGINT) AS src_n,
+       CAST(coalesce(t.n_rows, 0) AS BIGINT) AS tgt_n
+FROM sd s FULL OUTER JOIN td t
+  ON s.window_start_ms = t.window_start_ms AND s.range_id = t.range_id
+WHERE s.n_rows IS NULL OR t.n_rows IS NULL
+   OR s.n_rows <> t.n_rows OR s.xor_fp <> t.xor_fp
+   OR s.sum_lo <> t.sum_lo OR s.sum_hi <> t.sum_hi
+"""
+
+
+@register("stream_digest_drift", _stream_digest_oracle())
+def q_stream_digest_drift(spark, sf_dir):
+    """REAL streaming digest-drift monitor run (streaming/digest_stream):
+    both transcript streams fold through ONE watermarked stateful aggregation
+    into per-(1h window, conv%64 range, side) digests — state is windows ×
+    ranges × 2 rows (~40 B each) instead of per-key join state. Closed
+    windows land in an append sink; the batch compare names the drifted
+    (window, range) cells. Oracle replicates digests + drift in SQL."""
+    import tempfile
+
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.jobs.validate_transcripts import (
+        append_sentinel,
+    )
+    from spanner_data_validator_spark.operators.digest import digest_drift
+    from spanner_data_validator_spark.sources.transcript_source import (
+        stream_transcripts,
+        write_transcripts,
+    )
+    from spanner_data_validator_spark.streaming.digest_stream import (
+        dual_windowed_digest,
+    )
+
+    src = transcripts_from_events(spark, sf_dir).persist()
+    tgt = _events_transcript_target(src)
+    work = tempfile.mkdtemp(prefix="sdv_q_stream_digest_")
+    try:
+        write_transcripts(src, spark, f"{work}/src", n_files=4)
+        write_transcripts(tgt, spark, f"{work}/tgt", n_files=4)
+    finally:
+        src.unpersist()
+    append_sentinel(spark, f"{work}/src", f"{work}/tgt")
+
+    # NO pre-aggregation sentinel filter: Catalyst pushes a conv_id predicate
+    # below the EventTimeWatermark operator into the scan, so the sentinel
+    # would never advance the watermark and the last real window would never
+    # close. Unfiltered, the sentinel advances the watermark while its own
+    # far-future window never closes — it can't reach the append sink; its
+    # NULL range (non-numeric conv_id) is dropped at read time regardless.
+    s = stream_transcripts(spark, f"{work}/src", watermark="10 minutes")
+    t = stream_transcripts(spark, f"{work}/tgt", watermark="10 minutes")
+    fp = portable_hash60(F.concat_ws("|", F.col("role"), F.col("text")))
+    # try_cast: the sentinel's conv_id is non-numeric (ANSI cast would throw);
+    # it maps to a NULL range that never leaves the open far-future window
+    rid = F.pmod(F.col("conv_id").try_cast("long"), F.lit(64))
+    q = (dual_windowed_digest(s, t, rid, fp, window="1 hour")
+         .writeStream.format("parquet")
+         .option("path", f"{work}/digests")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    dig = spark.read.parquet(f"{work}/digests") \
+        .where(F.col("range_id").isNotNull())
+    sd = dig.where(F.col("side") == "source").drop("side")
+    td = dig.where(F.col("side") == "target").drop("side")
+    out = digest_drift(sd, td, range_col=["window_start", "range_id"])
+    return (out.select(F.unix_millis("window_start").alias("window_start_ms"),
+                       "range_id", "status", "src_n", "tgt_n"))

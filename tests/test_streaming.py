@@ -595,3 +595,52 @@ def test_streaming_dedup_within_horizon_and_eviction(spark, tmp_path):
     counts = {r["k"]: r["n"] for r in spark.read.parquet(out_dir)
               .groupBy("k").agg(F.count("*").alias("n")).collect()}
     assert counts == {1: 2, 2: 1, 3: 1}
+
+
+def test_windowed_digest_stream_matches_batch(spark, tmp_path):
+    """The streaming digest monitor (ONE stateful agg over both tagged sides)
+    emits, per closed (window, range, side), exactly the digest the batch
+    expression computes — and the sentinel (non-numeric conv_id, far-future
+    window) advances the watermark without ever reaching the append sink."""
+    from spanner_data_validator_spark.operators.digest import range_digest
+    from spanner_data_validator_spark.sources.transcript_source import (
+        read_transcripts,
+        stream_transcripts,
+    )
+    from spanner_data_validator_spark.streaming.digest_stream import (
+        dual_windowed_digest,
+    )
+
+    pair, src_dir, tgt_dir = _stage_pair(spark, tmp_path, dup_rows=0)
+    rid = F.pmod(F.expr("try_cast(regexp_replace(conv_id, '[^0-9]', '') AS BIGINT)"),
+                 F.lit(8))
+    fp = F.xxhash64(F.concat_ws("|", "role", "text"))
+
+    s = stream_transcripts(spark, src_dir, watermark="10 minutes")
+    t = stream_transcripts(spark, tgt_dir, watermark="10 minutes")
+    q = (dual_windowed_digest(s, t, rid, fp, window="1 hour")
+         .writeStream.format("parquet")
+         .option("path", f"{tmp_path}/digests")
+         .option("checkpointLocation", f"{tmp_path}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(f"{tmp_path}/digests")
+    assert got.where(F.col("range_id").isNull()).count() == 0  # no sentinel
+
+    def batch_side(path, side):
+        df = read_transcripts(spark, path).where(F.col("conv_id") != "__sentinel__")
+        win = F.window("ts", "1 hour")
+        return (range_digest(
+                    df.select(win.alias("w"), rid.alias("rid"), fp.alias("fingerprint")),
+                    F.struct(F.col("w.start").alias("ws"), F.col("rid")),
+                    F.col("fingerprint"))
+                .select(F.col("range_id.ws").alias("window_start"),
+                        F.col("range_id.rid").alias("range_id"),
+                        F.lit(side).alias("side"),
+                        "n_rows", "xor_fp", "sum_lo", "sum_hi"))
+
+    want = batch_side(src_dir, "source").unionByName(batch_side(tgt_dir, "target"))
+    got_set = {tuple(r) for r in got.collect()}
+    want_set = {tuple(r) for r in want.collect()}
+    assert got_set == want_set and len(got_set) > 0
