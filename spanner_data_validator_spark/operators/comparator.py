@@ -110,6 +110,40 @@ def classify_pair(
     return joined.withColumn("status", status)
 
 
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    *,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Last-writer-wins collapse of a change/upsert stream to its final state:
+    one row per key carrying the ``value_cols`` of the max-(ts[, tiebreak])
+    version. The dual of ``dedup_first`` (min) for CDC-style validation —
+    a migration that tails a change stream is validated by collapsing the
+    source's update history and classifying against the target snapshot.
+
+    One combiner-lifted hash aggregate (``max_by`` a struct); the shuffle
+    carries one partial row per (partition, key), so update-heavy keys
+    shrink map-side. Ties on ``ts`` are broken by ``tiebreak_cols`` (pass
+    the version/sequence column when the feed has same-timestamp updates —
+    without one, ties pick the max value tuple, deterministic but arbitrary).
+    """
+    tb = tiebreak_cols or []
+    ordkey = F.struct(F.col(ts_col), *[F.col(c) for c in tb],
+                      *[F.col(c) for c in value_cols])
+    picked = F.max_by(
+        F.struct(*[F.col(c) for c in value_cols], F.col(ts_col)), ordkey
+    ).alias("__latest")
+    out = df.groupBy(*key_cols).agg(picked)
+    return out.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(f"__latest.{c}").alias(c) for c in value_cols],
+        F.col(f"__latest.{ts_col}").alias(ts_col),
+    )
+
+
 def apply_timestamp_threshold(
     classified: DataFrame,
     *,

@@ -37,6 +37,10 @@ from spanner_data_validator_spark.functions.text import (
 )
 from spanner_data_validator_spark.operators.ann import cosine_topk, embedding_near_dups
 from spanner_data_validator_spark.operators.comparator import (
+    MATCH,
+    MISMATCH,
+    SOURCE_ONLY,
+    TARGET_ONLY,
     apply_timestamp_threshold,
     classify_pair,
     tally_report,
@@ -2075,3 +2079,63 @@ def q_stream_digest_drift(spark, sf_dir):
     out = digest_drift(sd, td, range_col=["window_start", "range_id"])
     return (out.select(F.unix_millis("window_start").alias("window_start_ms"),
                        "range_id", "status", "src_n", "tgt_n"))
+
+
+@register("validate_upserts", """
+WITH base AS (
+  SELECT event_id AS key,
+         concat_ws('|', coalesce(event_type,''), coalesce(props,''),
+                   coalesce(CAST(user_id AS STRING),'')) AS payload,
+         ts
+  FROM events
+),
+log AS (
+  SELECT key, payload, ts FROM base
+  UNION ALL
+  SELECT key, payload || '#v2' AS payload, ts + INTERVAL 1 HOUR AS ts
+  FROM base WHERE key % 40 = 0
+),
+fin AS (SELECT key, max_by(payload, ts) AS payload FROM log GROUP BY key),
+tgt AS (
+  SELECT key,
+         CASE WHEN key % 50 = 0 THEN payload || '#mut' ELSE payload END AS payload
+  FROM fin WHERE key % 50 <> 1
+  UNION ALL
+  SELECT key + 100000000 AS key, payload FROM fin WHERE key % 50 = 2
+),
+cls AS (
+  SELECT CASE WHEN s.payload IS NOT NULL AND t.payload IS NOT NULL
+                   AND s.payload = t.payload THEN 'MATCH'
+              WHEN s.payload IS NOT NULL AND t.payload IS NOT NULL THEN 'MISMATCH'
+              WHEN t.payload IS NULL THEN 'SOURCE_ONLY'
+              ELSE 'TARGET_ONLY' END AS status
+  FROM fin s FULL OUTER JOIN tgt t ON s.key = t.key
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY status
+""")
+def q_validate_upserts(spark, sf_dir):
+    """CDC-style validation: the source is a CHANGE LOG (base rows + later
+    corrections for key%40=0), collapsed to final state by last-writer-wins
+    (comparator.latest_per_key — one max_by hash aggregate, the dual of
+    dedup_first) and classified against the target snapshot. A migration
+    tailing an update stream is validated without materializing history;
+    the %40 keys only MATCH if the collapse picked the correction."""
+    from spanner_data_validator_spark.operators.comparator import latest_per_key
+
+    base = events_source(spark, sf_dir).select("key", "payload", "ts")
+    upd = base.where(F.col("key") % 40 == 0).select(
+        "key", F.concat(F.col("payload"), F.lit("#v2")).alias("payload"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"))
+    fin = latest_per_key(base.unionByName(upd), ["key"], "ts", ["payload"])
+    tgt = events_target(fin.select("key", "payload"))
+    s = fin.select("key", F.col("payload").alias("src_payload"))
+    t = tgt.select("key", F.col("payload").alias("tgt_payload"))
+    j = s.join(t, "key", "full_outer")
+    status = (
+        F.when(F.col("src_payload").isNotNull() & F.col("tgt_payload").isNotNull(),
+               F.when(F.col("src_payload") == F.col("tgt_payload"), MATCH)
+                .otherwise(MISMATCH))
+         .when(F.col("tgt_payload").isNull(), SOURCE_ONLY)
+         .otherwise(TARGET_ONLY))
+    return (j.select(status.alias("status"))
+             .groupBy("status").agg(F.count("*").alias("n")))

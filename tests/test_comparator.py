@@ -121,3 +121,22 @@ def test_mismatch_rows_sink_shape(spark):
     n = mism.count()
     # each MISMATCH contributes 2 rows (both sides), each *_ONLY contributes 1
     assert n == 2 * e["MISMATCH"] + e["SOURCE_ONLY"] + e["TARGET_ONLY"]
+
+
+def test_latest_per_key_last_writer_wins(spark):
+    from spanner_data_validator_spark.operators.comparator import latest_per_key
+
+    rows = [
+        (1, "v1", 100, 0), (1, "v2", 200, 0),          # later ts wins
+        (2, "only", 50, 0),                              # single version
+        (3, "a", 300, 1), (3, "b", 300, 2),              # ts tie -> tiebreak col
+    ]
+    df = spark.createDataFrame(rows, "key LONG, payload STRING, ts LONG, seq LONG")
+    out = {r["key"]: (r["payload"], r["ts"]) for r in
+           latest_per_key(df, ["key"], "ts", ["payload"],
+                          tiebreak_cols=["seq"]).collect()}
+    assert out == {1: ("v2", 200), 2: ("only", 50), 3: ("b", 300)}
+    # without a tiebreak column, ties resolve by max value tuple (deterministic)
+    out2 = {r["key"]: r["payload"] for r in
+            latest_per_key(df, ["key"], "ts", ["payload"]).collect()}
+    assert out2[3] == "b"
