@@ -311,6 +311,44 @@ def ivf_index(
         _norm(F.col(vec_col)).alias("inorm"), "list_id")
 
 
+def semdedup(index: DataFrame, *, threshold: float = 0.95) -> DataFrame:
+    """Semantic deduplication — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the coarse quantizer, then
+    mark every item that has a same-cluster neighbor with cosine >=
+    ``threshold`` and a SMALLER id as a semantic duplicate (deterministic
+    keep-lowest-id; the paper keeps the item farthest from the centroid —
+    min-id is equally arbitrary, engine-portable, and stable under re-runs).
+
+    ``index`` is a (persisted) ``ivf_index`` frame — (neighbor_id, iv,
+    inorm, list_id). Pass it persisted/bucketed: the pairwise step is a
+    self-join, and Catalyst does not reuse exchanges across aliased
+    branches, so an unpersisted index would recompute assignment twice.
+
+    Scale shape: the pairwise cosine is CLUSTER-LOCAL (equi-join on
+    list_id) — O(Σ|cluster|²) comparisons, the documented SemDeDup cost;
+    cluster count grows with the corpus (the paper uses ~sqrt(n) clusters)
+    so cluster size, and with it the per-bucket quadratic term, stays
+    bounded. The dup-id set is sparse and broadcast back onto the index.
+
+    Output: (vec_id, list_id, is_dup) — one row per item; filter
+    ``~is_dup`` for the pruned corpus.
+    """
+    a = index.select(F.col("neighbor_id").alias("a"), F.col("iv").alias("va"),
+                     F.col("inorm").alias("na"), "list_id")
+    b = index.select(F.col("neighbor_id").alias("b"), F.col("iv").alias("vb"),
+                     F.col("inorm").alias("nb"), "list_id")
+    dup_ids = (a.join(b, "list_id")
+                .where(F.col("a") < F.col("b"))
+                .where(_dot(F.col("va"), F.col("vb"))
+                       / (F.col("na") * F.col("nb")) >= threshold)
+                .select(F.col("b").alias("neighbor_id"))
+                .distinct()
+                .withColumn("is_dup", F.lit(True)))
+    return (index.join(F.broadcast(dup_ids), "neighbor_id", "left")
+                 .select(F.col("neighbor_id").alias("vec_id"), "list_id",
+                         F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
 def ivf_topk(
     items: DataFrame | None, queries: DataFrame, k: int,
     *, id_col: str = "vec_id", vec_col: str = "embedding",

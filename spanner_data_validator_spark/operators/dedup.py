@@ -346,6 +346,68 @@ def simhash_candidates(sig_df: DataFrame, *, id_col: str, bits: int,
                    .select("p.a", "p.b", "p.sig_a", "p.sig_b").distinct())
 
 
+def window_hash_positions(df: DataFrame, id_col: str, text_col: str,
+                          *, width: int = 8, hash_fn=None) -> DataFrame:
+    """(id, pos, h): hash of every ``width``-word rolling window, with its
+    1-based start-token position.
+
+    The window strings are hashed INSIDE the transform over the shingle
+    array, so the Generate (posexplode) emits 8-byte longs, never the window
+    text — at 100 TB the exploded table is ~|tokens| skinny rows/doc of
+    (id, int, long), not ~50 B strings.
+    """
+    from spanner_data_validator_spark.functions.hashing import xxhash64_family
+
+    hash_fn = hash_fn or xxhash64_family
+    hashes = F.transform(shingles(text_col, width), lambda s: hash_fn(s, 0))
+    return (df.select(F.col(id_col), F.posexplode(hashes).alias("pos0", "h"))
+              .select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "h"))
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    *, width: int = 8, min_occurrences: int = 2,
+                    hash_fn=None) -> DataFrame:
+    """Duplicated-substring spans — the substring-level dedup pass of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed Spark-first: the suffix-array scan over the concatenated
+    corpus becomes rolling ``width``-word window hashes + a global
+    repeated-window count, which finds exactly the maximal duplicated
+    substrings of >= ``width`` tokens (every such substring is a run of
+    repeated windows; merging overlapping/adjacent repeated windows
+    reconstructs the span).
+
+    Plan: one window-hash explode (scan-stage, no shuffle) -> ONE exchange
+    keyed by the 8-byte window hash (a count window marks hashes occurring
+    >= ``min_occurrences`` times corpus-wide — no groupBy+join second pass)
+    -> one exchange keyed by doc id for the gaps-and-islands merge (windows
+    whose start positions differ by <= ``width`` overlap or adjoin). Both
+    shuffles are linear in the token count; nothing is ever quadratic in
+    docs or occurrences.
+
+    Output: (id_col, span_start, span_end, n_windows) with 1-based inclusive
+    token positions — feed it to a span-removal rewrite or a
+    duplicated-token-fraction quality signal.
+    """
+    from pyspark.sql import Window
+
+    wh = window_hash_positions(df, id_col, text_col, width=width,
+                               hash_fn=hash_fn)
+    cnt_w = Window.partitionBy("h")
+    marked = (wh.withColumn("__c", F.count("*").over(cnt_w))
+                .where(F.col("__c") >= min_occurrences)
+                .select(id_col, "pos"))
+    doc_w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(doc_w) <= width,
+                 F.lit(0)).otherwise(F.lit(1))
+    grouped = (marked.withColumn("__brk", brk)
+                     .withColumn("__island", F.sum("__brk").over(doc_w)))
+    return (grouped.groupBy(id_col, "__island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(width - 1)).cast("long").alias("span_end"),
+                 F.count("*").alias("n_windows"))
+            .drop("__island"))
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round over an undirected edge list ``(a, b)``.
 

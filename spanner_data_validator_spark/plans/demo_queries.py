@@ -1726,6 +1726,136 @@ def q_ann_ivf_topk(spark, sf_dir):
     return out.withColumn("sim", F.round(F.col("sim"), 3))
 
 
+# SemDeDup corpus: planted semantic duplicates — scaled copies (x * 1.01)
+# have cosine exactly 1 to their original, far above threshold; the nearest
+# NON-planted within-cluster pair sits at cosine ~0.51, so the 0.95 threshold
+# compare is immune to float-summation drift between engines.
+_SEMDEDUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01e0) AS embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM corpus
+        WHERE vec_id % 61 = 3 ORDER BY vec_id LIMIT 8)
+),
+it AS (
+  SELECT neighbor_id, iv, list_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS iv, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding, c.cv), c.list_id) AS rn
+    FROM corpus e CROSS JOIN cent c)
+  WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.neighbor_id AS b
+  FROM it a JOIN it b ON a.list_id = b.list_id AND a.neighbor_id < b.neighbor_id
+  WHERE list_cosine_similarity(a.iv, b.iv) >= 0.95
+)
+SELECT it.neighbor_id AS vec_id, it.list_id,
+       it.neighbor_id IN (SELECT b FROM dups) AS is_dup
+FROM it
+"""
+
+
+@register("semdedup_prune", _SEMDEDUP_SQL)
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup (operators/ann.semdedup, Abbas et al. 2023): coarse-quantizer
+    clustering, cluster-local pairwise cosine, keep-lowest-id pruning — on a
+    corpus with planted scaled copies (cosine exactly 1). The index is
+    localCheckpoint-ed so the pairwise self-join reads the materialized
+    assignment instead of recomputing it per aliased branch (Catalyst does
+    not reuse exchanges across self-join aliases)."""
+    from spanner_data_validator_spark.operators.ann import (
+        centroids_from_items,
+        ivf_index,
+        semdedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dbl = F.col("embedding").cast("array<double>")
+    corpus = (emb.select("vec_id", dbl.alias("embedding"))
+                 .unionByName(
+                     emb.where(F.col("vec_id") % 25 == 0)
+                        .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                                F.transform(dbl, lambda x: x * F.lit(1.01))
+                                 .alias("embedding"))))
+    cents = centroids_from_items(corpus, modulus=61, residue=3, n_lists=8)
+    idx = ivf_index(corpus, cents).localCheckpoint(eager=True)
+    return semdedup(idx, threshold=0.95)
+
+
+# substring-level dedup (Lee et al. 2022): boilerplate tail planted on every
+# 7th doc gives cross-doc repeated windows; natural in-corpus repeats (if
+# any) are found identically by both engines.
+_SPAN_W = 6
+_SPAN_BOILER = " terms of service apply to all mirrored content here"
+
+
+def _substring_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql(
+        f"array_to_string(list_slice(ws, i, i + {_SPAN_W - 1}), ' ')")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN '{_SPAN_BOILER}' ELSE '' END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, {h} AS h
+  FROM toks, UNNEST(range(1, len(ws) - {_SPAN_W - 2})) AS t(i)
+  WHERE len(ws) >= {_SPAN_W}
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM wins)
+  WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SPAN_W} THEN 0 ELSE 1 END AS brk
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {_SPAN_W - 1} AS span_end,
+       count(*) AS n_windows
+FROM grp GROUP BY doc_id, island
+"""
+
+
+@register("substring_dup_spans", _substring_oracle())
+def q_substring_dup_spans(spark, sf_dir):
+    """Duplicated-substring spans (operators/dedup.duplicate_spans) — the
+    Lee-et-al substring dedup pass as rolling window hashes + repeated-window
+    count + gaps-and-islands merge, on a corpus with a planted boilerplate
+    tail on every 7th doc. Portable hash family so the oracle computes the
+    identical windows end-to-end."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 7 == 0, F.lit(_SPAN_BOILER))
+                  .otherwise("")).alias("text"))
+    return duplicate_spans(corpus, "doc_id", "text", width=_SPAN_W,
+                           hash_fn=portable_hash60)
+
+
 # ---------------------------------------------------------------------------
 # incremental (recurring) validation: per-range digests → drift → row-level
 # classify of drifted ranges only (operators/digest.py)

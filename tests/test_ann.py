@@ -239,3 +239,28 @@ def test_ivf_topk_argument_validation(spark, emb):
     ok = ivf_topk(None, emb.where(F.col("vec_id") == 0), 3,
                   index=idx, centroids=cents)
     assert ok.count() == 3
+
+
+def test_semdedup_prunes_planted_copies(spark, emb):
+    """Scaled copies (cosine exactly 1) are flagged; every original and
+    non-copied vector survives; keep-lowest-id means the copy (higher id)
+    is always the pruned side."""
+    from spanner_data_validator_spark.operators.ann import (
+        centroids_from_items,
+        ivf_index,
+        semdedup,
+    )
+
+    dbl = F.col("embedding").cast("array<double>")
+    copies = (emb.where(F.col("vec_id") % 10 == 0)
+                 .select((F.col("vec_id") + 50_000).alias("vec_id"),
+                         F.transform(dbl, lambda x: x * F.lit(1.01))
+                          .alias("embedding")))
+    corpus = emb.select("vec_id", dbl.alias("embedding")).unionByName(copies)
+    cents = centroids_from_items(corpus, modulus=7, residue=1, n_lists=4)
+    idx = ivf_index(corpus, cents).localCheckpoint(eager=True)
+    out = semdedup(idx, threshold=0.95)
+    assert out.count() == corpus.count()          # one row per item
+    flagged = {r.vec_id for r in out.where("is_dup").collect()}
+    planted = {r.vec_id for r in copies.select("vec_id").collect()}
+    assert flagged == planted                     # copies pruned, originals kept

@@ -308,3 +308,49 @@ def test_assign_components_and_canonical(spark):
     assert labeled == {(1, 1), (2, 2), (3, 3), (4, 2), (5, 2)}
     kept = sorted(r["doc_id"] for r in canonical_docs(docs, pairs, "doc_id").collect())
     assert kept == [1, 2, 3]
+
+
+def test_duplicate_spans_planted_boilerplate(spark):
+    """Two docs share an 8-word boilerplate tail; one doc repeats a 6-word
+    run internally. Spans are exact 1-based inclusive token intervals."""
+    from spanner_data_validator_spark.operators.dedup import duplicate_spans
+
+    boiler = "terms of service apply to all mirrored content"  # 8 words
+    rows = [
+        # doc 1: 4 unique words + boilerplate at tokens 5..12
+        (1, "alpha beta gamma delta " + boiler),
+        # doc 2: 2 unique words + boilerplate at tokens 3..10
+        (2, "epsilon zeta " + boiler),
+        # doc 3: internal repeat of a 6-word run (tokens 1..6 and 9..14)
+        (3, "one two three four five six x y one two three four five six"),
+        # doc 4: nothing duplicated
+        (4, "nothing here repeats with anything else in the corpus at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, "doc_id", "text", width=6)
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in out.collect()}
+    # 8-word boilerplate = 3 overlapping 6-windows, merged into one span
+    assert (1, 5, 12, 3) in got
+    assert (2, 3, 10, 3) in got
+    # internal repeat: both 6-word occurrences marked; gap 9-1=8 > 6 so they
+    # stay separate spans
+    assert (3, 1, 6, 1) in got and (3, 9, 14, 1) in got
+    assert not any(r[0] == 4 for r in got)
+    assert len(got) == 4
+
+
+def test_duplicate_spans_merges_adjacent_windows(spark):
+    """Repeated windows whose starts differ by exactly `width` adjoin
+    (contiguous duplicated tokens) and merge into one span."""
+    from spanner_data_validator_spark.operators.dedup import duplicate_spans
+
+    # docs 1 and 2 share tokens: a 12-word run = 10 overlapping 3-windows
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    df = spark.createDataFrame(
+        [(1, shared + " unique1 tail1"), (2, "lead2 " + shared)],
+        "doc_id long, text string")
+    out = duplicate_spans(df, "doc_id", "text", width=3)
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in out.collect()}
+    assert got == {(1, 1, 12, 10), (2, 2, 13, 10)}
