@@ -1856,6 +1856,63 @@ def q_substring_dup_spans(spark, sf_dir):
                            hash_fn=portable_hash60)
 
 
+# Point-in-time validation: each "replica read" (a version re-read 17 min
+# later) is classified against the source version AS OF the read timestamp.
+# The oracle uses DuckDB's native ASOF JOIN — an independent implementation
+# of the same temporal-join semantics, not a transliteration of our plan.
+_ASOF_SQL = """
+WITH versions AS (
+  SELECT user_id, ts, value, event_id FROM (
+    SELECT user_id, ts, value, event_id,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+),
+reads AS (
+  SELECT user_id, event_id, ts + INTERVAL 17 MINUTE AS read_ts,
+         value AS observed_value
+  FROM versions WHERE event_id % 5 = 0
+)
+SELECT r.user_id, r.event_id, epoch_ms(r.read_ts) AS read_ts_ms,
+       r.observed_value, v.value AS asof_value,
+       CASE WHEN v.value IS NULL THEN 'NO_SOURCE'
+            WHEN v.value = r.observed_value THEN 'MATCH'
+            ELSE 'MISMATCH' END AS status
+FROM reads r ASOF LEFT JOIN versions v
+  ON r.user_id = v.user_id AND r.read_ts >= v.ts
+"""
+
+
+@register("asof_point_in_time", _ASOF_SQL)
+def q_asof_point_in_time(spark, sf_dir):
+    """As-of (point-in-time) validation (operators/asof.asof_validate): every
+    5th event version is re-read 17 minutes later and classified against the
+    version the source held AT the read time — MISMATCH iff another version
+    landed in between. One keyed shuffle + carry-forward window; the oracle
+    is DuckDB's native ASOF JOIN."""
+    from pyspark.sql import Window
+
+    from spanner_data_validator_spark.operators.asof import asof_validate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    versions = (ev.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1)
+                  .select("user_id", "ts", "value", "event_id"))
+    reads = versions.where(F.col("event_id") % 5 == 0).select(
+        "user_id", "event_id",
+        (F.col("ts") + F.expr("INTERVAL 17 MINUTES")).alias("ts"),
+        F.col("value").alias("observed_value"))
+    out = asof_validate(reads, versions.select("user_id", "ts", "value"),
+                        ["user_id"], observed_col="observed_value",
+                        value_col="value")
+    # parquet ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the cast
+    # is the exact epoch DuckDB's epoch_ms computes on the same naive value
+    return out.select("user_id", "event_id",
+                      F.unix_millis(F.col("ts").cast("timestamp"))
+                       .alias("read_ts_ms"),
+                      "observed_value", "asof_value", "status")
+
+
 # ---------------------------------------------------------------------------
 # incremental (recurring) validation: per-range digests → drift → row-level
 # classify of drifted ranges only (operators/digest.py)
