@@ -1,0 +1,75 @@
+"""Term statistics — TF-IDF keyword extraction over a document corpus.
+
+The per-doc top-k characteristic terms are the classic topic/quality signal
+for corpus curation (domain filtering, cluster labeling, mixture design).
+
+Plan shape at 100 TB:
+
+* one tokenize explode (scan-stage, no shuffle) → ONE hash agg keyed by
+  (doc, term) for tf — the only shuffle that carries per-document rows;
+* document frequency reduces from the tf table (map-side combined, keyed by
+  term — vocabulary-sized, orders of magnitude smaller than the corpus);
+* the tf⋈df join is keyed by term; ``max_df_frac`` drops stopword-ish terms
+  FIRST (the same hot-key guard as shingle pruning — a term in half the
+  corpus contributes nothing to "characteristic" and dominates the join);
+* the final per-doc top-k reuses ``ann.topk_per_query`` — a narrow
+  per-partition partial reduce BEFORE the rank window, so the exchange
+  carries ≤ partitions·docs·k skinny rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf): whitespace-token term frequencies, lowercased."""
+    toks = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term")
+    return (df.select(F.col(id_col), toks)
+              .where(F.col("term") != "")
+              .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+
+
+def rational_idf(n_docs: int) -> "callable":
+    """idf(df) = n_docs / df as ONE double division of exact integers — IEEE
+    correctly-rounded in every engine, so scores are bit-identical across
+    Spark and a SQL oracle (a log-based idf is only ~1-ulp reproducible).
+    Rankings differ from log idf only in how hard rare terms are boosted."""
+    def f(df_col: Column) -> Column:
+        return F.lit(float(n_docs)) / df_col.cast("double")
+    return f
+
+
+def log_idf(n_docs: int) -> "callable":
+    """Smoothed log idf (the textbook form): ln((1 + n) / (1 + df)) + 1."""
+    def f(df_col: Column) -> Column:
+        return F.log((1.0 + n_docs) / (1.0 + df_col.cast("double"))) + 1.0
+    return f
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    *, k: int = 5, max_df_frac: float | None = 0.5,
+                    idf_fn=None, n_docs: int | None = None) -> DataFrame:
+    """Per-doc top-``k`` terms by tf·idf (ties broken by term asc).
+
+    ``idf_fn`` maps the document-frequency column to an idf column; defaults
+    to ``log_idf``. Pass ``rational_idf`` for bit-exact cross-engine scores.
+    ``n_docs`` overrides the corpus-size count (one tiny job) when known.
+
+    Output: (id_col, term, tf, df, score, rank).
+    """
+    from spanner_data_validator_spark.operators.ann import topk_per_query
+
+    if n_docs is None:
+        n_docs = df.count()
+    idf_fn = idf_fn or log_idf(n_docs)
+    tf = doc_term_freqs(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        dfreq = dfreq.where(F.col("df") <= int(max_df_frac * n_docs))
+    scored = (tf.join(dfreq, "term")
+                .withColumn("score", F.col("tf") * idf_fn(F.col("df"))))
+    top = topk_per_query(scored, k, key_col=id_col, order_col="score",
+                         tie_col="term")
+    return top.select(id_col, "term", "tf", "df", "score", "rank")

@@ -1913,6 +1913,50 @@ def q_asof_point_in_time(spark, sf_dir):
                       "observed_value", "asof_value", "status")
 
 
+# TF-IDF top terms: rational idf (n_docs / df — one IEEE division, bit-exact
+# across engines, unlike log idf's ~1-ulp drift); score written tf * (N/df)
+# on BOTH sides so the two roundings associate identically.
+_TFIDF_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * ((SELECT CAST(n AS DOUBLE) FROM n) / CAST(dfreq.df AS DOUBLE))
+           AS score
+  FROM tf JOIN dfreq USING (term)
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored)
+SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms (operators/terms.tfidf_top_terms) — the
+    keyword/topic signal for corpus curation. The per-doc top-k reuses the
+    two-phase partial reduce, so the rank exchange stays bounded. The
+    stopword (max_df_frac) prune is unit-tested instead: the synthetic
+    corpus's 31-word vocabulary is almost entirely above any real-world
+    df cutoff, which would degenerate the demo."""
+    from spanner_data_validator_spark.operators.terms import (
+        rational_idf,
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    return tfidf_top_terms(docs, "doc_id", "text", k=5, max_df_frac=None,
+                           idf_fn=rational_idf(n), n_docs=n)
+
+
 # ---------------------------------------------------------------------------
 # incremental (recurring) validation: per-range digests → drift → row-level
 # classify of drifted ranges only (operators/digest.py)
