@@ -1957,6 +1957,105 @@ def q_tfidf_top_terms(spark, sf_dir):
                            idf_fn=rational_idf(n), n_docs=n)
 
 
+# End-to-end curation funnel: exact copies (%10) and near-dup variants (%20)
+# planted; the doc_id%97==0 docs double as the leaked "eval set", so stage 5
+# must remove them (and anything sharing an 8-gram with them).
+_FUNNEL_SQL = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'XX ' || text FROM documents WHERE doc_id % 20 = 0
+),
+s1 AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+c1 AS (SELECT c.doc_id, c.text FROM corpus c JOIN s1 USING (doc_id)),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(string_split(text,' '), i, i+2), ' ') AS shingle
+  FROM c1, UNNEST(range(1, len(string_split(text,' ')) - 1)) AS t(i)
+  WHERE len(string_split(text,' ')) >= 3
+),
+keepsh AS (SELECT shingle FROM sh0 GROUP BY shingle
+           HAVING count(*) <= {_MAX_SHINGLE_DF}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keepsh USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS k
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+  WHERE CAST(i.k AS DOUBLE) / (sa.n + sb.n - i.k) >= 0.7
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM c1
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node WHERE w.label < e.v
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node),
+c2 AS (SELECT c1.doc_id, c1.text FROM c1 JOIN comp USING (doc_id)
+       WHERE comp.component = c1.doc_id),
+wc AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM c2)
+  WHERE w <> '' GROUP BY 1, 2
+),
+wstat AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_c FROM wc GROUP BY 1),
+c3 AS (SELECT c2.doc_id, c2.text FROM c2 JOIN wstat USING (doc_id)
+       WHERE n_words >= 20 AND top_c * 4 <= n_words),
+bg AS (
+  SELECT DISTINCT array_to_string(list_slice(string_split(text,' '), i, i+7), ' ') AS g
+  FROM documents, UNNEST(range(1, len(string_split(text,' ')) - 6)) AS t(i)
+  WHERE doc_id % 97 = 0 AND len(string_split(text,' ')) >= 8
+),
+dg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(string_split(text,' '), i, i+7), ' ') AS g
+  FROM c3, UNNEST(range(1, len(string_split(text,' ')) - 6)) AS t(i)
+  WHERE len(string_split(text,' ')) >= 8
+),
+cont AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+c4 AS (SELECT c3.doc_id FROM c3 LEFT JOIN cont USING (doc_id)
+       WHERE cont.doc_id IS NULL)
+SELECT CAST(1 AS INT) AS stage_idx, 'raw' AS stage,
+       (SELECT count(*) FROM corpus) AS n_docs
+UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM c1)
+UNION ALL SELECT 3, 'neardup_prune', (SELECT count(*) FROM c2)
+UNION ALL SELECT 4, 'quality_gate', (SELECT count(*) FROM c3)
+UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM c4)
+"""
+
+
+@register("curation_funnel", _FUNNEL_SQL)
+def q_curation_funnel(spark, sf_dir):
+    """The full curation pipeline composed end-to-end (operators/curation
+    .curation_funnel): exact dedup → Jaccard near-dup components → integer-
+    exact repetition quality gate → benchmark decontamination, one survivor
+    count per stage. Planted exact copies and near-dup variants must vanish
+    at stages 2-3; the leaked eval docs at stage 5."""
+    from spanner_data_validator_spark.operators.curation import curation_funnel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = (docs
+              .unionByName(docs.where(F.col("doc_id") % 10 == 0)
+                           .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                                   "text"))
+              .unionByName(docs.where(F.col("doc_id") % 20 == 0)
+                           .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                                   F.concat(F.lit("XX "), F.col("text"))
+                                    .alias("text"))))
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return curation_funnel(corpus, bench, max_shingle_df=_MAX_SHINGLE_DF,
+                           min_words=20, top_word_den=4, contamination_n=8)
+
+
 # ---------------------------------------------------------------------------
 # incremental (recurring) validation: per-range digests → drift → row-level
 # classify of drifted ranges only (operators/digest.py)
