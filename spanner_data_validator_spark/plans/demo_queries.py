@@ -2056,6 +2056,58 @@ def q_curation_funnel(spark, sf_dir):
                            min_words=20, top_word_den=4, contamination_n=8)
 
 
+@register("stream_static_enrich", """
+WITH ev AS (SELECT ts, user_id % 25 AS k FROM events),
+j AS (
+  SELECT epoch_ms(date_trunc('hour', ev.ts)) AS window_start_ms, n.n_name AS nation
+  FROM ev JOIN nation n ON ev.k = n.n_nationkey
+)
+SELECT window_start_ms, nation, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1, 2
+""")
+def q_stream_static_enrich(spark, sf_dir):
+    """REAL stream-static join run: a watermarked event stream broadcast-
+    joined against the static nation dimension (the streaming enrichment
+    pattern — the static side never shuffles, each micro-batch probes the
+    broadcast), then a tumbling 1h window count per nation in append mode.
+    A far-future sentinel row flushes every real window; its own window can
+    never close and is filtered after the sink (CLAUDE.md gotcha: never
+    filter between source and aggregation — Catalyst would push the
+    predicate below EventTimeWatermark)."""
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("user_id") % 25).alias("k"))
+    work = tempfile.mkdtemp(prefix="sdv_q_stream_static_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+    (spark.range(1).select(F.lit("2100-01-01").cast("timestamp").alias("ts"),
+                           F.lit(0).cast("long").alias("k"))
+          .write.mode("append").parquet(in_dir))
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("nation"))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir)
+              .withWatermark("ts", "10 minutes"))
+    agg = (stream.join(F.broadcast(nation), "k")
+                 .groupBy(F.window("ts", "1 hour").alias("w"), "nation")
+                 .agg(F.count("*").alias("n"))
+                 .select(F.col("w.start").alias("ws"), "nation", "n"))
+    q = (agg.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    return (spark.read.parquet(f"{work}/out")
+            .where(F.col("ws") < F.lit("2090-01-01").cast("timestamp"))
+            .select(F.unix_millis("ws").alias("window_start_ms"),
+                    "nation", "n"))
+
+
 # ---------------------------------------------------------------------------
 # incremental (recurring) validation: per-range digests → drift → row-level
 # classify of drifted ranges only (operators/digest.py)
