@@ -69,6 +69,32 @@ def epoch_shuffle(df: DataFrame, key_col: str, *, seed: int = 0,
               .drop("__h"))
 
 
+def group_sample_exact(df: DataFrame, key_col: str, group_col: str, k: int,
+                       *, seed: int = 0, hash_fn=None,
+                       rank_col: str | None = None) -> DataFrame:
+    """EXACTLY ``k`` rows per group (fewer when the group is smaller),
+    deterministically: rank rows within each group by (hash(key, seed), key)
+    and keep ranks 1..k — the eval-set / few-shot-pool constructor, where
+    rate-based sampling can't promise exact per-group counts.
+
+    Reproducible across runs and re-shards (the order is data-derived, not
+    RNG-state-derived); a new seed draws an independent sample. One hash
+    exchange keyed by group + a per-group sort; rows beyond rank k are
+    dropped partition-locally, so the output exchange is ≤ groups·k.
+    Optionally exposes the rank via ``rank_col``.
+    """
+    from pyspark.sql import Window
+
+    hash_fn = hash_fn or xxhash64_family
+    w = Window.partitionBy(group_col).orderBy("__h", key_col)
+    out = (df.withColumn("__h", hash_fn(F.col(key_col), seed))
+             .withColumn("__rk", F.row_number().over(w))
+             .where(F.col("__rk") <= k))
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("__rk").cast("int"))
+    return out.drop("__h", "__rk")
+
+
 def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                       rates: dict[str, float], *, default_rate: float = 0.0,
                       seed: int = 0, hash_fn=None) -> DataFrame:

@@ -2056,6 +2056,34 @@ def q_curation_funnel(spark, sf_dir):
                            min_words=20, top_word_den=4, contamination_n=8)
 
 
+def _group_sample_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("CAST(doc_id AS VARCHAR)", seed=7)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang, CAST(rk AS INT) AS rank FROM t WHERE rk <= 10
+"""
+
+
+@register("group_sample_exact", _group_sample_oracle())
+def q_group_sample_exact(spark, sf_dir):
+    """Exactly-k-per-group deterministic sampling (operators/sampling
+    .group_sample_exact): 10 docs per language ranked by keyed hash — the
+    eval-set constructor where rate sampling can't promise exact counts."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.sampling import (
+        group_sample_exact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    return group_sample_exact(docs, "doc_id", "lang", 10, seed=7,
+                              hash_fn=portable_hash60, rank_col="rank")
+
+
 @register("stream_static_enrich", """
 WITH ev AS (SELECT ts, user_id % 25 AS k FROM events),
 j AS (

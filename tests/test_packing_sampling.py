@@ -120,3 +120,28 @@ def test_epoch_shuffle_is_deterministic_seeded_permutation(spark):
     assert c != rows_a
     # ...but still a full permutation of the same docs
     assert {d for d, _s, _p in c} == {d for d, _s, _p in rows_a}
+
+
+def test_group_sample_exact_counts_and_determinism(spark):
+    from spanner_data_validator_spark.operators.sampling import (
+        group_sample_exact,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "lang")
+    group_sizes = {r.lang: r.c for r in
+                   docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    out = group_sample_exact(docs, "doc_id", "lang", 5, seed=1)
+    got = {r.lang: r.c for r in
+           out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    # exactly k per group, capped by the group size
+    assert got == {g: min(5, n) for g, n in group_sizes.items()}
+    # deterministic: the same call returns the identical id set
+    again = group_sample_exact(docs, "doc_id", "lang", 5, seed=1)
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
+    assert ids(out) == ids(again)
+    # a different seed draws a different sample (overwhelmingly likely)
+    other = group_sample_exact(docs, "doc_id", "lang", 5, seed=2)
+    assert ids(other) != ids(out)
+    # sampled rows are real corpus rows
+    assert ids(out) <= ids(docs)
