@@ -269,3 +269,73 @@ def validate_batch(
         )
     mismatch_rows = sides[0].unionByName(sides[1])
     return classified, report, mismatch_rows
+
+
+def validate_aggregates(
+    source: DataFrame,
+    target: DataFrame,
+    group_cols: list[str],
+    agg_specs: list[tuple[str, str]],
+    *,
+    rel_tolerance: float = 0.0,
+) -> DataFrame:
+    """Column-aggregate validation with tolerance (group-level, not row-level).
+
+    The cheapest validation tier: instead of joining 10^12 fingerprinted rows,
+    compare per-group aggregates (COUNT / SUM / MIN / MAX of chosen columns)
+    between the two sides — two hash aggregates plus a join on the small group
+    key. This is the "column validation" mode of Google's professional-services
+    Data Validation Tool that the reference repo's row-hash pipeline sits
+    beside (README.md of the reference positions it as the row-level
+    complement); here it is the coarse first pass whose failing groups feed
+    the row-level ``classify_pair`` drill-down.
+
+    ``agg_specs`` — [(fn, col)] with fn in {count,sum,min,max}; each produces
+    ``src_<fn>_<col>`` / ``tgt_<fn>_<col>`` plus a per-group ``status``:
+    MATCH when every aggregate pair is within ``rel_tolerance`` (relative,
+    checked in double — |s-t| <= tol*|s|; exact equality when tol=0),
+    MISMATCH otherwise, SOURCE_ONLY/TARGET_ONLY when a group exists on one
+    side. SUM over floats is order-dependent under parallel reduction — pass
+    integer/decimal columns for exact sums (decimal aggregation is exact in
+    both Spark and DuckDB).
+    """
+    def side(df: DataFrame) -> DataFrame:
+        aggs = []
+        for fn, col in agg_specs:
+            name = f"{fn}_{col}"
+            if fn == "count":
+                aggs.append(F.count(col).alias(name))
+            elif fn == "sum":
+                aggs.append(F.sum(col).alias(name))
+            elif fn == "min":
+                aggs.append(F.min(col).alias(name))
+            elif fn == "max":
+                aggs.append(F.max(col).alias(name))
+            else:
+                raise ValueError(f"unsupported aggregate: {fn}")
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    names = [f"{fn}_{col}" for fn, col in agg_specs]
+    s = side(source).select(*group_cols, F.lit(1).alias("_src_present"),
+                            *[F.col(n).alias(f"src_{n}") for n in names])
+    t = side(target).select(*group_cols, F.lit(1).alias("_tgt_present"),
+                            *[F.col(n).alias(f"tgt_{n}") for n in names])
+    j = s.join(t, on=group_cols, how="full_outer")
+
+    within = F.lit(True)
+    for n in names:
+        sv = F.col(f"src_{n}").cast("double")
+        tv = F.col(f"tgt_{n}").cast("double")
+        # NULL aggregates (e.g. SUM of an all-null column) compare equal only
+        # to NULL: eqNullSafe on the raw pair short-circuits the double test.
+        within = within & (
+            F.col(f"src_{n}").eqNullSafe(F.col(f"tgt_{n}"))
+            | (F.abs(sv - tv) <= F.lit(rel_tolerance) * F.abs(sv)))
+    present_s = F.col("_src_present").isNotNull()
+    present_t = F.col("_tgt_present").isNotNull()
+    status = (
+        F.when(present_s & present_t, F.when(within, MATCH).otherwise(MISMATCH))
+        .when(~present_t, SOURCE_ONLY)
+        .otherwise(TARGET_ONLY)
+    )
+    return j.withColumn("status", status).drop("_src_present", "_tgt_present")

@@ -1,0 +1,110 @@
+"""Constant-size distinct-count sketching: K-minimum-values (KMV).
+
+``COUNT(DISTINCT x)`` at 10^12 rows shuffles every distinct value; Spark's
+``approx_count_distinct`` (HyperLogLog++) fixes the memory but its register
+layout is engine-private, so its answer cannot be cross-checked against
+another engine. KMV (Bar-Yossef et al. 2002) is the sketch that CAN: keep
+the k smallest DISTINCT hash values of the column; the k-th smallest hash
+``h_k`` estimates the distinct count as ``(k-1) * HASH_SPACE / h_k``.
+Because "k smallest distinct hashes of a deterministic hash function" is a
+pure function of the data — independent of partitioning, ordering, or
+engine — a DuckDB oracle computes the IDENTICAL sketch and estimate, which
+is why the demo pins the ``portable_hash60`` family.
+
+Scale shape: phase 1 is a NARROW per-partition reduce (mapInPandas keeps a
+running k-smallest-distinct frame per partition — O(k + batch) memory, no
+shuffle), so the only exchange carries <= partitions * k longs into the
+single-row final fold. That is the same bounded-exchange pattern as
+``ann.topk_per_query``, specialized for distinctness. KMV sketches are also
+mergeable (union the hash sets, re-take the k smallest), so per-partition /
+per-day sketches can be rolled up without touching raw data.
+
+Estimator arithmetic is done in IEEE double with values that are exact in
+a 53-bit mantissa ((k-1) * 2^60 for k <= 2^8 is a small-mantissa multiple
+of a power of two), so Spark and DuckDB produce the bit-identical double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.functions.hashing import (
+    PORTABLE_HASH_BITS,
+    portable_hash60,
+    portable_hash60_sql,
+)
+
+HASH_SPACE = float(2 ** PORTABLE_HASH_BITS)
+
+
+def kmv_min_hashes(df: DataFrame, col: Column, k: int) -> DataFrame:
+    """k smallest distinct ``portable_hash60`` values of ``col``.
+
+    Output: single row ``(hs: array<long>)`` sorted ascending, length
+    ``min(k, distinct_count)``. Phase 1 never shuffles: each input
+    partition reduces to at most k hashes inside mapInPandas. Phase 2
+    folds <= partitions * k rows into one ``slice(array_sort(collect_set))``
+    on a single reducer.
+    """
+    hashed = df.select(portable_hash60(col).alias("h"))
+    schema = hashed.schema
+
+    def reduce_part(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cur = pdf if best is None else pd.concat((best, pdf))
+            best = cur.drop_duplicates("h").nsmallest(k, "h")
+        if best is not None:
+            yield best
+
+    partial = hashed.mapInPandas(reduce_part, schema)
+    return partial.agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
+
+
+def kmv_distinct(df: DataFrame, col: Column, k: int) -> DataFrame:
+    """One-row KMV distinct estimate: (k_used, kth_hash, est_distinct).
+
+    If fewer than k distinct values exist the sketch IS the exact distinct
+    set, and the estimate falls back to its size (the standard KMV small-set
+    rule) — so the operator is exact below k and ~1/sqrt(k) relative error
+    above it.
+    """
+    sk = kmv_min_hashes(df, col, k)
+    n = F.size("hs")
+    kth = F.element_at("hs", -1)
+    est = F.when(
+        n < F.lit(k), n.cast("double")
+    ).otherwise(
+        F.floor((F.lit(k - 1) * F.lit(HASH_SPACE)) / kth.cast("double"))
+        .cast("double")
+    )
+    return sk.select(
+        n.cast("int").alias("k_used"),
+        kth.alias("kth_hash"),
+        est.alias("est_distinct"),
+    )
+
+
+def kmv_distinct_sql(source_sql: str, expr: str, k: int) -> str:
+    """DuckDB rendering of :func:`kmv_distinct` — identical hash family,
+    identical small-set fallback, identical double arithmetic."""
+    h = portable_hash60_sql(expr)
+    return f"""
+WITH hs AS (
+  SELECT DISTINCT {h} AS h FROM ({source_sql}) ORDER BY h LIMIT {k}
+),
+agg AS (
+  SELECT CAST(count(*) AS INT) AS k_used, max(h) AS kth_hash FROM hs
+)
+SELECT k_used, kth_hash,
+       CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+            ELSE CAST(floor(({k} - 1) * {HASH_SPACE!r} / CAST(kth_hash AS DOUBLE)) AS DOUBLE)
+       END AS est_distinct
+FROM agg
+"""

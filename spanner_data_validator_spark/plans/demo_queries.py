@@ -2549,3 +2549,195 @@ def q_validate_upserts(spark, sf_dir):
          .otherwise(TARGET_ONLY))
     return (j.select(status.alias("status"))
              .groupBy("status").agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# conversation-level rollup validation (operators/rollup.py): digest whole
+# conversations, classify at conversation granularity — the coarse tier the
+# row-level validator drills into
+# ---------------------------------------------------------------------------
+
+def _rollup_target(src):
+    """Conversation-granularity planted divergences (sparser than the
+    turn-level %50 rules, which saturate every ~67-turn conversation):
+    conv%31==1 dropped whole (SOURCE_ONLY), conv%31==2 cloned to a new id
+    (TARGET_ONLY), conv%7==0 first turn mutated, conv%13==3 turns 0 and 1
+    REORDERED — the swap only an order-sensitive digest can see; counts and
+    the unordered turn-hash multiset are unchanged."""
+    c = F.col("conv_id").cast("long")
+    kept = src.where(c % 31 != 1)
+    mut = kept.withColumn(
+        "text",
+        F.when((c % 7 == 0) & (F.col("turn_idx") == 0),
+               F.concat(F.col("text"), F.lit("#mut"))).otherwise(F.col("text")))
+    reord = mut.withColumn(
+        "turn_idx",
+        F.when((c % 13 == 3) & (F.col("turn_idx") < 2),
+               F.lit(1) - F.col("turn_idx"))
+         .otherwise(F.col("turn_idx")).cast("int"))
+    extra = src.where(c % 31 == 2).withColumn(
+        "conv_id", (c + F.lit(1_000_000_000)).cast("string"))
+    return reord.unionByName(extra)
+
+
+def _conv_rollup_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import portable_hash60_sql
+
+    digest = portable_hash60_sql("string_agg(h, ',' ORDER BY turn_idx)")
+    per_side = (
+        "SELECT conv_id, CAST(count(*) AS BIGINT) AS n, {d} AS d "
+        "FROM (SELECT conv_id, turn_idx, "
+        "substr(md5(concat_ws(chr(31), coalesce(role,''), coalesce(text,''))), 1, 15) AS h "
+        "FROM {side}) GROUP BY conv_id").format(d=digest, side="{side}")
+    src_cte = _ev_transcript_cte().split(",\ntgt AS")[0]  # src CTE only
+    return (src_cte + f""",
+tgt AS (
+  SELECT conv_id,
+         CAST(CASE WHEN CAST(conv_id AS BIGINT) % 13 = 3 AND turn_idx < 2
+                   THEN 1 - turn_idx ELSE turn_idx END AS INT) AS turn_idx,
+         role,
+         CASE WHEN CAST(conv_id AS BIGINT) % 7 = 0 AND turn_idx = 0
+              THEN text || '#mut' ELSE text END AS text
+  FROM src WHERE CAST(conv_id AS BIGINT) % 31 <> 1
+  UNION ALL
+  SELECT CAST(CAST(conv_id AS BIGINT) + 1000000000 AS VARCHAR) AS conv_id,
+         turn_idx, role, text
+  FROM src WHERE CAST(conv_id AS BIGINT) % 31 = 2
+),
+sd AS ({per_side.format(side='src')}),
+td AS ({per_side.format(side='tgt')}),
+cls AS (
+  SELECT CASE WHEN s.d IS NOT NULL AND t.d IS NOT NULL THEN
+                CASE WHEN s.d = t.d THEN 'MATCH' ELSE 'MISMATCH' END
+              WHEN t.d IS NULL THEN 'SOURCE_ONLY' ELSE 'TARGET_ONLY' END AS status,
+         s.n AS sn, t.n AS tn
+  FROM sd s FULL OUTER JOIN td t ON s.conv_id = t.conv_id
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(sn) AS BIGINT) AS src_turns,
+       CAST(sum(tn) AS BIGINT) AS tgt_turns
+FROM cls GROUP BY status
+""")
+
+
+@register("conv_rollup_validate", _conv_rollup_oracle())
+def q_conv_rollup_validate(spark, sf_dir):
+    """Conversation-granularity validation: each side is reduced to ONE row
+    per conversation (ordered digest + turn count, operators/rollup.py), the
+    full-outer classify joins conversations instead of turns — the join
+    shrinks by the mean conversation length and catches turn SWAPS that a
+    commutative per-row tally cannot. Output: per-status conversation and
+    turn totals (the drill-down feed for row-level classify_pair)."""
+    from spanner_data_validator_spark.operators.rollup import rollup_validate
+
+    src = transcripts_from_events(spark, sf_dir)
+    tgt = _rollup_target(src)
+    cls = rollup_validate(src, tgt, "conv_id", "turn_idx", ["role", "text"])
+    return cls.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("src_n_turns").cast("long").alias("src_turns"),
+        F.sum("tgt_n_turns").cast("long").alias("tgt_turns"))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (operators/sketch.py): constant-size, engine-portable
+# distinct estimation — the scalable COUNT(DISTINCT) for 10^12-row columns
+# ---------------------------------------------------------------------------
+
+def _kmv_oracle(k: int) -> str:
+    from spanner_data_validator_spark.operators.sketch import kmv_distinct_sql
+
+    sketch = kmv_distinct_sql(
+        "SELECT CAST(user_id AS VARCHAR) AS u FROM events", "u", k)
+    return f"""
+WITH sk AS ({sketch}),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM events)
+SELECT k_used, kth_hash, est_distinct, exact_distinct FROM sk, ex
+"""
+
+
+@register("kmv_distinct_users", _kmv_oracle(64))
+def q_kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch over events.user_id (k=64): phase-1 narrow
+    per-partition k-smallest-distinct reduce, <= partitions*k longs exchanged,
+    deterministic portable-hash estimator DuckDB reproduces bit-for-bit. The
+    exact COUNT(DISTINCT) rides along as the demo-scale verification column
+    (it is the thing the sketch REPLACES at 10^12 rows)."""
+    from spanner_data_validator_spark.operators.sketch import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("u"))
+    sk = kmv_distinct(ev, F.col("u"), 64)
+    exact = ev.agg(F.count_distinct("u").alias("exact_distinct"))
+    return sk.crossJoin(exact)
+
+
+# ---------------------------------------------------------------------------
+# aggregate (column-level) validation with tolerance: the cheapest tier of
+# the validation funnel — two hash aggregates, no row join
+# ---------------------------------------------------------------------------
+
+_AGG_TOL_SQL = """
+WITH src AS (
+  SELECT l_orderkey % 16 AS range_id, l_orderkey,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         l_extendedprice AS price
+  FROM lineitem
+),
+tgt AS (
+  SELECT range_id, l_orderkey,
+         CASE WHEN l_orderkey % 97 = 0 THEN qty + 1 ELSE qty END AS qty,
+         price
+  FROM src WHERE l_orderkey % 200 <> 7 AND range_id <> 15
+),
+sa AS (SELECT range_id, CAST(count(l_orderkey) AS BIGINT) AS cnt,
+              CAST(sum(qty) AS DECIMAL(38,2)) AS sum_qty,
+              min(price) AS min_price, max(price) AS max_price
+       FROM src GROUP BY range_id),
+ta AS (SELECT range_id, CAST(count(l_orderkey) AS BIGINT) AS cnt,
+              CAST(sum(qty) AS DECIMAL(38,2)) AS sum_qty,
+              min(price) AS min_price, max(price) AS max_price
+       FROM tgt GROUP BY range_id)
+SELECT s.range_id AS range_id,
+       CASE WHEN t.range_id IS NULL THEN 'SOURCE_ONLY'
+            WHEN abs(CAST(s.cnt AS DOUBLE) - CAST(t.cnt AS DOUBLE)) <= 0.001 * abs(CAST(s.cnt AS DOUBLE))
+                 AND abs(CAST(s.sum_qty AS DOUBLE) - CAST(t.sum_qty AS DOUBLE)) <= 0.001 * abs(CAST(s.sum_qty AS DOUBLE))
+                 AND (s.min_price = t.min_price OR abs(s.min_price - t.min_price) <= 0.001 * abs(s.min_price))
+                 AND (s.max_price = t.max_price OR abs(s.max_price - t.max_price) <= 0.001 * abs(s.max_price))
+            THEN 'MATCH' ELSE 'MISMATCH' END AS status,
+       s.cnt AS src_cnt, t.cnt AS tgt_cnt,
+       s.sum_qty AS src_sum_qty, t.sum_qty AS tgt_sum_qty
+FROM sa s LEFT JOIN ta t ON s.range_id = t.range_id
+"""
+
+
+@register("agg_tolerance_validate", _AGG_TOL_SQL)
+def q_agg_tolerance_validate(spark, sf_dir):
+    """Column-aggregate validation with relative tolerance
+    (comparator.validate_aggregates): per-range COUNT/SUM/MIN/MAX compared at
+    0.1%% tolerance — the coarse no-row-join tier. Planted drift: +1 qty on
+    ~1%% of orders stays under tolerance (MATCH), a 0.5%% row deletion trips
+    the count check (MISMATCH), and one range is missing entirely
+    (SOURCE_ONLY). Sums run over DECIMAL so parallel reduction is exact."""
+    from spanner_data_validator_spark.operators.comparator import validate_aggregates
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = li.select(
+        (F.col("l_orderkey") % 16).alias("range_id"),
+        F.col("l_orderkey"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        F.col("l_extendedprice").alias("price"))
+    tgt = (src.where((F.col("l_orderkey") % 200 != 7) & (F.col("range_id") != 15))
+              .withColumn("qty", F.when(F.col("l_orderkey") % 97 == 0,
+                                        F.col("qty") + 1).otherwise(F.col("qty"))))
+    res = validate_aggregates(
+        src, tgt, ["range_id"],
+        [("count", "l_orderkey"), ("sum", "qty"), ("min", "price"), ("max", "price")],
+        rel_tolerance=0.001)
+    return res.select(
+        "range_id", "status",
+        F.col("src_count_l_orderkey").alias("src_cnt"),
+        F.col("tgt_count_l_orderkey").alias("tgt_cnt"),
+        F.col("src_sum_qty").cast("decimal(38,2)").alias("src_sum_qty"),
+        F.col("tgt_sum_qty").cast("decimal(38,2)").alias("tgt_sum_qty"))

@@ -1,0 +1,131 @@
+"""Tests: conversation rollup validation, KMV sketch, aggregate tolerance."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.operators.comparator import validate_aggregates
+from spanner_data_validator_spark.operators.rollup import conv_digest, rollup_validate
+from spanner_data_validator_spark.operators.sketch import kmv_distinct, kmv_min_hashes
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+
+
+BASE = [
+    ("a", 0, "user", "hi"), ("a", 1, "agent", "hello"), ("a", 2, "user", "bye"),
+    ("b", 0, "user", "x"), ("b", 1, "agent", "y"),
+    ("c", 0, "user", "only"),
+]
+
+
+class TestRollup:
+    def test_identical_sides_match(self, spark):
+        src = _turns(spark, BASE)
+        out = rollup_validate(src, _turns(spark, BASE), "conv_id", "turn_idx",
+                              ["role", "text"]).collect()
+        assert {r["status"] for r in out} == {"MATCH"}
+        assert {(r["conv_id"], r["src_n_turns"]) for r in out} == {
+            ("a", 3), ("b", 2), ("c", 1)}
+
+    def test_swap_is_mismatch_with_equal_counts(self, spark):
+        # a pure reorder: same rows, turn_idx 0<->1 texts swapped in conv a
+        swapped = [("a", 0, "agent", "hello"), ("a", 1, "user", "hi"),
+                   ("a", 2, "user", "bye"),
+                   ("b", 0, "user", "x"), ("b", 1, "agent", "y"),
+                   ("c", 0, "user", "only")]
+        out = {r["conv_id"]: r for r in rollup_validate(
+            _turns(spark, BASE), _turns(spark, swapped),
+            "conv_id", "turn_idx", ["role", "text"]).collect()}
+        assert out["a"]["status"] == "MISMATCH"
+        assert out["a"]["src_n_turns"] == out["a"]["tgt_n_turns"] == 3
+        assert out["b"]["status"] == "MATCH"
+
+    def test_drop_and_extra_sides(self, spark):
+        tgt = [r for r in BASE if r[0] != "c"] + [("d", 0, "user", "new")]
+        out = {r["conv_id"]: r["status"] for r in rollup_validate(
+            _turns(spark, BASE), _turns(spark, tgt),
+            "conv_id", "turn_idx", ["role", "text"]).collect()}
+        assert out["c"] == "SOURCE_ONLY" and out["d"] == "TARGET_ONLY"
+
+    def test_digest_order_insensitive_to_input_ordering(self, spark):
+        # collect_list order is nondeterministic; the digest must not be
+        shuffled = list(reversed(BASE))
+        d1 = {r["conv_id"]: r["digest"] for r in conv_digest(
+            _turns(spark, BASE), "conv_id", "turn_idx", ["role", "text"]).collect()}
+        d2 = {r["conv_id"]: r["digest"] for r in conv_digest(
+            _turns(spark, shuffled).repartition(7), "conv_id", "turn_idx",
+            ["role", "text"]).collect()}
+        assert d1 == d2
+
+
+class TestKMV:
+    def test_exact_below_k(self, spark):
+        df = spark.range(10).select(F.col("id").cast("string").alias("v"))
+        row = kmv_distinct(df, F.col("v"), k=64).collect()[0]
+        assert row["k_used"] == 10
+        assert row["est_distinct"] == 10.0
+
+    def test_duplicates_ignored(self, spark):
+        df = spark.range(1000).select((F.col("id") % 10).cast("string").alias("v"))
+        row = kmv_distinct(df, F.col("v"), k=64).collect()[0]
+        assert row["k_used"] == 10 and row["est_distinct"] == 10.0
+
+    def test_estimate_within_bound(self, spark):
+        n, k = 20_000, 256
+        df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+        row = kmv_distinct(df, F.col("v"), k=k).collect()[0]
+        # KMV std error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+        assert abs(row["est_distinct"] - n) / n < 0.25
+
+    def test_partitioning_invariant(self, spark):
+        df = spark.range(5000).select((F.col("id") % 997).cast("string").alias("v"))
+        a = kmv_min_hashes(df.repartition(1), F.col("v"), 32).collect()[0]["hs"]
+        b = kmv_min_hashes(df.repartition(13), F.col("v"), 32).collect()[0]["hs"]
+        assert a == b and len(a) == 32 and a == sorted(a)
+
+
+class TestValidateAggregates:
+    def _sides(self, spark):
+        rows = [(g, i, Decimal(f"{10 + i}.00")) for g in range(3) for i in range(100)]
+        return spark.createDataFrame(rows, "g int, k int, qty decimal(12,2)")
+
+    def test_all_match_when_identical(self, spark):
+        src = self._sides(spark)
+        out = validate_aggregates(src, src, ["g"],
+                                  [("count", "k"), ("sum", "qty")]).collect()
+        assert {r["status"] for r in out} == {"MATCH"}
+
+    def test_tolerance_boundary(self, spark):
+        src = self._sides(spark)
+        # group 0: +1% on the sum -> outside 0.1% tol, inside 5% tol
+        tgt = src.withColumn(
+            "qty", F.when((F.col("g") == 0) & (F.col("k") == 0),
+                          F.col("qty") + 59).otherwise(F.col("qty")))
+        by_g = lambda rows: {r["g"]: r["status"] for r in rows}
+        tight = by_g(validate_aggregates(src, tgt, ["g"], [("sum", "qty")],
+                                         rel_tolerance=0.001).collect())
+        loose = by_g(validate_aggregates(src, tgt, ["g"], [("sum", "qty")],
+                                         rel_tolerance=0.05).collect())
+        assert tight[0] == "MISMATCH" and tight[1] == "MATCH"
+        assert loose[0] == "MATCH"
+
+    def test_side_only_groups(self, spark):
+        src = self._sides(spark)
+        tgt = src.where(F.col("g") != 2).unionByName(
+            src.where(F.col("g") == 0).withColumn("g", F.lit(9)))
+        out = {r["g"]: r["status"] for r in validate_aggregates(
+            src, tgt, ["g"], [("count", "k")]).collect()}
+        assert out[2] == "SOURCE_ONLY" and out[9] == "TARGET_ONLY"
+        assert out[0] == out[1] == "MATCH"
+
+    def test_null_aggregates_match_nullsafe(self, spark):
+        # SUM over an all-null column is NULL on both sides -> MATCH
+        src = self._sides(spark).withColumn(
+            "qty", F.lit(None).cast("decimal(12,2)"))
+        out = validate_aggregates(src, src, ["g"],
+                                  [("count", "k"), ("sum", "qty")]).collect()
+        assert {r["status"] for r in out} == {"MATCH"}
