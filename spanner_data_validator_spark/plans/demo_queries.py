@@ -2741,3 +2741,159 @@ def q_agg_tolerance_validate(spark, sf_dir):
         F.col("tgt_count_l_orderkey").alias("tgt_cnt"),
         F.col("src_sum_qty").cast("decimal(38,2)").alias("src_sum_qty"),
         F.col("tgt_sum_qty").cast("decimal(38,2)").alias("tgt_sum_qty"))
+
+
+# ---------------------------------------------------------------------------
+# packing planner input: token-length histogram with cumulative coverage
+# ---------------------------------------------------------------------------
+
+@register("token_len_histogram", """
+WITH t AS (
+  SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents
+),
+b AS (
+  SELECT least(15, CAST(floor(n / 8) AS INT)) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens
+  FROM t GROUP BY 1
+)
+SELECT bucket, bucket * 8 AS lo_tokens, n_docs, total_tokens,
+       CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs
+FROM b
+""")
+def q_token_len_histogram(spark, sf_dir):
+    """Document-length histogram (8-token buckets, top bucket open-ended) +
+    cumulative doc coverage — the input a sequence-packing planner needs to
+    pick max_len / bin size. One map-side-combined hash aggregate; the
+    cumulative window runs over the 16 POST-aggregation rows, so the sort is
+    free at any corpus size. Bucketing is a manual least/floor expression —
+    engine-portable, unlike width_bucket variants."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit("")))
+    t = docs.select(toks.alias("n"))
+    b = (t.groupBy(F.least(F.lit(15), F.floor(F.col("n") / 8)).cast("int")
+                   .alias("bucket"))
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum("n").cast("long").alias("total_tokens")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        "bucket", (F.col("bucket") * 8).alias("lo_tokens"),
+        "n_docs", "total_tokens",
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"))
+
+
+# ---------------------------------------------------------------------------
+# transcript integrity: role-transition conformance (agent-loop sanity)
+# ---------------------------------------------------------------------------
+
+@register("transcript_conformance", _ev_transcript_cte().split(",\ntgt AS")[0] + """,
+lagged AS (
+  SELECT conv_id,
+         CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) = role
+              THEN 1 ELSE 0 END AS is_repeat
+  FROM src
+),
+per_conv AS (
+  SELECT conv_id, count(*) AS n_turns, sum(is_repeat) AS reps
+  FROM lagged GROUP BY conv_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns,
+       CAST(sum(reps) AS BIGINT) AS repeat_violations,
+       CAST(sum(CASE WHEN reps > 0 THEN 1 ELSE 0 END) AS BIGINT) AS convs_with_repeat
+FROM per_conv
+""")
+def q_transcript_conformance(spark, sf_dir):
+    """Role-transition conformance over transcripts: consecutive turns by the
+    same role flagged via lag() within (conv_id ORDER BY turn_idx) — the
+    structural sanity check an agent-transcript pipeline runs before
+    training (double-emission / dropped-interlocutor detection). The lag
+    window and the per-conv aggregate share the conv_id partitioning, so the
+    whole check is ONE exchange; the final fold is a single row."""
+    from pyspark.sql import Window
+
+    src = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = src.select(
+        "conv_id",
+        F.when(F.lag("role").over(w) == F.col("role"), F.lit(1))
+         .otherwise(F.lit(0)).alias("is_repeat"))
+    per_conv = lagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"), F.sum("is_repeat").alias("reps"))
+    return per_conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("n_turns").cast("long").alias("n_turns"),
+        F.sum("reps").cast("long").alias("repeat_violations"),
+        F.sum((F.col("reps") > 0).cast("long")).cast("long")
+         .alias("convs_with_repeat"))
+
+
+# ---------------------------------------------------------------------------
+# streaming windowed heavy hitters: trending terms per tumbling window
+# ---------------------------------------------------------------------------
+
+@register("stream_trending_terms", """
+WITH ev AS (SELECT ts, coalesce(props, '') AS text FROM events),
+terms AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS ws,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM ev
+),
+c AS (SELECT ws, term, count(*) AS n FROM terms GROUP BY 1, 2),
+r AS (SELECT ws, term, n,
+             row_number() OVER (PARTITION BY ws ORDER BY n DESC, term) AS rank
+      FROM c)
+SELECT ws AS window_start_ms, term, CAST(n AS BIGINT) AS n,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+""")
+def q_stream_trending_terms(spark, sf_dir):
+    """REAL streaming run: tokenize the text stream (explode AFTER the
+    watermark node, so the far-future sentinel still advances event time even
+    though its empty text yields no term rows), tumbling 1h term counts in
+    append mode, then per-window top-3 via ann.topk_per_query on the tiny
+    post-aggregation sink output. The streaming agg state is (window, term)
+    keyed — heavy-hitter queries at 10^12 turns cap state by pre-filtering
+    terms to a candidate set (e.g. a KMV/CMS-derived hot list); here the term
+    vocabulary is bounded, so the full count is the honest plan."""
+    import tempfile
+
+    from spanner_data_validator_spark.operators.ann import topk_per_query
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"))
+    work = tempfile.mkdtemp(prefix="sdv_q_trending_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+    (spark.range(1).select(F.lit("2100-01-01").cast("timestamp").alias("ts"),
+                           F.lit("").alias("text"))
+          .write.mode("append").parquet(in_dir))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir)
+              .withWatermark("ts", "10 minutes"))
+    terms = stream.select(
+        "ts",
+        F.explode(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit(""))).alias("term"))
+    agg = (terms.groupBy(F.window("ts", "1 hour").alias("w"), "term")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("w.start").alias("ws"), "term", "n"))
+    q = (agg.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    sink = (spark.read.parquet(f"{work}/out")
+            .where(F.col("ws") < F.lit("2090-01-01").cast("timestamp")))
+    top = topk_per_query(sink, 3, key_col="ws", order_col="n",
+                         tie_col="term", two_phase=False)
+    return top.select(F.unix_millis("ws").alias("window_start_ms"),
+                      "term", F.col("n").cast("long").alias("n"),
+                      F.col("rank").cast("int").alias("rank"))
