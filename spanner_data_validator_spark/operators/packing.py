@@ -114,3 +114,43 @@ def pack_greedy(df: DataFrame, id_col: str, tokens: Column, *,
             .applyInPandas(
                 lambda pdf: _pack_shard(pdf, capacity, [order]),
                 schema=out_schema))
+
+
+def chunk_tokens(df: DataFrame, id_col: str, text_col: str, *,
+                 chunk_size: int, stride: int | None = None) -> DataFrame:
+    """Split each document's token sequence into fixed-size chunks with
+    optional overlap — the context-length splitter upstream of the packers
+    (``pack_greedy`` gives oversized docs a bin of their own and expects
+    callers to chunk them first; this is that step).
+
+    Output: ``(id, chunk_idx, start, n_tokens, chunk_text)`` with chunk c
+    covering tokens ``[c*stride, c*stride + chunk_size)``; the final chunk is
+    shorter. ``stride < chunk_size`` gives overlapping chunks (the usual
+    LM-pretraining window so no span is seen only truncated).
+
+    Scale shape: the tokenization runs ONCE per document behind an
+    ``explode(array(·))`` Generate barrier (CollapseProject would otherwise
+    inline the split into every per-chunk slice — O(len·chunks) per doc, the
+    CLAUDE.md re-evaluation trap), then ``posexplode(sequence(...))``
+    fans out to chunks and ``slice`` reads the materialized array. Pure
+    JVM expressions, no shuffle at all — chunking pipelines into whatever
+    exchange the downstream packer needs.
+    """
+    if stride is None:
+        stride = chunk_size
+    if not (0 < stride and 0 < chunk_size):
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("__toks"))
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    fanned = base.select(
+        F.col(id_col), F.col("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.slice("__toks", F.col("start") + 1, chunk_size)
+    return fanned.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int"),
+        F.col("start").cast("int"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))

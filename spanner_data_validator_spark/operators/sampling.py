@@ -112,3 +112,31 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                       F.lit(float(default_rate)))
     return df.where(sample_keep(F.col(key_col), rate,
                                 seed=seed, hash_fn=hash_fn))
+
+
+def hash_split(key: Column, fractions: dict[str, float], *, seed: int = 0,
+               hash_fn=None) -> Column:
+    """Deterministic dataset-split assignment (train/val/test) by hash bucket.
+
+    Splits must be a pure function of the KEY — not of row order, partition
+    count, or run — so a re-run, a backfill, or a different cluster assigns
+    every document to the same split (no train/test leakage across runs).
+    ``fractions`` maps split name -> fraction (must sum to ~1); buckets are
+    carved from pmod(hash(key, seed), 10^6) in dict order, so boundaries are
+    stable as long as the dict is.
+    """
+    hash_fn = hash_fn or xxhash64_family
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    grain = 1_000_000
+    b = F.pmod(hash_fn(key, seed), F.lit(grain))
+    expr = None
+    hi = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += int(round(fractions[name] * grain))
+        cond = b < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)

@@ -2897,3 +2897,77 @@ def q_stream_trending_terms(spark, sf_dir):
     return top.select(F.unix_millis("ws").alias("window_start_ms"),
                       "term", F.col("n").cast("long").alias("n"),
                       F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# context-length chunking + deterministic dataset split (training export path)
+# ---------------------------------------------------------------------------
+
+@register("chunk_documents", """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(0, greatest(len(toks), 1), 24)) AS INT) AS start
+  FROM d
+)
+SELECT doc_id,
+       CAST(start / 24 AS INT) AS chunk_idx,
+       start,
+       CAST(len(list_slice(toks, start + 1, start + 32)) AS INT) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+FROM s
+""")
+def q_chunk_documents(spark, sf_dir):
+    """Context-length chunking (packing.chunk_tokens): 32-token chunks at
+    stride 24 (8-token overlap). Tokenization runs once per doc behind a
+    Generate barrier; the chunk fan-out is pure expressions with no
+    exchange. DuckDB replays it with generate_series + list_slice."""
+    from spanner_data_validator_spark.operators.packing import chunk_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_tokens(docs, "doc_id", "text", chunk_size=32, stride=24)
+
+
+def _split_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("CAST(doc_id AS VARCHAR)", seed=7)
+    return f"""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN {h} % 1000000 < 800000 THEN 'train'
+              WHEN {h} % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM d GROUP BY lang, split
+"""
+
+
+@register("dataset_split_counts", _split_oracle())
+def q_dataset_split_counts(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split (sampling.hash_split,
+    portable family so the oracle reproduces the assignment): a pure
+    per-row codegen expression — same doc lands in the same split on every
+    run, re-shard, and backfill, preventing cross-run train/test leakage.
+    One hash aggregate for the per-(lang, split) manifest counts."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = hash_split(F.col("doc_id").cast("string"),
+                       {"train": 0.8, "val": 0.1, "test": 0.1},
+                       seed=7, hash_fn=portable_hash60)
+    toks = F.size(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != F.lit("")))
+    return (docs.select("lang", split.alias("split"), toks.alias("n_tokens"))
+                .groupBy("lang", "split")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").cast("long").alias("total_tokens")))

@@ -145,3 +145,64 @@ def test_group_sample_exact_counts_and_determinism(spark):
     assert ids(other) != ids(out)
     # sampled rows are real corpus rows
     assert ids(out) <= ids(docs)
+
+
+class TestChunkTokens:
+    def test_chunk_coverage_and_overlap(self, spark):
+        from spanner_data_validator_spark.operators.packing import chunk_tokens
+
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(chunk_tokens(df, "doc_id", "text", chunk_size=4, stride=3)
+                      .collect(), key=lambda r: r["chunk_idx"])
+        # starts 0,3,6,9; last chunk short
+        assert [r["start"] for r in rows] == [0, 3, 6, 9]
+        assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+        assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert rows[1]["chunk_text"] == "t3 t4 t5 t6"
+        assert rows[3]["chunk_text"] == "t9"
+        # overlap: every token appears in some chunk, boundary tokens twice
+        all_toks = [t for r in rows for t in r["chunk_text"].split()]
+        assert set(all_toks) == {f"t{i}" for i in range(10)}
+
+    def test_empty_doc_single_empty_chunk(self, spark):
+        from spanner_data_validator_spark.operators.packing import chunk_tokens
+
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        rows = chunk_tokens(df, "doc_id", "text", chunk_size=4).collect()
+        assert len(rows) == 1 and rows[0]["n_tokens"] == 0
+
+    def test_no_overlap_default_partitions_tokens(self, spark):
+        from spanner_data_validator_spark.operators.packing import chunk_tokens
+
+        text = " ".join(str(i) for i in range(100))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_tokens(df, "doc_id", "text", chunk_size=7).collect()
+        assert sum(r["n_tokens"] for r in rows) == 100
+        joined = " ".join(r["chunk_text"] for r in
+                          sorted(rows, key=lambda r: r["chunk_idx"]))
+        assert joined == text
+
+
+class TestHashSplit:
+    def test_fractions_and_determinism(self, spark):
+        from spanner_data_validator_spark.operators.sampling import hash_split
+
+        df = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
+        split = hash_split(F.col("k"), {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  df.select(split.alias("split")).groupBy("split")
+                    .agg(F.count("*").alias("n")).collect()}
+        assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+        assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+        # same key -> same split under repartitioning
+        a = df.select("k", split.alias("s")).collect()
+        b = df.repartition(17).select("k", split.alias("s")).collect()
+        assert dict((r["k"], r["s"]) for r in a) == dict((r["k"], r["s"]) for r in b)
+
+    def test_bad_fractions_raise(self, spark):
+        import pytest
+
+        from spanner_data_validator_spark.operators.sampling import hash_split
+        with pytest.raises(ValueError):
+            hash_split(F.lit("x"), {"train": 0.5, "val": 0.1})
