@@ -1,0 +1,129 @@
+"""Column profiling and distribution-drift validation tiers.
+
+The reference validates row fingerprints only (SURVEY §2 C1/A1 — per-row
+hash classify + tally). At 100 TB a reconciliation suite also needs tiers
+that cost one aggregate, not one row-granular shuffle:
+
+* ``column_profile`` — one-pass per-column statistics (non-null / null /
+  distinct counts, min/max) melted to one row per column. The first thing a
+  validator runs against a new target: catches dropped columns, null-ed
+  migrations, truncated domains before any row join.
+* ``equiwidth_histogram`` / ``histogram_drift`` — integer per-bin counts of a
+  numeric column on both sides plus per-bin absolute difference. Integer
+  counts are bit-exact across engines, making distribution comparison
+  oracle-checkable (approx-quantile sketches are not).
+* ``quantiles_by_rank`` — exact discrete per-group quantiles via rank
+  arithmetic (value at ``ceil(p*n)``-th ordered row), no interpolation, so
+  the result is a value that exists in the data and matches any engine
+  bit-for-bit.
+
+Scale notes (10^12 rows): ``column_profile`` computes k exact
+count-distincts in one scan via Spark's EXPAND (rows×(k+1) map-side; no
+extra scan) — at trillion-row scale swap the exact distinct for the KMV
+sketch in ``operators/sketch.py`` (same one-exchange shape, constant-size
+state). The histogram exchanges exactly ``n_bins`` rows per side after
+map-side partial aggregation; quantiles exchange each group once and sort
+within groups (no global sort).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass profile: (col_name, n_nonnull, n_null, n_distinct, min_repr,
+    max_repr), one row per profiled column.
+
+    min/max are computed on the native type and rendered to string AFTER the
+    aggregate (lexicographic-vs-numeric ordering bug avoided). Callers
+    pre-cast engine-divergent renderings (timestamps -> unix_millis, doubles
+    -> decimal) before profiling.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__nn_{c}"),
+            F.count_distinct(col).alias(f"__nd_{c}"),
+            F.sum(F.isnull(col).cast("long")).alias(f"__nu_{c}"),
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__nn_{c}").alias("n_nonnull"),
+            F.col(f"__nu_{c}").alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_repr"),
+            F.col(f"__mx_{c}").alias("max_repr"),
+        )
+        for c in cols
+    ])
+    return one.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def bin_expr(value: Column, lo: int, hi: int, n_bins: int) -> Column:
+    """Equi-width bin index in [0, n_bins) with clamping at both edges.
+
+    Uses an explicit ``floor`` (not a long cast) because casting a double to
+    an integer truncates in Spark but rounds in DuckDB; ``floor`` of an
+    exactly-representable non-negative ratio is identical in both. The clamp
+    runs BEFORE the division so the dividend is non-negative.
+    """
+    clamped = F.least(F.greatest(value.cast("long"), F.lit(lo)), F.lit(hi - 1))
+    return F.floor((clamped - F.lit(lo)) * F.lit(n_bins) / F.lit(hi - lo))
+
+
+def equiwidth_histogram(df: DataFrame, value: Column, lo: int, hi: int,
+                        n_bins: int) -> DataFrame:
+    """(bin, n) counts of ``value`` over equi-width bins; nulls dropped."""
+    return (df.where(value.isNotNull())
+              .groupBy(bin_expr(value, lo, hi, n_bins).alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+def histogram_drift(src: DataFrame, tgt: DataFrame, value: Column,
+                    lo: int, hi: int, n_bins: int) -> DataFrame:
+    """Per-bin (bin, src_n, tgt_n, abs_diff) between two corpora.
+
+    Both sides reduce to <= n_bins rows before the tiny full-outer merge;
+    total variation distance = sum(abs_diff) / (2 * rows) downstream.
+    """
+    s = equiwidth_histogram(src, value, lo, hi, n_bins) \
+        .withColumnRenamed("n", "src_n")
+    t = equiwidth_histogram(tgt, value, lo, hi, n_bins) \
+        .withColumnRenamed("n", "tgt_n")
+    merged = s.join(t, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("src_n", F.lit(0)).alias("src_n"),
+        F.coalesce("tgt_n", F.lit(0)).alias("tgt_n"),
+    )
+    return merged.withColumn("abs_diff", F.abs(F.col("src_n") - F.col("tgt_n")))
+
+
+def quantiles_by_rank(df: DataFrame, group: str, value: Column,
+                      ps: Sequence[float], tiebreak: Column) -> DataFrame:
+    """Exact discrete per-group quantiles: value at the ceil(p*n)-th ordered
+    row (1-based), one output row per (group, p).
+
+    ``tiebreak`` makes the ordering total so equal values pick a
+    deterministic row in every engine. One exchange keyed by ``group``;
+    the sort is within-group only — never a global sort.
+    """
+    w = Window.partitionBy(group).orderBy(F.col("__v").asc(), F.col("__tb").asc())
+    ranked = df.select(
+        F.col(group), value.alias("__v"), tiebreak.alias("__tb")
+    ).withColumn("__rn", F.row_number().over(w)) \
+     .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group)))
+    picks = F.array(*[F.lit(float(p)) for p in ps])
+    exploded = ranked.select(
+        group, "__v", "__rn", "__n", F.explode(picks).alias("p"))
+    hit = exploded.where(
+        F.col("__rn") == F.ceil(F.col("p") * F.col("__n")).cast("long"))
+    return hit.select(F.col(group), F.col("p"), F.col("__v").alias("q_value"))

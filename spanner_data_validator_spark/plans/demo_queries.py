@@ -2971,3 +2971,111 @@ def q_dataset_split_counts(spark, sf_dir):
                 .groupBy("lang", "split")
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum("n_tokens").cast("long").alias("total_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# column profile + distribution-drift tiers (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, props, epoch_ms(ts) AS ts_ms FROM events
+)
+SELECT 'event_id' AS col_name, count(event_id) AS n_nonnull,
+       sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT event_id) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_repr,
+       CAST(max(event_id) AS VARCHAR) AS max_repr FROM ev
+UNION ALL
+SELECT 'user_id', count(user_id),
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT user_id),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM ev
+UNION ALL
+SELECT 'event_type', count(event_type),
+       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT event_type),
+       CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM ev
+UNION ALL
+SELECT 'props', count(props),
+       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT props),
+       CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR) FROM ev
+UNION ALL
+SELECT 'ts_ms', count(ts_ms),
+       sum(CASE WHEN ts_ms IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT ts_ms),
+       CAST(min(ts_ms) AS VARCHAR), CAST(max(ts_ms) AS VARCHAR) FROM ev
+"""
+
+
+@register("column_profile_events", _PROFILE_ORACLE)
+def q_column_profile_events(spark, sf_dir):
+    """One-pass column profile of `events` (profile.column_profile): the
+    cheapest validation tier — per-column non-null/null/distinct counts and
+    native-typed min/max rendered after the aggregate. k exact
+    count-distincts run in one scan via Spark's EXPAND; timestamps pre-cast
+    to unix millis so the rendering is engine-portable. Reference analogue:
+    generalizes the A1/J2 tally (one summary row) to per-column statistics."""
+    from spanner_data_validator_spark.operators.profile import column_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "props",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"))
+    return column_profile(ev, ["event_id", "user_id", "event_type", "props", "ts_ms"])
+
+
+@register("numeric_hist_drift", """
+WITH b AS (
+  SELECT CAST(floor(least(greatest(n_chars, 0), 639) * 16 / 640) AS BIGINT) AS bin,
+         doc_id
+  FROM documents WHERE n_chars IS NOT NULL
+),
+s AS (SELECT bin, count(*) AS src_n FROM b GROUP BY bin),
+t AS (SELECT bin, count(*) AS tgt_n FROM b WHERE doc_id % 10 <> 7 GROUP BY bin)
+SELECT coalesce(s.bin, t.bin) AS bin,
+       coalesce(src_n, 0) AS src_n,
+       coalesce(tgt_n, 0) AS tgt_n,
+       abs(coalesce(src_n, 0) - coalesce(tgt_n, 0)) AS abs_diff
+FROM s FULL OUTER JOIN t ON s.bin = t.bin
+""")
+def q_numeric_hist_drift(spark, sf_dir):
+    """Distribution drift via equi-width histograms (profile.histogram_drift):
+    16 integer bins of doc n_chars, full corpus vs a deterministically
+    degraded re-ingest (doc_id % 10 = 7 dropped). Each side reduces to
+    <= 16 rows map-side before the tiny merge — the whole comparison costs
+    two aggregates regardless of corpus size, and integer bin counts are
+    bit-exact across engines (unlike approx-quantile sketches)."""
+    from spanner_data_validator_spark.operators.profile import histogram_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs
+    tgt = docs.where(F.col("doc_id") % 10 != 7)
+    return histogram_drift(src, tgt, F.col("n_chars"), lo=0, hi=640, n_bins=16)
+
+
+@register("lang_token_quantiles", """
+WITH d AS (
+  SELECT lang, n_chars,
+         doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, p, n_chars AS q_value
+FROM d CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                  CAST(0.99 AS DOUBLE)]) AS p)
+WHERE rn = CAST(ceil(p * n) AS BIGINT)
+""")
+def q_lang_token_quantiles(spark, sf_dir):
+    """Exact discrete per-language length quantiles (profile.quantiles_by_rank):
+    the value at the ceil(p*n)-th ordered row — no interpolation, so the
+    answer is a value that exists in the data and matches any engine
+    bit-for-bit (p*n is the same IEEE double product in both; the oracle
+    pins DOUBLE literals so DuckDB doesn't compute in DECIMAL). One exchange
+    keyed by lang; the sort is within-group, never global."""
+    from spanner_data_validator_spark.operators.profile import quantiles_by_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quantiles_by_rank(docs, "lang", F.col("n_chars"),
+                             ps=[0.5, 0.9, 0.99], tiebreak=F.col("doc_id"))

@@ -1,0 +1,82 @@
+"""Tests for operators/profile.py (column profile, histogram drift, quantiles)."""
+
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.operators.profile import (
+    bin_expr,
+    column_profile,
+    equiwidth_histogram,
+    histogram_drift,
+    quantiles_by_rank,
+)
+
+
+def test_column_profile_counts_and_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "k long, s string")
+    rows = {r.col_name: r for r in column_profile(df, ["k", "s"]).collect()}
+    k, s = rows["k"], rows["s"]
+    assert (k.n_nonnull, k.n_null, k.n_distinct) == (3, 1, 2)
+    assert (k.min_repr, k.max_repr) == ("1", "2")
+    assert (s.n_nonnull, s.n_null, s.n_distinct) == (3, 1, 2)
+    assert (s.min_repr, s.max_repr) == ("a", "b")
+
+
+def test_bin_expr_clamps_both_edges(spark):
+    df = spark.createDataFrame([(-5,), (0,), (9,), (10,), (99,), (100,), (250,)],
+                               "v long")
+    out = df.select(bin_expr(F.col("v"), lo=0, hi=100, n_bins=10).alias("b")) \
+            .collect()
+    # -5 clamps to bin 0; 99 is the last in-range value (bin 9); >= hi clamps to 9
+    assert [r.b for r in out] == [0, 0, 0, 1, 9, 9, 9]
+
+
+def test_histogram_counts_match_groupby(spark):
+    df = spark.range(0, 1000).select((F.col("id") % 97).alias("v"))
+    hist = {r.bin: r.n for r in
+            equiwidth_histogram(df, F.col("v"), 0, 100, 10).collect()}
+    brute = {r.b: r.n for r in
+             df.groupBy(F.floor(F.col("v") / 10).alias("b"))
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert hist == brute
+
+
+def test_histogram_drift_zero_when_identical(spark):
+    df = spark.range(0, 500).select((F.col("id") % 50).alias("v"))
+    out = histogram_drift(df, df, F.col("v"), 0, 50, 5).collect()
+    assert all(r.abs_diff == 0 and r.src_n == r.tgt_n for r in out)
+
+
+def test_histogram_drift_localizes_missing_rows(spark):
+    src = spark.range(0, 100).select(F.col("id").alias("v"))
+    tgt = src.where((F.col("v") < 20) | (F.col("v") >= 30))  # bin 2 emptied
+    out = {r.bin: r for r in
+           histogram_drift(src, tgt, F.col("v"), 0, 100, 10).collect()}
+    assert out[2].abs_diff == 10 and out[2].tgt_n == 0
+    assert all(r.abs_diff == 0 for b, r in out.items() if b != 2)
+
+
+def test_quantiles_by_rank_exact_values(spark):
+    # group 'a': values 1..10 -> p50 = 5th value = 5, p90 = 9, p99 = ceil(9.9) = 10
+    rows = [("a", v, v) for v in range(1, 11)] + [("b", 7, 0)]
+    df = spark.createDataFrame(rows, "g string, v long, tb long")
+    out = {(r.g, r.p): r.q_value for r in
+           quantiles_by_rank(df, "g", F.col("v"), [0.5, 0.9, 0.99],
+                             tiebreak=F.col("tb")).collect()}
+    assert out[("a", 0.5)] == 5
+    assert out[("a", 0.9)] == 9
+    assert out[("a", 0.99)] == 10
+    # singleton group: every quantile is the one value
+    assert out[("b", 0.5)] == out[("b", 0.99)] == 7
+
+
+def test_quantiles_tiebreak_deterministic(spark):
+    # equal values: the tiebreak column decides which row is the k-th
+    df = spark.createDataFrame([("g", 5, i) for i in range(4)],
+                               "g string, v long, tb long")
+    out = quantiles_by_rank(df, "g", F.col("v"), [0.5], tiebreak=F.col("tb"))
+    assert [r.q_value for r in out.collect()] == [5]
+    # repartitioned input yields the identical result
+    out2 = quantiles_by_rank(df.repartition(8), "g", F.col("v"), [0.5],
+                             tiebreak=F.col("tb"))
+    assert out.collect() == out2.collect()
