@@ -3079,3 +3079,142 @@ def q_lang_token_quantiles(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return quantiles_by_rank(docs, "lang", F.col("n_chars"),
                              ps=[0.5, 0.9, 0.99], tiebreak=F.col("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# gap sessionization + bucketed interval (range) join (operators/sessionize.py)
+# ---------------------------------------------------------------------------
+
+@register("batch_sessionize", """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+),
+l AS (
+  SELECT user_id, ts_ms, event_id,
+         lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+  FROM e
+),
+f AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN prev IS NULL OR ts_ms - prev > 7200000 THEN 1 ELSE 0 END AS brk,
+         event_id
+  FROM l
+),
+s AS (
+  SELECT user_id, ts_ms,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       max(ts_ms) - min(ts_ms) AS duration_ms
+FROM s GROUP BY user_id, session_idx
+""")
+def q_batch_sessionize(spark, sf_dir):
+    """Batch gap sessionization (sessionize.session_stats): a session breaks
+    when the per-user gap exceeds 2h. The lag window, the running-sum
+    window, and the per-session aggregate all share ONE exchange keyed by
+    user_id (same partitioning prefix) — shuffle-once + in-partition sort,
+    integer-millisecond arithmetic throughout. The batch complement of the
+    streaming `session_windows` query."""
+    from spanner_data_validator_spark.operators.sessionize import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_id")
+    return session_stats(ev, "user_id", F.col("ts_ms"), gap_ms=7_200_000,
+                         tiebreak=F.col("event_id"))
+
+
+@register("interval_bucket_join", """
+WITH ivl AS (
+  SELECT user_id % 50 AS grp, epoch_ms(ts) AS start_ms,
+         epoch_ms(ts) + 3600000 AS end_ms, event_id AS interval_id
+  FROM events WHERE event_id % 500 = 0
+),
+pts AS (SELECT user_id % 50 AS grp, epoch_ms(ts) AS ts_ms, event_id FROM events)
+SELECT interval_id, CAST(count(*) AS BIGINT) AS n_points
+FROM ivl JOIN pts ON ivl.grp = pts.grp
+                 AND pts.ts_ms >= ivl.start_ms AND pts.ts_ms < ivl.end_ms
+GROUP BY interval_id
+""")
+def q_interval_bucket_join(spark, sf_dir):
+    """Bucketed range join (sessionize.interval_join_bucketed): events
+    matched to 1h key-scoped intervals when the interval table is too large
+    to broadcast. Intervals explode to their covered 1h buckets (fan-out
+    <= 2 here), points map to exactly one bucket, and the match is a plain
+    shuffled equi-join on (grp, bucket) + residual range filter — the plan
+    contains no BroadcastNestedLoopJoin (plan-asserted in tests). The
+    broadcast path for SMALL range lists is `ranges.assign_range_via_join`."""
+    from spanner_data_validator_spark.operators.sessionize import (
+        interval_join_bucketed,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select((F.col("user_id") % 50).alias("grp"),
+                     F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                     "event_id")
+    ivl = (base.where(F.col("event_id") % 500 == 0)
+               .select("grp", F.col("ts_ms").alias("start_ms"),
+                       (F.col("ts_ms") + 3_600_000).alias("end_ms"),
+                       F.col("event_id").alias("interval_id")))
+    pts = base.select("grp", "ts_ms", F.col("event_id").alias("point_id"))
+    joined = interval_join_bucketed(pts, ivl, ["grp"], "ts_ms",
+                                    "start_ms", "end_ms", bucket_ms=3_600_000)
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_points"))
+
+
+@register("stream_interval_join", """
+WITH v AS (
+  SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT v.user_id, view_id, purchase_id
+FROM v JOIN p ON v.user_id = p.user_id
+             AND p.ts >= v.ts
+             AND p.ts < v.ts + INTERVAL 30 MINUTE
+""")
+def q_stream_interval_join(spark, sf_dir):
+    """REAL stream-stream interval join: purchases matched to views of the
+    same user within 30 minutes, both sides watermarked so the join state
+    is evicted once the watermark passes the time bound (state per side is
+    O(rate x (watermark + interval)), not O(stream)). Inner joins emit on
+    match — no sentinel flush needed; availableNow drains the backlog."""
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type")
+    work = tempfile.mkdtemp(prefix="sdv_q_stream_ivj_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir))
+    views = (stream.where(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("v_ts"),
+                     F.col("event_id").alias("view_id"))
+             .withWatermark("v_ts", "1 hour"))
+    purchases = (stream.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("purchase_id"))
+                 .withWatermark("p_ts", "1 hour"))
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user")) &
+        (F.col("p_ts") >= F.col("v_ts")) &
+        (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner").select("user_id", "view_id", "purchase_id")
+    q = (joined.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/out")
