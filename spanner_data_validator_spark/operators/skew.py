@@ -1,0 +1,43 @@
+"""Skew-mitigated equi-join: salting for hot keys.
+
+AQE's skew-join splitting (on by default in `session.get_spark`) handles
+sort-merge-join skew at runtime, but only between stages it can re-plan;
+salting is the static-plan mitigation that also works for streaming
+micro-batches and grouped aggregations (`comparator.tally_report` already
+salts aggregation). ``salted_join`` is the join-side primitive: the big
+(skewed) side scatters each row into one of ``salt_buckets`` sub-keys; the
+small side replicates each row ``salt_buckets`` times; the join key becomes
+(key, salt), splitting a hot key's rows across ``salt_buckets`` partitions.
+
+Cost model: small side grows x``salt_buckets`` (still tiny by assumption —
+if it weren't, broadcast wouldn't have been the alternative either); the
+big side never grows. Exactly-once pairing holds because each big row
+carries ONE salt and the small side covers every salt once.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str],
+                salt_buckets: int, *, big_salt_source: Column,
+                how: str = "inner") -> DataFrame:
+    """Join ``big`` to ``small`` on ``on`` with a salted key.
+
+    ``big_salt_source`` must be a deterministic per-row column on the big
+    side (a unique id, a timestamp) — the salt is a hash of it, so reruns
+    produce identical partition assignment (never rand(): a task retry
+    would re-roll and double/drop rows).
+    """
+    keys = list(on)
+    b = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(big_salt_source), F.lit(salt_buckets)))
+    s = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.lit(salt_buckets - 1).cast("long"))))
+    return b.join(s, on=[*keys, "__salt"], how=how).drop("__salt")

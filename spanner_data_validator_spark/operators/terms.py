@@ -73,3 +73,51 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     top = topk_per_query(scored, k, key_col=id_col, order_col="score",
                          tie_col="term")
     return top.select(id_col, "term", "tf", "df", "score", "rank")
+
+
+def bigram_collocations(df: DataFrame, id_col: str, text_col: str,
+                        *, min_count: int = 2) -> DataFrame:
+    """Corpus bigram collocations with exact-rational PMI lift.
+
+    Output: (w1, w2, pair_n, w1_n, w2_n, lift) where
+    ``lift = n_bigrams * pair_n / (w1_n * w2_n)`` — the PMI argument before
+    the log. Each factor is an exact integer cast to double before ONE
+    multiply and ONE divide, so the score is bit-identical across engines
+    (a log-PMI is only ~1-ulp reproducible; rank by lift, log it for
+    display).
+
+    Plan shape: the token array materializes ONCE behind a Generate barrier
+    (`explode(array(tokens))`) so the bigram lambda reads a physical column
+    — without the barrier Catalyst inlines the split() into the HOF lambda
+    and re-tokenizes per element (CLAUDE.md trap). Then: one explode of
+    bigram structs (scan stage) → one hash agg keyed by (w1, w2) — the only
+    corpus-sized shuffle; unigram counts reduce from the same exploded pass;
+    both joins are keyed by vocabulary-sized tables.
+    """
+    toks_expr = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                         lambda x: x != F.lit(""))
+    docs = df.select(F.col(id_col),
+                     F.explode(F.array(toks_expr)).alias("toks"))
+    n_tok = F.size("toks")
+    bigrams = F.transform(
+        F.slice(F.col("toks"), 1, F.greatest(n_tok - 1, F.lit(0))),
+        lambda x, i: F.struct(x.alias("w1"),
+                              F.element_at(F.col("toks"), i + 2).alias("w2")))
+    pairs = (docs.select(F.explode(bigrams).alias("bg"))
+                 .select("bg.w1", "bg.w2"))
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_n"))
+    # unigram counts: every token is the w1 of one bigram except each doc's
+    # last — count unigrams from the token arrays directly instead.
+    unigrams = (docs.select(F.explode("toks").alias("w"))
+                    .groupBy("w").agg(F.count(F.lit(1)).alias("w_n")))
+    n_bigrams = pairs.count()
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("w_n").alias("w1_n"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("w_n").alias("w2_n"))
+    scored = (pair_counts.where(F.col("pair_n") >= min_count)
+              .join(u1, "w1").join(u2, "w2")
+              .withColumn(
+                  "lift",
+                  (F.lit(float(n_bigrams)) * F.col("pair_n").cast("double"))
+                  / (F.col("w1_n").cast("double") * F.col("w2_n").cast("double"))))
+    return scored.select("w1", "w2", "pair_n", "w1_n", "w2_n", "lift")

@@ -3218,3 +3218,116 @@ def q_stream_interval_join(spark, sf_dir):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(f"{work}/out")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build + salted skew join + collocations
+# ---------------------------------------------------------------------------
+
+@register("scd2_dimension", """
+WITH r AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type AS p, event_id AS tb
+  FROM events
+),
+l AS (
+  SELECT user_id, ts_ms, p, tb,
+         lag(p) OVER (PARTITION BY user_id ORDER BY ts_ms, tb) AS prev,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, tb) AS rn
+  FROM r
+),
+v AS (
+  SELECT user_id, ts_ms, p, tb FROM l
+  WHERE rn = 1 OR prev IS DISTINCT FROM p
+),
+o AS (
+  SELECT user_id, p, ts_ms,
+         lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, tb) AS eff_to,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, tb) AS version
+  FROM v
+)
+SELECT user_id, p AS payload, ts_ms AS effective_from_ms,
+       eff_to AS effective_to_ms, version, eff_to IS NULL AS is_current
+FROM o
+""")
+def q_scd2_dimension(spark, sf_dir):
+    """Type-2 dimension history from the event log (scd.scd2_build): one row
+    per (user, version) with effective_from/to ranges, no-op updates
+    collapsed null-safely, last-writer-wins at equal timestamps via the
+    event_id tiebreak. ONE user-keyed exchange builds the whole history —
+    the table `asof_point_in_time` then queries. Complements validate_upserts
+    (which keeps only current state)."""
+    from spanner_data_validator_spark.operators.scd import scd2_build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_type", "event_id")
+    return scd2_build(ev, ["user_id"], F.col("ts_ms"), F.col("event_type"),
+                      F.col("event_id"))
+
+
+@register("salted_join_totals", """
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         CAST(length(event_type) AS BIGINT) AS weight
+  FROM events
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(weight) AS BIGINT) AS total_weight
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+""")
+def q_salted_join_totals(spark, sf_dir):
+    """Skew-salted dimension join (skew.salted_join): the fact side scatters
+    each row into 8 hash-of-event_id salt buckets, the 5-row dim replicates
+    x8, and the hot join key ('event_type' has only 5 values — every key is
+    a hot key) spreads across 40 sub-keys instead of 5 partitions. Results
+    are identical to the plain join — asserted by the oracle, which runs
+    the unsalted equivalent."""
+    from spanner_data_validator_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id")
+    dim = (ev.select("event_type").distinct()
+             .withColumn("weight", F.length("event_type").cast("long")))
+    joined = salted_join(ev, dim, ["event_type"], 8,
+                         big_salt_source=F.col("event_id"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("weight").cast("long").alias("total_weight"))
+
+
+@register("collocation_lift", """
+WITH d AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT toks, CAST(unnest(range(1, len(toks))) AS INT) AS i FROM d
+),
+bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM s),
+pair_counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n FROM bg GROUP BY w1, w2
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS w_n
+  FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w
+),
+nb AS (SELECT count(*) AS n FROM bg)
+SELECT w1, w2, pair_n, u1.w_n AS w1_n, u2.w_n AS w2_n,
+       (CAST((SELECT n FROM nb) AS DOUBLE) * CAST(pair_n AS DOUBLE))
+       / (CAST(u1.w_n AS DOUBLE) * CAST(u2.w_n AS DOUBLE)) AS lift
+FROM pair_counts
+JOIN uni u1 ON u1.w = w1
+JOIN uni u2 ON u2.w = w2
+WHERE pair_n >= 20
+""")
+def q_collocation_lift(spark, sf_dir):
+    """Bigram collocations with exact-rational PMI lift
+    (terms.bigram_collocations): tokenizes once behind a Generate barrier,
+    one corpus-sized (w1, w2) hash agg, vocabulary-sized unigram joins, and
+    a lift score built from exact integer counts with one multiply + one
+    divide per side so it is bit-identical across engines."""
+    from spanner_data_validator_spark.operators.terms import bigram_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_collocations(docs, "doc_id", "text", min_count=20)
