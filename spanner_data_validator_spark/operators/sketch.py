@@ -108,3 +108,79 @@ SELECT k_used, kth_hash,
        END AS est_distinct
 FROM agg
 """
+
+
+def kmv_min_hashes_by_group(df: DataFrame, group: str, col: Column,
+                            k: int) -> DataFrame:
+    """Per-group k smallest distinct hashes: (g, hs: array<long>).
+
+    Same bounded-exchange shape as the global sketch, per group: phase 1
+    keeps a k-smallest-distinct frame PER (partition, group) inside
+    mapInPandas, so the exchange carries <= partitions * groups * k longs —
+    the right shape when groups << rows (per-source / per-day cardinality
+    dashboards over 10^12 rows).
+    """
+    hashed = df.select(F.col(group).alias("g"), portable_hash60(col).alias("h"))
+    schema = hashed.schema
+
+    def reduce_part(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cur = pdf if best is None else pd.concat((best, pdf))
+            best = (cur.drop_duplicates(["g", "h"])
+                       .sort_values("h")
+                       .groupby("g", sort=False).head(k))
+        if best is not None:
+            yield best
+
+    partial = hashed.mapInPandas(reduce_part, schema)
+    return partial.groupBy("g").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
+
+
+def kmv_distinct_by_group(df: DataFrame, group: str, col: Column,
+                          k: int) -> DataFrame:
+    """Per-group KMV estimate: (g, k_used, kth_hash, est_distinct) with the
+    same exact-below-k fallback and double arithmetic as the global form."""
+    sk = kmv_min_hashes_by_group(df, group, col, k)
+    n = F.size("hs")
+    kth = F.element_at("hs", -1)
+    est = F.when(
+        n < F.lit(k), n.cast("double")
+    ).otherwise(
+        F.floor((F.lit(k - 1) * F.lit(HASH_SPACE)) / kth.cast("double"))
+        .cast("double")
+    )
+    return sk.select(
+        F.col("g"),
+        n.cast("int").alias("k_used"),
+        kth.alias("kth_hash"),
+        est.alias("est_distinct"),
+    )
+
+
+def kmv_distinct_by_group_sql(source_sql: str, group_expr: str, expr: str,
+                              k: int) -> str:
+    """DuckDB rendering of :func:`kmv_distinct_by_group`."""
+    h = portable_hash60_sql(expr)
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT {group_expr} AS g, {h} AS h FROM ({source_sql})
+),
+rk AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dh
+),
+agg AS (
+  SELECT g, CAST(count(*) AS INT) AS k_used, max(h) AS kth_hash
+  FROM rk WHERE rn <= {k} GROUP BY g
+)
+SELECT g, k_used, kth_hash,
+       CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+            ELSE CAST(floor(({k} - 1) * {HASH_SPACE!r} / CAST(kth_hash AS DOUBLE)) AS DOUBLE)
+       END AS est_distinct
+FROM agg
+"""

@@ -3331,3 +3331,30 @@ def q_collocation_lift(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bigram_collocations(docs, "doc_id", "text", min_count=20)
+
+
+def _kmv_group_oracle(k: int) -> str:
+    from spanner_data_validator_spark.operators.sketch import (
+        kmv_distinct_by_group_sql,
+    )
+
+    return kmv_distinct_by_group_sql(
+        "SELECT event_type, user_id FROM events", "event_type",
+        "CAST(user_id AS VARCHAR)", k)
+
+
+@register("kmv_distinct_by_type", _kmv_group_oracle(32))
+def q_kmv_distinct_by_type(spark, sf_dir):
+    """Per-group KMV distinct sketch (sketch.kmv_distinct_by_group):
+    distinct users per event_type with a k=32 sketch — phase 1 keeps a
+    k-smallest-distinct frame per (partition, group) with NO shuffle; the
+    exchange carries <= partitions*groups*k longs. Deterministic
+    cross-engine estimator (portable hash family, exact-below-k fallback),
+    the per-source cardinality dashboard a 10^12-row corpus can afford."""
+    from spanner_data_validator_spark.operators.sketch import (
+        kmv_distinct_by_group,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct_by_group(
+        ev, "event_type", F.col("user_id").cast("string"), 32)

@@ -129,3 +129,48 @@ class TestValidateAggregates:
         out = validate_aggregates(src, src, ["g"],
                                   [("count", "k"), ("sum", "qty")]).collect()
         assert {r["status"] for r in out} == {"MATCH"}
+
+
+def test_kmv_by_group_matches_global_per_group(spark):
+    from spanner_data_validator_spark.operators.sketch import (
+        kmv_distinct, kmv_distinct_by_group)
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 7) % 251).cast("string").alias("v"))
+    per = {r.g: r for r in
+           kmv_distinct_by_group(df, "g", F.col("v"), 16).collect()}
+    for g in ("0", "1", "2"):
+        solo = kmv_distinct(df.where(F.col("g") == g), F.col("v"), 16) \
+            .collect()[0]
+        assert per[g].kth_hash == solo.kth_hash
+        assert per[g].est_distinct == solo.est_distinct
+
+
+def test_kmv_by_group_exact_below_k(spark):
+    from spanner_data_validator_spark.operators.sketch import (
+        kmv_distinct_by_group)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", str(i % 5)) for i in range(100)] + [("b", "only")],
+        "g string, v string")
+    out = {r.g: r for r in
+           kmv_distinct_by_group(df, "g", F.col("v"), 64).collect()}
+    assert out["a"].est_distinct == 5.0 and out["a"].k_used == 5
+    assert out["b"].est_distinct == 1.0
+
+
+def test_kmv_by_group_partitioning_invariant(spark):
+    from spanner_data_validator_spark.operators.sketch import (
+        kmv_distinct_by_group)
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").cast("string").alias("v"))
+    a = sorted(map(tuple, kmv_distinct_by_group(df, "g", F.col("v"), 8).collect()))
+    b = sorted(map(tuple, kmv_distinct_by_group(
+        df.repartition(17), "g", F.col("v"), 8).collect()))
+    assert a == b
