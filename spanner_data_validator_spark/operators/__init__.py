@@ -13,3 +13,15 @@ from spanner_data_validator_spark.operators.digest import (  # noqa: F401
     incremental_validate,
     range_digest,
 )
+from spanner_data_validator_spark.operators.profile import (  # noqa: F401
+    column_profile,
+    histogram_drift,
+    quantiles_by_rank,
+)
+from spanner_data_validator_spark.operators.scd import scd2_build  # noqa: F401
+from spanner_data_validator_spark.operators.sessionize import (  # noqa: F401
+    interval_join_bucketed,
+    session_stats,
+    sessionize,
+)
+from spanner_data_validator_spark.operators.skew import salted_join  # noqa: F401
