@@ -71,13 +71,16 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 def bin_expr(value: Column, lo: int, hi: int, n_bins: int) -> Column:
     """Equi-width bin index in [0, n_bins) with clamping at both edges.
 
-    Uses an explicit ``floor`` (not a long cast) because casting a double to
-    an integer truncates in Spark but rounds in DuckDB; ``floor`` of an
-    exactly-representable non-negative ratio is identical in both. The clamp
-    runs BEFORE the division so the dividend is non-negative.
+    Uses an explicit ``floor`` (never a long cast) because casting a double
+    to an integer truncates in Spark but rounds in DuckDB; ``floor`` of a
+    double is identical in both. The value itself is never cast (a cast
+    would collapse fractional inputs onto integer-aligned bins); instead
+    the BIN INDEX is clamped after the floor, which also handles values
+    outside [lo, hi).
     """
-    clamped = F.least(F.greatest(value.cast("long"), F.lit(lo)), F.lit(hi - 1))
-    return F.floor((clamped - F.lit(lo)) * F.lit(n_bins) / F.lit(hi - lo))
+    raw = F.floor((value - F.lit(lo)) * F.lit(n_bins) / F.lit(hi - lo))
+    return F.least(F.greatest(raw, F.lit(0).cast("long")),
+                   F.lit(n_bins - 1).cast("long"))
 
 
 def equiwidth_histogram(df: DataFrame, value: Column, lo: int, hi: int,
@@ -110,14 +113,17 @@ def histogram_drift(src: DataFrame, tgt: DataFrame, value: Column,
 def quantiles_by_rank(df: DataFrame, group: str, value: Column,
                       ps: Sequence[float], tiebreak: Column) -> DataFrame:
     """Exact discrete per-group quantiles: value at the ceil(p*n)-th ordered
-    row (1-based), one output row per (group, p).
+    row (1-based) among the group's NON-NULL values, one output row per
+    (group, p). NULLs are excluded up front — Spark orders NULLs first and
+    most SQL engines order them last, so ranking them would both diverge
+    across engines and return NULL as a "low quantile".
 
     ``tiebreak`` makes the ordering total so equal values pick a
     deterministic row in every engine. One exchange keyed by ``group``;
     the sort is within-group only — never a global sort.
     """
     w = Window.partitionBy(group).orderBy(F.col("__v").asc(), F.col("__tb").asc())
-    ranked = df.select(
+    ranked = df.where(value.isNotNull()).select(
         F.col(group), value.alias("__v"), tiebreak.alias("__tb")
     ).withColumn("__rn", F.row_number().over(w)) \
      .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group)))

@@ -35,21 +35,20 @@ from pyspark.sql import functions as F
 
 def sessionize(df: DataFrame, key: str, ts_ms: Column, gap_ms: int,
                tiebreak: Column) -> DataFrame:
-    """Add ``session_idx`` (1-based per key) to each row.
+    """Add ``session_idx`` (1-based per key) to each row; the input schema
+    is otherwise untouched (the windows order by expressions directly — no
+    helper columns leak or get clobbered).
 
     ``tiebreak`` totalizes the ordering for equal timestamps so the
     assignment is deterministic and engine-portable. Timestamps are integer
     milliseconds — the gap comparison never touches floats.
     """
-    w = Window.partitionBy(key).orderBy(F.col("__ts_ms").asc(),
-                                        F.col("__tb").asc())
+    ts = ts_ms.cast("long")
+    w = Window.partitionBy(key).orderBy(ts.asc(), tiebreak.asc())
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = (df.withColumn("__ts_ms", ts_ms.cast("long"))
-             .withColumn("__tb", tiebreak))
-    prev = F.lag("__ts_ms").over(w)
-    brk = (prev.isNull() | (F.col("__ts_ms") - prev > F.lit(gap_ms))).cast("long")
-    return (out.withColumn("session_idx", F.sum(brk).over(run))
-               .drop("__tb"))
+    prev = F.lag(ts).over(w)
+    brk = (prev.isNull() | (ts - prev > F.lit(gap_ms))).cast("long")
+    return df.withColumn("session_idx", F.sum(brk).over(run))
 
 
 def session_stats(df: DataFrame, key: str, ts_ms: Column, gap_ms: int,
@@ -57,11 +56,12 @@ def session_stats(df: DataFrame, key: str, ts_ms: Column, gap_ms: int,
     """Per-session rollup: (key, session_idx, n_events, start_ms, end_ms,
     duration_ms). The groupBy reuses the sessionize partitioning (same key
     prefix) — Catalyst plans it without a second exchange."""
+    ts = ts_ms.cast("long")
     s = sessionize(df, key, ts_ms, gap_ms, tiebreak)
     return (s.groupBy(key, "session_idx")
              .agg(F.count(F.lit(1)).alias("n_events"),
-                  F.min("__ts_ms").alias("start_ms"),
-                  F.max("__ts_ms").alias("end_ms"))
+                  F.min(ts).alias("start_ms"),
+                  F.max(ts).alias("end_ms"))
              .withColumn("duration_ms", F.col("end_ms") - F.col("start_ms")))
 
 
@@ -74,17 +74,33 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
     exclusive).
 
     Both inputs must carry integer-millisecond columns. The interval side
-    fans out to ``(end - 1 - start) // bucket_ms + 1`` rows; the residual
-    filter runs post-join. Overlapping intervals are fine (a point matches
-    each covering interval once).
+    fans out to ``(end - 1 - start) // bucket_ms + 1`` rows. Overlapping
+    intervals are fine (a point matches each covering interval once).
+
+    ``how`` may be ``inner`` or ``left`` (unmatched points kept with NULL
+    interval columns — the range predicate lives INSIDE the join condition,
+    so a left join does not silently degenerate to inner). ``right``/``full``
+    are rejected: the exploded interval side would emit one null-extended
+    row per UNMATCHED BUCKET instead of per interval.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r} unsupported: the bucket-exploded interval side "
+            "would duplicate unmatched intervals; use 'inner' or 'left'")
     b = F.lit(bucket_ms)
     ivl = intervals.withColumn(
         "__bucket",
         F.explode(F.sequence(F.floor(F.col(start) / b),
-                             F.floor((F.col(end) - 1) / b))))
-    pts = points.withColumn("__bucket", F.floor(F.col(point_ts) / b))
-    joined = pts.join(ivl, on=[*on, "__bucket"], how=how)
-    return (joined.where((F.col(point_ts) >= F.col(start)) &
-                         (F.col(point_ts) < F.col(end)))
-                  .drop("__bucket"))
+                             F.floor((F.col(end) - 1) / b)))).alias("__ivl")
+    pts = points.withColumn(
+        "__bucket", F.floor(F.col(point_ts) / b)).alias("__pts")
+    cond = F.col(f"__pts.__bucket") == F.col("__ivl.__bucket")
+    for k in on:
+        cond = cond & (F.col(f"__pts.{k}") == F.col(f"__ivl.{k}"))
+    cond = cond & (F.col(f"__pts.{point_ts}") >= F.col(f"__ivl.{start}")) \
+                & (F.col(f"__pts.{point_ts}") < F.col(f"__ivl.{end}"))
+    ivl_cols = [c for c in intervals.columns if c not in on]
+    joined = pts.join(ivl, cond, how)
+    return joined.select(
+        *[F.col(f"__pts.{c}") for c in points.columns],
+        *[F.col(f"__ivl.{c}") for c in ivl_cols])

@@ -131,9 +131,12 @@ def kmv_min_hashes_by_group(df: DataFrame, group: str, col: Column,
             if pdf.empty:
                 continue
             cur = pdf if best is None else pd.concat((best, pdf))
+            # dropna=False: a NULL group key is still a group — pandas'
+            # default would silently discard every NULL-keyed row while the
+            # Spark-side final groupBy (and any SQL oracle) keeps the group
             best = (cur.drop_duplicates(["g", "h"])
                        .sort_values("h")
-                       .groupby("g", sort=False).head(k))
+                       .groupby("g", sort=False, dropna=False).head(k))
         if best is not None:
             yield best
 

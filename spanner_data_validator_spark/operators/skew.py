@@ -32,7 +32,17 @@ def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str],
     side (a unique id, a timestamp) — the salt is a hash of it, so reruns
     produce identical partition assignment (never rand(): a task retry
     would re-roll and double/drop rows).
+
+    ``how`` may be ``inner`` or ``left``: an unmatched big row appears once
+    either way. ``right``/``full`` are rejected — the small side is
+    replicated per salt BEFORE the join, so each unmatched small row would
+    emit ``salt_buckets`` null-extended copies instead of one.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r} unsupported: the salt-replicated small side would "
+            "emit one null-extended row per salt for unmatched keys; use "
+            "'inner' or 'left'")
     keys = list(on)
     b = big.withColumn(
         "__salt", F.pmod(F.xxhash64(big_salt_source), F.lit(salt_buckets)))

@@ -86,13 +86,15 @@ def bigram_collocations(df: DataFrame, id_col: str, text_col: str,
     (a log-PMI is only ~1-ulp reproducible; rank by lift, log it for
     display).
 
-    Plan shape: the token array materializes ONCE behind a Generate barrier
-    (`explode(array(tokens))`) so the bigram lambda reads a physical column
-    — without the barrier Catalyst inlines the split() into the HOF lambda
-    and re-tokenizes per element (CLAUDE.md trap). Then: one explode of
-    bigram structs (scan stage) → one hash agg keyed by (w1, w2) — the only
-    corpus-sized shuffle; unigram counts reduce from the same exploded pass;
-    both joins are keyed by vocabulary-sized tables.
+    Plan shape: the token array materializes once per pass behind a
+    Generate barrier (`explode(array(tokens))`) so the bigram lambda reads a
+    physical column — without the barrier Catalyst inlines the split() into
+    the HOF lambda and re-tokenizes per element (CLAUDE.md trap). TWO corpus
+    passes total (bigram agg + unigram agg — different explode keys), each
+    reducing map-side before its shuffle; the bigram total is derived
+    lazily from the already-aggregated vocabulary-sized pair table (no
+    eager count job at call time), and both count joins are keyed by
+    vocabulary-sized tables.
     """
     toks_expr = F.filter(F.split(F.lower(F.col(text_col)), " "),
                          lambda x: x != F.lit(""))
@@ -111,13 +113,19 @@ def bigram_collocations(df: DataFrame, id_col: str, text_col: str,
     # last — count unigrams from the token arrays directly instead.
     unigrams = (docs.select(F.explode("toks").alias("w"))
                     .groupBy("w").agg(F.count(F.lit(1)).alias("w_n")))
-    n_bigrams = pairs.count()
+    # the bigram total folds from the vocabulary-sized pair table (pre
+    # min_count filter) via a broadcast 1-row cross join — lazy, and the
+    # pair_counts exchange is canonically identical on both branches so
+    # AQE reuses it instead of re-running the corpus explode
+    total = pair_counts.agg(
+        F.sum("pair_n").cast("double").alias("__n_bigrams"))
     u1 = unigrams.select(F.col("w").alias("w1"), F.col("w_n").alias("w1_n"))
     u2 = unigrams.select(F.col("w").alias("w2"), F.col("w_n").alias("w2_n"))
     scored = (pair_counts.where(F.col("pair_n") >= min_count)
               .join(u1, "w1").join(u2, "w2")
+              .crossJoin(F.broadcast(total))
               .withColumn(
                   "lift",
-                  (F.lit(float(n_bigrams)) * F.col("pair_n").cast("double"))
+                  (F.col("__n_bigrams") * F.col("pair_n").cast("double"))
                   / (F.col("w1_n").cast("double") * F.col("w2_n").cast("double"))))
     return scored.select("w1", "w2", "pair_n", "w1_n", "w2_n", "lift")

@@ -3027,7 +3027,7 @@ def q_column_profile_events(spark, sf_dir):
 
 @register("numeric_hist_drift", """
 WITH b AS (
-  SELECT CAST(floor(least(greatest(n_chars, 0), 639) * 16 / 640) AS BIGINT) AS bin,
+  SELECT least(greatest(CAST(floor(n_chars * 16 / 640) AS BIGINT), 0), 15) AS bin,
          doc_id
   FROM documents WHERE n_chars IS NOT NULL
 ),

@@ -14,12 +14,15 @@ partition count from the data itself:
    ``repartition(n_files, *cols)`` when downstream wants co-location, then
    write.
 
-The estimate intentionally runs on a SAMPLE (count + avg encoded row width
-from up to ``sample_rows`` rows), so the sizing pass is O(sample), not a
-second full scan. Parquet's columnar encoding compresses 2-5x better than
-the row-wise estimate — ``compression_ratio`` defaults to 3 and is worth
-calibrating per table; sizing is a heuristic, being within 2x of target is
-the win versus being off by 1000x.
+Cost honesty: the estimate needs a row count (one full execution of the
+plan, cheap for a scan but NOT for a computed DataFrame) plus a bounded
+``limit(sample_rows)`` width probe, and the write executes the plan again.
+For an expensive upstream plan either pass ``est_bytes`` (skips estimation
+entirely), or set ``persist=True`` (persist → size → write → unpersist —
+one upstream execution). Parquet's columnar encoding compresses 2-5x
+better than the row-wise width estimate — ``compression_ratio`` defaults
+to 3 and is worth calibrating per table; sizing is a heuristic, being
+within 2x of target is the win versus being off by 1000x.
 """
 
 from __future__ import annotations
@@ -69,14 +72,29 @@ def write_sized(df: DataFrame, path: str, *, target_bytes: int = 512 << 20,
                 partition_cols: list[str] | None = None,
                 mode: str = "error", fmt: str = "parquet",
                 compression_ratio: float = 3.0,
-                max_files: int = 100_000) -> int:
+                max_files: int = 100_000,
+                est_bytes: int | None = None,
+                persist: bool = False) -> int:
     """Write ``df`` to ``path`` in ~``target_bytes`` files; returns the
     file count used. Round-robin repartition by default (uniform file
     sizes); pass ``partition_cols`` to keep key co-location (file sizes
-    then follow the key distribution — combine with salting for skew)."""
-    _, est = estimate_bytes(df, compression_ratio=compression_ratio)
-    n_files = sized_partition_count(est, target_bytes, max_files=max_files)
-    out = (df.repartition(n_files, *partition_cols) if partition_cols
-           else df.repartition(n_files))
-    out.write.mode(mode).format(fmt).save(path)
+    then follow the key distribution — combine with salting for skew).
+
+    ``est_bytes`` skips the estimation pass (use when the size is known);
+    ``persist=True`` materializes ``df`` once so a computed upstream plan
+    is not executed separately for the count and the write."""
+    if persist:
+        df = df.persist()
+    try:
+        if est_bytes is None:
+            _, est_bytes = estimate_bytes(
+                df, compression_ratio=compression_ratio)
+        n_files = sized_partition_count(est_bytes, target_bytes,
+                                        max_files=max_files)
+        out = (df.repartition(n_files, *partition_cols) if partition_cols
+               else df.repartition(n_files))
+        out.write.mode(mode).format(fmt).save(path)
+    finally:
+        if persist:
+            df.unpersist()
     return n_files

@@ -80,3 +80,23 @@ def test_quantiles_tiebreak_deterministic(spark):
     out2 = quantiles_by_rank(df.repartition(8), "g", F.col("v"), [0.5],
                              tiebreak=F.col("tb"))
     assert out.collect() == out2.collect()
+
+
+def test_bin_expr_fractional_values_not_truncated(spark):
+    from pyspark.sql import functions as F2
+    df = spark.createDataFrame([(3.4,), (3.5,), (9.99,)], "v double")
+    out = df.select(bin_expr(F2.col("v"), lo=0, hi=10, n_bins=20).alias("b")) \
+            .collect()
+    # bin width 0.5: 3.4 -> 6, 3.5 -> 7, 9.99 -> 19 (a long-cast would give 6, 6, 18)
+    assert [r.b for r in out] == [6, 7, 19]
+
+
+def test_quantiles_exclude_nulls(spark):
+    rows = [("g", v, v) for v in [1, 2, 3, 4, 5]] + \
+           [("g", None, 100 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, v long, tb long")
+    out = {r.p: r.q_value for r in
+           quantiles_by_rank(df, "g", F.col("v"), [0.5, 0.99],
+                             tiebreak=F.col("tb")).collect()}
+    # n counts only the 5 non-null values: p50 -> 3, p99 -> 5 (never NULL)
+    assert out[0.5] == 3 and out[0.99] == 5

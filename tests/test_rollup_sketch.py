@@ -174,3 +174,17 @@ def test_kmv_by_group_partitioning_invariant(spark):
     b = sorted(map(tuple, kmv_distinct_by_group(
         df.repartition(17), "g", F.col("v"), 8).collect()))
     assert a == b
+
+
+def test_kmv_by_group_keeps_null_group(spark):
+    from spanner_data_validator_spark.operators.sketch import (
+        kmv_distinct_by_group)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "y"), (None, "z"), (None, "y")],
+        "g string, v string")
+    out = {r.g: r for r in
+           kmv_distinct_by_group(df, "g", F.col("v"), 8).collect()}
+    assert None in out and out[None].est_distinct == 2.0
+    assert out["a"].est_distinct == 1.0

@@ -100,3 +100,23 @@ def test_bigram_collocations_single_token_docs_no_pairs(spark):
                                  "doc_id long, text string")
     assert bigram_collocations(docs, "doc_id", "text", min_count=1) \
         .count() == 0
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest as _pytest
+    big = spark.createDataFrame([("a", 1)], "k string, id long")
+    small = spark.createDataFrame([("a", 10)], "k string, v long")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError):
+            salted_join(big, small, ["k"], 4, big_salt_source=F.col("id"),
+                        how=how)
+
+
+def test_bigram_collocations_is_lazy_and_single_agg_branch(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string")
+    out = bigram_collocations(docs, "doc_id", "text", min_count=1)
+    got = {(r.w1, r.w2): r.lift for r in out.collect()}
+    # 4 bigrams total: (a,b)x3, (b,a)x1; unigrams a=3,b=3 in doc1+doc2? a:3 b:3
+    assert got[("a", "b")] == (4.0 * 3) / (3 * 3)
+    assert got[("b", "a")] == (4.0 * 1) / (3 * 3)

@@ -88,3 +88,30 @@ def test_interval_join_no_bnlj_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_does_not_leak_helper_columns(spark):
+    df = _events(spark, [("u", 0, 0), ("u", 500, 1)])
+    out = sessionize(df, "k", F.col("ts"), gap_ms=100, tiebreak=F.col("eid"))
+    assert out.columns == ["k", "ts", "eid", "session_idx"]
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    pts, ivl = _ivl_inputs(spark)
+    out = interval_join_bucketed(pts, ivl, ["grp"], "ts", "s", "e",
+                                 bucket_ms=500, how="left")
+    rows = {(r.pid, r.iid) for r in out.collect()}
+    # h's point at ts=5 matches nothing -> kept with NULL interval cols
+    assert (104, None) in rows
+    assert (100, 1) in rows and (103, 2) in rows
+    # inner pairs unchanged, plus exactly the one unmatched point
+    assert len(rows) == 6
+
+
+def test_interval_join_rejects_right_and_full(spark):
+    import pytest as _pytest
+    pts, ivl = _ivl_inputs(spark)
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError):
+            interval_join_bucketed(pts, ivl, ["grp"], "ts", "s", "e",
+                                   bucket_ms=500, how=how)
