@@ -113,6 +113,11 @@ def bigram_collocations(df: DataFrame, id_col: str, text_col: str,
     # last — count unigrams from the token arrays directly instead.
     unigrams = (docs.select(F.explode("toks").alias("w"))
                     .groupBy("w").agg(F.count(F.lit(1)).alias("w_n")))
+    # the w1 and w2 lookups are aliased branches of the same subplan —
+    # Catalyst does NOT reuse exchanges across aliased self-join branches
+    # (CLAUDE.md), so without this the corpus unigram pass runs twice; a
+    # lazy localCheckpoint materializes the vocabulary-sized table once
+    unigrams = unigrams.localCheckpoint(eager=False)
     # the bigram total folds from the vocabulary-sized pair table (pre
     # min_count filter) via a broadcast 1-row cross join — lazy, and the
     # pair_counts exchange is canonically identical on both branches so
