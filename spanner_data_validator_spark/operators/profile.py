@@ -133,3 +133,35 @@ def quantiles_by_rank(df: DataFrame, group: str, value: Column,
     hit = exploded.where(
         F.col("__rn") == F.ceil(F.col("p") * F.col("__n")).cast("long"))
     return hit.select(F.col(group), F.col("p"), F.col("__v").alias("q_value"))
+
+
+def schema_drift(src: DataFrame, tgt: DataFrame) -> list[dict]:
+    """Driver-side schema diff between two DataFrames — run BEFORE any data
+    validation tier (a renamed/retyped column makes row comparison noise).
+
+    Returns a list of findings, each ``{"column", "kind", "src", "tgt"}``
+    with kind in {"missing_in_tgt", "missing_in_src", "type_changed",
+    "nullability_changed"}; empty list = schemas compatible. Pure metadata —
+    no jobs run, so it is free at any scale and safe to call per batch in a
+    foreachBatch sink.
+    """
+    s = {f.name: f for f in src.schema.fields}
+    t = {f.name: f for f in tgt.schema.fields}
+    out: list[dict] = []
+    for name in s:
+        if name not in t:
+            out.append({"column": name, "kind": "missing_in_tgt",
+                        "src": s[name].dataType.simpleString(), "tgt": None})
+        elif s[name].dataType != t[name].dataType:
+            out.append({"column": name, "kind": "type_changed",
+                        "src": s[name].dataType.simpleString(),
+                        "tgt": t[name].dataType.simpleString()})
+        elif s[name].nullable != t[name].nullable:
+            out.append({"column": name, "kind": "nullability_changed",
+                        "src": str(s[name].nullable),
+                        "tgt": str(t[name].nullable)})
+    for name in t:
+        if name not in s:
+            out.append({"column": name, "kind": "missing_in_src",
+                        "src": None, "tgt": t[name].dataType.simpleString()})
+    return out

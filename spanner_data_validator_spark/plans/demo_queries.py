@@ -3358,3 +3358,62 @@ def q_kmv_distinct_by_type(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return kmv_distinct_by_group(
         ev, "event_type", F.col("user_id").cast("string"), 32)
+
+
+# ---------------------------------------------------------------------------
+# grouping sets + set operators (SURVEY §2.10 gap-fills)
+# ---------------------------------------------------------------------------
+
+@register("corpus_rollup_stats", """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+""")
+def q_corpus_rollup_stats(spark, sf_dir):
+    """ROLLUP grouping sets over the corpus: per-(lang, source), per-lang,
+    and grand-total doc/char counts in ONE aggregation pass (Spark expands
+    grouping sets map-side — one shuffle, not three jobs). The reference
+    has no grouping-set surface at all (SURVEY §2.10); Spark's native
+    rollup is the idiomatic fill."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.rollup("lang", "source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+@register("corpus_set_diff", """
+WITH src AS (SELECT doc_id, text FROM documents),
+tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3
+        UNION ALL
+        SELECT doc_id, text || ' (edited)' FROM documents WHERE doc_id % 11 = 7),
+gone AS (SELECT doc_id, text FROM src EXCEPT SELECT doc_id, text FROM tgt),
+added AS (SELECT doc_id, text FROM tgt EXCEPT SELECT doc_id, text FROM src),
+kept AS (SELECT doc_id, text FROM src INTERSECT SELECT doc_id, text FROM tgt)
+SELECT 'gone' AS side, CAST(count(*) AS BIGINT) AS n FROM gone
+UNION ALL SELECT 'added', CAST(count(*) AS BIGINT) FROM added
+UNION ALL SELECT 'kept', CAST(count(*) AS BIGINT) FROM kept
+""")
+def q_corpus_set_diff(spark, sf_dir):
+    """Set-operator corpus diff (EXCEPT / INTERSECT — absent from the
+    reference, SURVEY §2.10): rows gone from, added to, and kept across a
+    re-ingested snapshot. Spark plans EXCEPT/INTERSECT as left-anti /
+    left-semi hash joins over the distinct sets — same shuffle shape as
+    the fingerprint classify, declared in two lines. The row-granular
+    classify (validate_*) stays the tool when you need WHICH rows; this is
+    the two-line summary when you need HOW MANY."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                     .select("doc_id", "text")
+    src = docs
+    tgt = (docs.where(F.col("doc_id") % 11 != 3)
+               .unionByName(docs.where(F.col("doc_id") % 11 == 7)
+                                .withColumn("text", F.concat(F.col("text"),
+                                                             F.lit(" (edited)")))))
+    # subtract/intersect = EXCEPT/INTERSECT **DISTINCT**, matching the SQL
+    # set operators (exceptAll is bag semantics — a different operator)
+    gone = src.subtract(tgt).select(F.lit("gone").alias("side"))
+    added = tgt.subtract(src).select(F.lit("added").alias("side"))
+    kept = src.intersect(tgt).select(F.lit("kept").alias("side"))
+    return (gone.unionByName(added).unionByName(kept)
+                .groupBy("side").agg(F.count(F.lit(1)).alias("n")))

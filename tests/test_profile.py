@@ -100,3 +100,16 @@ def test_quantiles_exclude_nulls(spark):
                              tiebreak=F.col("tb")).collect()}
     # n counts only the 5 non-null values: p50 -> 3, p99 -> 5 (never NULL)
     assert out[0.5] == 3 and out[0.99] == 5
+
+
+def test_schema_drift_detects_all_kinds(spark):
+    from spanner_data_validator_spark.operators.profile import schema_drift
+    src = spark.createDataFrame([(1, "a", 1.0)], "id long, s string, x double")
+    tgt = spark.createDataFrame([("1", "a", True)],
+                                "id string, s string, extra boolean")
+    drift = {(d["column"], d["kind"]) for d in schema_drift(src, tgt)}
+    assert ("id", "type_changed") in drift
+    assert ("x", "missing_in_tgt") in drift
+    assert ("extra", "missing_in_src") in drift
+    assert ("s", "type_changed") not in drift
+    assert schema_drift(src, src) == []
