@@ -13,10 +13,16 @@ from spanner_data_validator_spark.operators.digest import (  # noqa: F401
     incremental_validate,
     range_digest,
 )
+from spanner_data_validator_spark.operators.layout import (  # noqa: F401
+    write_zordered,
+    zorder_key,
+    zorder_sql_expr,
+)
 from spanner_data_validator_spark.operators.profile import (  # noqa: F401
     column_profile,
     histogram_drift,
     quantiles_by_rank,
+    schema_drift,
 )
 from spanner_data_validator_spark.operators.scd import scd2_build  # noqa: F401
 from spanner_data_validator_spark.operators.sessionize import (  # noqa: F401
@@ -24,4 +30,7 @@ from spanner_data_validator_spark.operators.sessionize import (  # noqa: F401
     session_stats,
     sessionize,
 )
-from spanner_data_validator_spark.operators.skew import salted_join  # noqa: F401
+from spanner_data_validator_spark.operators.skew import (  # noqa: F401
+    key_skew_profile,
+    salted_join,
+)

@@ -1,0 +1,77 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for writes.
+
+At 100 TB the scan is won or lost at WRITE time: parquet row-group min/max
+stats only prune a filter column if the file layout clusters it. Sorting by
+one column perfects pruning for that column and destroys it for every other;
+interleaving the bits of k columns into one Morton key gives every dimension
+~1/k of the clustering — the same trade Delta's OPTIMIZE ZORDER BY and
+Iceberg's sort-order z-curve make. (The reference has no layout surface at
+all — its reads are range-sharded JDBC, SURVEY §2 R1-R6; this is the
+lakehouse-side equivalent for the parquet corpora this engine validates.)
+
+Everything here is pure codegen expressions (shift/and/or on longs): the
+key costs bits*k cheap ALU ops per row inside WholeStageCodegen, no UDF, no
+extra scan. ``zorder_sql_expr`` renders the IDENTICAL arithmetic as ANSI
+SQL so an external engine (the DuckDB oracle, a warehouse) computes the
+same key bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
+    """Morton-interleave the low ``bits`` bits of each column (as longs).
+
+    Bit ``b`` of column ``i`` lands at position ``b*len(cols) + i`` — column
+    0 owns the least-significant lane. Callers must pre-normalize each
+    column into ``[0, 2^bits)`` (e.g. ``F.pmod(col, 256)`` or an equi-width
+    bin); values outside the range would silently alias, so keep the
+    normalization explicit at the call site. Total key width is
+    ``bits * len(cols)`` — keep it ≤ 62 to stay in a signed long.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder needs >= 2 columns (1 column = plain sort)")
+    if bits * k > 62:
+        raise ValueError(f"bits*cols = {bits * k} > 62 overflows a long key")
+    z: Column | None = None
+    for i, c in enumerate(cols):
+        v = c.cast("long")
+        for b in range(bits):
+            term = F.shiftleft(F.shiftright(v, b).bitwiseAND(F.lit(1)),
+                               b * k + i)
+            z = term if z is None else z.bitwiseOR(term)
+    return z
+
+
+def zorder_sql_expr(col_exprs: Sequence[str], bits: int = 8) -> str:
+    """The same Morton interleave as ``zorder_key``, rendered as portable
+    SQL over pre-normalized integer expressions — one string, same bit
+    positions, so Spark and the oracle agree exactly."""
+    k = len(col_exprs)
+    terms = [f"((({e} >> {b}) & 1) << {b * k + i})"
+             for i, e in enumerate(col_exprs) for b in range(bits)]
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(df: DataFrame, path: str, cols: Sequence[Column],
+                   *, bits: int = 8, n_files: int = 8) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned and
+    sorted by the Z-order key of ``cols``.
+
+    ``repartitionByRange`` samples the key so files get balanced,
+    *disjoint* key ranges; the within-partition sort makes row-group
+    min/max stats tight on the key — and therefore usefully tight on every
+    interleaved dimension. One extra exchange at write time buys every
+    future multi-dimension filter its pruning.
+    """
+    (df.withColumn("__zkey", zorder_key(cols, bits))
+       .repartitionByRange(n_files, "__zkey")
+       .sortWithinPartitions("__zkey")
+       .drop("__zkey")
+       .write.mode("overwrite").parquet(path))

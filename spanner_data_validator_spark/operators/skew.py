@@ -23,6 +23,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Heavy-hitter profile of a join/aggregation key: the ``top_n`` most
+    frequent values with their count, share of all rows, and skew factor
+    (count / mean-count-per-key). Run this BEFORE choosing a join strategy —
+    skew_factor >> salt_buckets means `salted_join` (or AQE skew split)
+    is required; share ~ 1/n_keys means plain hash partitioning is fine.
+
+    Plan shape: one hash aggregation on ``key`` (map-side partial, the only
+    full shuffle), a 1-row global aggregate broadcast back via crossJoin,
+    then orderBy+limit which Spark plans as TakeOrderedAndProject — a
+    per-partition top-N reduce, never a global sort. Total exchanged rows
+    after the first agg: n_distinct_keys + partitions*top_n. Safe at any
+    corpus size whose distinct-key count fits a shuffle (10^12 rows /
+    10^9 keys is fine).
+
+    Ties are broken by ascending key so the result is deterministic.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__n_keys"))
+    return (counts.crossJoin(F.broadcast(stats))
+            .select(
+                F.col(key),
+                F.col("cnt"),
+                (F.col("cnt").cast("double") / F.col("__total")).alias("share"),
+                (F.col("cnt").cast("double") * F.col("__n_keys")
+                 / F.col("__total")).alias("skew_factor"))
+            .orderBy(F.col("cnt").desc(), F.col(key).asc())
+            .limit(top_n))
+
+
 def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str],
                 salt_buckets: int, *, big_salt_source: Column,
                 how: str = "inner") -> DataFrame:

@@ -3417,3 +3417,118 @@ def q_corpus_set_diff(spark, sf_dir):
     kept = src.intersect(tgt).select(F.lit("kept").alias("side"))
     return (gone.unionByName(added).unionByName(kept)
                 .groupBy("side").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# layout, pivot, skew profile, ntile sharding
+# ---------------------------------------------------------------------------
+
+from spanner_data_validator_spark.operators.layout import (  # noqa: E402
+    zorder_key,
+    zorder_sql_expr,
+)
+from spanner_data_validator_spark.operators.skew import key_skew_profile  # noqa: E402
+
+_ZORDER_ORACLE_EXPR = zorder_sql_expr(
+    ["(user_id % 256)", "EXTRACT(hour FROM ts)"], bits=8)
+
+
+@register("zorder_layout_buckets", f"""
+WITH z AS (SELECT {_ZORDER_ORACLE_EXPR} AS zkey, user_id FROM events)
+SELECT (zkey >> 6) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM z GROUP BY z_bucket
+""")
+def q_zorder_layout_buckets(spark, sf_dir):
+    """Morton (Z-order) key over two dimensions — (user_id mod 256,
+    hour-of-day) — bucketed to show the multi-dim clustering a zordered
+    write gives parquet min/max pruning. The key is bits*k pure-codegen ALU
+    ops per row (layout.zorder_key); the oracle computes the bit-identical
+    interleave via layout.zorder_sql_expr — one generator renders both
+    engines' arithmetic. At 100 TB this key feeds
+    layout.write_zordered's repartitionByRange so every interleaved
+    dimension keeps ~1/k of its pruning power."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    z = ev.select(
+        zorder_key([F.pmod(F.col("user_id"), F.lit(256)),
+                    F.hour("ts").cast("long")], bits=8).alias("zkey"),
+        "user_id")
+    return (z.groupBy(F.shiftright(F.col("zkey"), 6).alias("z_bucket"))
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users")))
+
+
+@register("join_skew_profile", """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY user_id),
+s AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS n_keys FROM c)
+SELECT user_id, cnt,
+       CAST(cnt AS DOUBLE) / total AS share,
+       CAST(cnt AS DOUBLE) * n_keys / total AS skew_factor
+FROM c, s
+ORDER BY cnt DESC, user_id ASC
+LIMIT 10
+""")
+def q_join_skew_profile(spark, sf_dir):
+    """Heavy-hitter key profile (skew.key_skew_profile): the pre-flight
+    check before choosing broadcast/salt/plain-hash join strategy. One
+    keyed aggregation + a broadcast 1-row global stat + TakeOrderedAndProject
+    top-N — never a global sort, never a second scan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_profile(ev, "user_id", top_n=10)
+
+
+_PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+_PIVOT_ORACLE_COLS = ",\n       ".join(
+    f"CAST(count(*) FILTER (WHERE source = '{s}') AS BIGINT) AS {s}"
+    for s in _PIVOT_SOURCES)
+
+
+@register("lang_source_pivot", f"""
+SELECT lang,
+       {_PIVOT_ORACLE_COLS}
+FROM documents GROUP BY lang
+""")
+def q_lang_source_pivot(spark, sf_dir):
+    """PIVOT (crosstab) doc counts: lang rows x source columns. Passing the
+    explicit value list to pivot() keeps the plan single-pass (no
+    distinct-values pre-query) and single-shuffle: Spark rewrites it to one
+    hash aggregate with count(CASE WHEN source=v) per value — the same
+    conditional aggregation the oracle spells out. Missing cells filled 0
+    to match SQL's count-over-empty-filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.groupBy("lang")
+                .pivot("source", _PIVOT_SOURCES)
+                .agg(F.count(F.lit(1)))
+                .na.fill(0, _PIVOT_SOURCES))
+
+
+@register("length_shard_ntile", """
+WITH d AS (SELECT lang, n_chars, doc_id,
+                  NTILE(8) OVER (PARTITION BY lang
+                                 ORDER BY n_chars ASC, doc_id ASC) AS shard
+           FROM documents)
+SELECT lang, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM d GROUP BY lang, shard
+""")
+def q_length_shard_ntile(spark, sf_dir):
+    """Equal-count length sharding via NTILE(8) per language — the exact
+    boundary assignment for length-balanced training shards (each shard gets
+    n/8 +- 1 docs). Deterministic under the total order (n_chars, doc_id);
+    NTILE's ceil-division fill rule is SQL-standard, so both engines agree.
+    Scale note: ntile sorts each lang partition — at 10^11 docs/lang use
+    profile.quantiles_by_rank to pick boundaries then bin with pure
+    expressions; this operator is the exact-assignment tool."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(),
+                                           F.col("doc_id").asc())
+    return (docs.withColumn("shard", F.ntile(8).over(w))
+                .groupBy("lang", "shard")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.min("n_chars").alias("min_chars"),
+                     F.max("n_chars").alias("max_chars")))
