@@ -13,6 +13,20 @@ from spanner_data_validator_spark.operators.digest import (  # noqa: F401
     incremental_validate,
     range_digest,
 )
+from spanner_data_validator_spark.operators.constraints import (  # noqa: F401
+    Rule,
+    accepted_values,
+    check_constraints,
+    in_range,
+    matches_regex,
+    not_null,
+    unique,
+)
+from spanner_data_validator_spark.operators.integrity import (  # noqa: F401
+    duplicate_examples,
+    orphan_check,
+    uniqueness_check,
+)
 from spanner_data_validator_spark.operators.layout import (  # noqa: F401
     write_zordered,
     zorder_key,

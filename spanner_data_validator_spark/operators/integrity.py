@@ -1,0 +1,76 @@
+"""Structural integrity checks: referential integrity and key uniqueness.
+
+The reference validates row CONTENT between two copies of the same table
+(SURVEY §2 C1/J1); a migration validator also needs the structural tier —
+do the tables still reference each other, are the primary keys still keys.
+All checks here are one-aggregation-pass designs:
+
+* ``orphan_check`` — child rows whose FK has no parent. The child is first
+  reduced to (key, row_count) so the anti-join shuffles DISTINCT keys, not
+  rows: at 10^12 child rows / 10^9 keys that is a 1000× smaller exchange,
+  and the orphan ROW count is recovered exactly by summing the carried
+  counts. Parent side is reduced to distinct keys too (anti-join needs
+  existence only).
+* ``uniqueness_check`` — multiplicity profile of a candidate key: total
+  rows, distinct keys, duplicated keys/rows, max multiplicity. One groupBy
+  + one 1-row aggregate.
+* ``duplicate_examples`` — the worst offending keys for triage, via
+  TakeOrderedAndProject (per-partition top-N reduce, no global sort),
+  deterministic under (count desc, key asc).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _key_repr(keys: Sequence[str]):
+    return F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+
+
+def orphan_check(child: DataFrame, parent: DataFrame,
+                 on: Sequence[str]) -> DataFrame:
+    """Rows-with-no-parent summary: one row with ``n_orphan_rows``,
+    ``n_orphan_keys``, and min/max orphan key (rendered as string) for
+    triage. ``on`` columns must exist on both sides with the same names."""
+    keys = list(on)
+    child_keys = child.groupBy(*keys).agg(F.count(F.lit(1)).alias("__rows"))
+    parent_keys = parent.select(*keys).dropDuplicates(keys)
+    orphans = child_keys.join(parent_keys, on=keys, how="left_anti")
+    return orphans.agg(
+        F.coalesce(F.sum("__rows"), F.lit(0)).cast("long")
+         .alias("n_orphan_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_orphan_keys"),
+        F.min(_key_repr(keys)).alias("min_orphan_key"),
+        F.max(_key_repr(keys)).alias("max_orphan_key"))
+
+
+def uniqueness_check(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Candidate-key multiplicity profile: one row with ``n_rows``,
+    ``n_keys``, ``n_dup_keys`` (keys seen more than once), ``n_dup_rows``
+    (rows beyond the first per key), and ``max_multiplicity``."""
+    per_key = df.groupBy(*list(keys)).agg(F.count(F.lit(1)).alias("__cnt"))
+    return per_key.agg(
+        F.sum("__cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("__cnt") > 1, 1).otherwise(0)).cast("long")
+         .alias("n_dup_keys"),
+        (F.sum("__cnt") - F.count(F.lit(1))).cast("long")
+         .alias("n_dup_rows"),
+        F.max("__cnt").cast("long").alias("max_multiplicity"))
+
+
+def duplicate_examples(df: DataFrame, keys: Sequence[str],
+                       top_n: int = 10) -> DataFrame:
+    """The ``top_n`` most-duplicated key values as (key, multiplicity),
+    multiplicity > 1 only; deterministic order (count desc, key asc)."""
+    ks = list(keys)
+    return (df.groupBy(*ks)
+            .agg(F.count(F.lit(1)).alias("multiplicity"))
+            .where(F.col("multiplicity") > 1)
+            .select(_key_repr(ks).alias("key"), "multiplicity")
+            .orderBy(F.col("multiplicity").desc(), F.col("key").asc())
+            .limit(top_n))

@@ -3532,3 +3532,117 @@ def q_length_shard_ntile(spark, sf_dir):
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.min("n_chars").alias("min_chars"),
                      F.max("n_chars").alias("max_chars")))
+
+
+# ---------------------------------------------------------------------------
+# structural integrity + declarative constraint suite
+# ---------------------------------------------------------------------------
+
+from spanner_data_validator_spark.operators import constraints as C  # noqa: E402
+from spanner_data_validator_spark.operators.integrity import (  # noqa: E402
+    duplicate_examples,
+    orphan_check,
+    uniqueness_check,
+)
+
+
+@register("ri_orphan_check", """
+WITH ck AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_orderkey),
+pk AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 3),
+o AS (SELECT ck.* FROM ck LEFT JOIN pk ON ck.l_orderkey = pk.o_orderkey
+      WHERE pk.o_orderkey IS NULL)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_orphan_rows,
+       CAST(count(*) AS BIGINT) AS n_orphan_keys,
+       min(CAST(l_orderkey AS VARCHAR)) AS min_orphan_key,
+       max(CAST(l_orderkey AS VARCHAR)) AS max_orphan_key
+FROM o
+""")
+def q_ri_orphan_check(spark, sf_dir):
+    """Referential-integrity check (integrity.orphan_check): lineitems whose
+    order vanished — parent side derives 'orders with o_orderkey % 7 = 3
+    lost in migration'. The child collapses to (key, count) BEFORE the
+    anti-join, so the exchange carries distinct keys, not 10^12 rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+              .withColumnRenamed("l_orderkey", "orderkey")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+              .where(F.col("o_orderkey") % 7 != 3) \
+              .withColumnRenamed("o_orderkey", "orderkey")
+    return orphan_check(li, od, ["orderkey"])
+
+
+@register("pk_uniqueness_check", """
+WITH d AS (SELECT doc_id FROM documents
+           UNION ALL SELECT doc_id FROM documents WHERE doc_id % 97 = 5),
+k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY doc_id)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(max(cnt) AS BIGINT) AS max_multiplicity
+FROM k
+""")
+def q_pk_uniqueness_check(spark, sf_dir):
+    """Candidate-key multiplicity profile (integrity.uniqueness_check) over
+    a corpus with planted duplicate doc_ids (every doc_id % 97 = 5 doubled).
+    One groupBy + one scalar aggregate — the pre-migration 'is the PK still
+    a PK' gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    planted = docs.unionByName(docs.where(F.col("doc_id") % 97 == 5))
+    return uniqueness_check(planted, ["doc_id"])
+
+
+@register("pk_duplicate_examples", """
+WITH d AS (SELECT doc_id FROM documents
+           UNION ALL SELECT doc_id FROM documents WHERE doc_id % 97 = 5),
+k AS (SELECT CAST(doc_id AS VARCHAR) AS key,
+             CAST(count(*) AS BIGINT) AS multiplicity
+      FROM d GROUP BY doc_id)
+SELECT key, multiplicity FROM k WHERE multiplicity > 1
+ORDER BY multiplicity DESC, key ASC LIMIT 10
+""")
+def q_pk_duplicate_examples(spark, sf_dir):
+    """Worst-offender keys for the uniqueness violation above —
+    TakeOrderedAndProject top-N, deterministic (count desc, key asc)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    planted = docs.unionByName(docs.where(F.col("doc_id") % 97 == 5))
+    return duplicate_examples(planted, ["doc_id"], top_n=10)
+
+
+_CONSTRAINT_ORACLE = """
+WITH s AS (SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+  CAST(sum(CASE WHEN (NOT (value BETWEEN 0 AND 250)) OR value IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+  CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+                  OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+  CAST(sum(CASE WHEN NOT regexp_matches(props, '^\\{"k": [0-9]+\\}$')
+                  OR props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v4
+FROM events)
+SELECT 0 AS ord, 'not_null(user_id)' AS rule, n_rows,
+       v0 AS n_violations, v0 = 0 AS passed FROM s
+UNION ALL SELECT 1, 'in_range(value,0,250)', n_rows, v1, v1 = 0 FROM s
+UNION ALL SELECT 2, 'accepted_values(event_type)', n_rows, v2, v2 = 0 FROM s
+UNION ALL SELECT 3, 'matches_regex(props)', n_rows, v3, v3 = 0 FROM s
+UNION ALL SELECT 4, 'unique(event_id)', n_rows, v4, v4 = 0 FROM s
+"""
+
+
+@register("constraint_suite_events", _CONSTRAINT_ORACLE)
+def q_constraint_suite_events(spark, sf_dir):
+    """Declarative constraint suite (operators/constraints): five invariant
+    rules over events compiled into ONE aggregate scan (unique() rides the
+    same pass via EXPAND count-distinct) — the Deequ-style zero-join
+    validation tier."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rules = [
+        C.not_null("user_id"),
+        C.in_range("value", 0, 250),
+        C.accepted_values("event_type",
+                          ["click", "view", "purchase", "signup"]),
+        C.matches_regex("props", '^\\{"k": [0-9]+\\}$'),
+        C.unique("event_id"),
+    ]
+    return C.check_constraints(ev, rules)

@@ -1,0 +1,82 @@
+"""Integrity + constraint-suite tests."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.operators import constraints as C
+from spanner_data_validator_spark.operators.integrity import (
+    duplicate_examples,
+    orphan_check,
+    uniqueness_check,
+)
+
+
+def test_orphan_check_counts_rows_and_keys(spark):
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f")],
+        "fk long, payload string").withColumnRenamed("fk", "k")
+    parent = spark.createDataFrame([(1,), (9,)], "k long")
+    r = orphan_check(child, parent, ["k"]).first()
+    assert r.n_orphan_rows == 4          # keys 2 (1 row) + 3 (3 rows)
+    assert r.n_orphan_keys == 2
+    assert (r.min_orphan_key, r.max_orphan_key) == ("2", "3")
+
+
+def test_orphan_check_clean_parentage(spark):
+    child = spark.createDataFrame([(1,), (2,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    r = orphan_check(child, parent, ["k"]).first()
+    assert (r.n_orphan_rows, r.n_orphan_keys) == (0, 0)
+    assert r.min_orphan_key is None
+
+
+def test_uniqueness_check_profile(spark):
+    df = spark.createDataFrame([(1,), (1,), (1,), (2,), (3,), (3,)],
+                               "k long")
+    r = uniqueness_check(df, ["k"]).first()
+    assert (r.n_rows, r.n_keys, r.n_dup_keys, r.n_dup_rows,
+            r.max_multiplicity) == (6, 3, 2, 3, 3)
+
+
+def test_duplicate_examples_deterministic_order(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [5, 5, 5, 2, 2, 9, 9, 1]], "k long")
+    ex = duplicate_examples(df, ["k"], top_n=10).collect()
+    # 5 (x3) first; 2 and 9 tie on count -> ascending key
+    assert [(e.key, e.multiplicity) for e in ex] == [
+        ("5", 3), ("2", 2), ("9", 2)]
+
+
+def test_constraints_null_semantics_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "ok"), (2, None, "ok"), (None, 50.0, "bad"),
+         (4, -1.0, None), (4, 7.0, "ok")],
+        "id long, v double, s string")
+    rules = [C.not_null("id"), C.in_range("v", 0, 10),
+             C.accepted_values("s", ["ok"]), C.unique("id"),
+             C.matches_regex("s", "^o")]
+    out = {r.rule: r for r in C.check_constraints(df, rules).collect()}
+    assert out["not_null(id)"].n_violations == 1
+    # NULL v and 50.0 and -1.0 all violate in_range
+    assert out["in_range(v,0,10)"].n_violations == 3
+    assert out["accepted_values(s)"].n_violations == 2  # 'bad' + NULL
+    assert out["unique(id)"].n_violations == 1          # id=4 twice
+    assert out["matches_regex(s)"].n_violations == 2    # 'bad' + NULL
+    assert all(r.n_rows == 5 for r in out.values())
+    assert not out["not_null(id)"].passed
+
+
+def test_constraints_single_scan_plan(spark):
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 7).alias("m"))
+    plan = C.check_constraints(
+        df, [C.not_null("m"), C.in_range("id", 0, 50)])._jdf \
+        .queryExecution().executedPlan().toString()
+    # the whole suite is one aggregate over one scan — no join, no union
+    assert plan.count("Range (0, 100") == 1
+    assert "Join" not in plan and "Union" not in plan
+
+
+def test_constraints_all_pass_flag(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    out = C.check_constraints(df, [C.not_null("k"), C.unique("k")]).collect()
+    assert all(r.passed and r.n_violations == 0 for r in out)
