@@ -3646,3 +3646,45 @@ def q_constraint_suite_events(spark, sf_dir):
         C.unique("event_id"),
     ]
     return C.check_constraints(ev, rules)
+
+
+@register("jsonl_ingest_parity", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       CAST(7 AS BIGINT) AS n_quarantined
+FROM events
+""")
+def q_jsonl_ingest_parity(spark, sf_dir):
+    """File-drop ingestion round-trip (sources/files): events re-serialized
+    as JSON-lines plus 7 planted garbage lines, strict-read back with the
+    declared schema, quarantine split, and aggregate parity proved against
+    the original table. Exercises schema-enforced parse, corrupt-record
+    capture, and the one-scan good/bad split — the failure mode PERMISSIVE
+    defaults hide. Doubles survive exactly (Spark writes shortest-roundtrip
+    JSON numbers); sums stay integer for cross-engine exactness."""
+    import os
+    import tempfile
+
+    from spanner_data_validator_spark.sources.files import (
+        read_jsonl_strict,
+        split_quarantine,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="sdv_q_jsonl_")
+    jdir = os.path.join(work, "events_jsonl")
+    ev.write.mode("overwrite").json(jdir)
+    with open(os.path.join(jdir, "zz_bad_lines.json"), "w") as f:
+        for i in range(7):
+            f.write(f"<<not json #{i}>>\n")
+    raw = read_jsonl_strict(spark, jdir, ev.schema)
+    good, bad = split_quarantine(raw)
+    return (good.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                     F.countDistinct("user_id").cast("long").alias("n_users"),
+                     F.min("value").alias("min_value"),
+                     F.max("value").alias("max_value"),
+                     F.sum("event_id").cast("long").alias("sum_event_id"))
+            .crossJoin(bad.agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_quarantined"))))

@@ -9,6 +9,11 @@ from spanner_data_validator_spark.sources.transcript_source import (  # noqa: F4
     stream_transcripts,
     write_transcripts,
 )
+from spanner_data_validator_spark.sources.files import (  # noqa: F401
+    read_csv_strict,
+    read_jsonl_strict,
+    split_quarantine,
+)
 from spanner_data_validator_spark.sources.jdbc_source import (  # noqa: F401
     range_predicates,
     ranged_predicates_for,
