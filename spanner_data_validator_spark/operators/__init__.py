@@ -25,6 +25,7 @@ from spanner_data_validator_spark.operators.constraints import (  # noqa: F401
 from spanner_data_validator_spark.operators.integrity import (  # noqa: F401
     duplicate_examples,
     orphan_check,
+    reconcile_header_detail,
     uniqueness_check,
 )
 from spanner_data_validator_spark.operators.layout import (  # noqa: F401

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,6 +61,41 @@ def uniqueness_check(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         (F.sum("__cnt") - F.count(F.lit(1))).cast("long")
          .alias("n_dup_rows"),
         F.max("__cnt").cast("long").alias("max_multiplicity"))
+
+
+def reconcile_header_detail(header: DataFrame, detail: DataFrame,
+                            on: Sequence[str], *, header_total: Column,
+                            detail_amount: Column,
+                            tolerance: int = 0) -> DataFrame:
+    """Header-vs-detail monetary reconciliation: does each parent row's
+    stored total equal the sum of its child rows, within ``tolerance``?
+
+    Amount columns must be INTEGER-VALUED expressions (e.g. cents via
+    ``F.round(price * 100).cast("long")``) — integer sums are exact and
+    engine-order-independent, where a double sum's result depends on
+    partition reduction order. One aggregation on the child + one equi-join
+    on the key + one scalar rollup; returns a single row:
+    (n_headers, n_matched, n_drifted, n_missing_detail, max_abs_drift).
+
+    Headers with NO child rows count as ``n_missing_detail`` (never
+    silently treated as drift-0 matches).
+    """
+    keys = list(on)
+    d = detail.groupBy(*keys).agg(
+        F.sum(detail_amount).cast("long").alias("__detail_total"))
+    h = header.select(*keys, header_total.cast("long").alias("__head_total"))
+    joined = h.join(d, on=keys, how="left")
+    drift = F.abs(F.col("__head_total") - F.col("__detail_total"))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_headers"),
+        F.sum(F.when(drift <= tolerance, 1).otherwise(0)).cast("long")
+         .alias("n_matched"),
+        F.sum(F.when(drift > tolerance, 1).otherwise(0)).cast("long")
+         .alias("n_drifted"),
+        F.sum(F.when(F.col("__detail_total").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_missing_detail"),
+        F.coalesce(F.max(drift), F.lit(0)).cast("long")
+         .alias("max_abs_drift"))
 
 
 def duplicate_examples(df: DataFrame, keys: Sequence[str],

@@ -3688,3 +3688,45 @@ def q_jsonl_ingest_parity(spark, sf_dir):
                      F.sum("event_id").cast("long").alias("sum_event_id"))
             .crossJoin(bad.agg(F.count(F.lit(1)).cast("long")
                                .alias("n_quarantined"))))
+
+
+@register("header_detail_reconcile", """
+WITH d AS (SELECT l_orderkey AS orderkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS detail_cents
+           FROM lineitem GROUP BY l_orderkey),
+h AS (SELECT o_orderkey AS orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS head_cents
+      FROM orders),
+j AS (SELECT h.head_cents, d.detail_cents,
+             abs(h.head_cents - d.detail_cents) AS drift
+      FROM h LEFT JOIN d USING (orderkey))
+SELECT CAST(count(*) AS BIGINT) AS n_headers,
+       CAST(sum(CASE WHEN drift <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(sum(CASE WHEN drift > 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_drifted,
+       CAST(sum(CASE WHEN detail_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_detail,
+       CAST(coalesce(max(drift), 0) AS BIGINT) AS max_abs_drift
+FROM j
+""")
+def q_header_detail_reconcile(spark, sf_dir):
+    """Header-vs-detail reconciliation (integrity.reconcile_header_detail):
+    each order's stored o_totalprice against the sum of its lineitems, in
+    exact integer cents (round(x*100) is the same IEEE multiply + half-up
+    round in both engines; integer sums are reduction-order-independent
+    where double sums are not). Child aggregates BEFORE the join, so the
+    join carries one row per order, not per lineitem."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+                       .withColumnRenamed("o_orderkey", "orderkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+                   .withColumnRenamed("l_orderkey", "orderkey")
+    from spanner_data_validator_spark.operators.integrity import (
+        reconcile_header_detail,
+    )
+    return reconcile_header_detail(
+        orders, li, ["orderkey"],
+        header_total=F.round(F.col("o_totalprice") * 100),
+        detail_amount=F.round(F.col("l_extendedprice") * 100).cast("long"),
+        tolerance=100)

@@ -80,3 +80,42 @@ def test_constraints_all_pass_flag(spark):
     df = spark.createDataFrame([(1,), (2,)], "k long")
     out = C.check_constraints(df, [C.not_null("k"), C.unique("k")]).collect()
     assert all(r.passed and r.n_violations == 0 for r in out)
+
+
+def test_reconcile_header_detail_exact_and_drift(spark):
+    from spanner_data_validator_spark.operators.integrity import (
+        reconcile_header_detail,
+    )
+    header = spark.createDataFrame(
+        [(1, 300), (2, 500), (3, 42)], "k long, total long")
+    detail = spark.createDataFrame(
+        [(1, 100), (1, 200),          # exact
+         (2, 450)],                   # drift 50
+        "k long, amt long")
+    r = reconcile_header_detail(
+        header, detail, ["k"],
+        header_total=F.col("total"), detail_amount=F.col("amt"),
+        tolerance=10).first()
+    assert (r.n_headers, r.n_matched, r.n_drifted, r.n_missing_detail,
+            r.max_abs_drift) == (3, 1, 1, 1, 50)
+    # identity: every header lands in exactly one bucket
+    assert r.n_matched + r.n_drifted + r.n_missing_detail == r.n_headers
+
+
+def test_dynamic_partition_pruning_kicks_in(spark, tmp_path):
+    # fact partitioned by dim key; filtered dim join must prune partitions
+    # at runtime (DPP) instead of scanning all of them — the 100 TB pattern
+    # for validating one shard/day out of a partitioned lake table.
+    fact_path = str(tmp_path / "fact")
+    (spark.range(0, 10000)
+     .selectExpr("id", "id % 20 AS part_key")
+     .write.partitionBy("part_key").parquet(fact_path))
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(3, "keep"), (7, "keep"), (11, "drop"), (15, "drop")],
+        "part_key long, tag string")
+    # DPP fires off a SELECTIVE dim predicate (the rule looks for a filter)
+    joined = fact.join(dim.where(F.col("tag") == "keep"), "part_key")
+    assert joined.count() == 1000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
