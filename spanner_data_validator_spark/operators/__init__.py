@@ -17,14 +17,17 @@ from spanner_data_validator_spark.operators.constraints import (  # noqa: F401
     Rule,
     accepted_values,
     check_constraints,
+    fits_int32,
     in_range,
     matches_regex,
+    max_length,
     not_null,
     unique,
 )
 from spanner_data_validator_spark.operators.integrity import (  # noqa: F401
     duplicate_examples,
     orphan_check,
+    partition_completeness,
     reconcile_header_detail,
     uniqueness_check,
 )
@@ -46,6 +49,7 @@ from spanner_data_validator_spark.operators.sessionize import (  # noqa: F401
     sessionize,
 )
 from spanner_data_validator_spark.operators.skew import (  # noqa: F401
+    join_cardinality,
     key_skew_profile,
     salted_join,
 )

@@ -69,6 +69,20 @@ def unique(*cols: str) -> Rule:
                 - F.count_distinct(F.struct(*[F.col(c) for c in cols])))
 
 
+def max_length(col: str, n: int) -> Rule:
+    """Pre-migration VARCHAR(n) fit: violated when the string is longer
+    than ``n`` characters (NULL fits any width)."""
+    return Rule(f"max_length({col},{n})",
+                _count_where(F.length(F.col(col)) > n))
+
+
+def fits_int32(col: str) -> Rule:
+    """Target-type INT32 fit for a wider integer column (NULL fits)."""
+    c = F.col(col)
+    return Rule(f"fits_int32({col})",
+                _count_where((c < -2147483648) | (c > 2147483647)))
+
+
 def check_constraints(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Run the suite in one aggregate pass.
 

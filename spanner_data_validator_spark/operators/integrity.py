@@ -98,6 +98,33 @@ def reconcile_header_detail(header: DataFrame, detail: DataFrame,
          .alias("max_abs_drift"))
 
 
+def partition_completeness(df: DataFrame, date_col: Column) -> DataFrame:
+    """Calendar-gap detection for a date-partitioned feed: which days
+    between the observed min and max have NO rows at all. A per-day count
+    validator misses days that are absent from BOTH sides; this one
+    generates the expected calendar with ``sequence()`` (driver-free — the
+    1-row bounds aggregate explodes JVM-side) and anti-joins the observed
+    distinct days. Returns one row: (n_expected_days, n_actual_days,
+    n_missing_days, min/max missing day as 'YYYY-MM-DD' strings).
+
+    Scale: the heavy input collapses to distinct days immediately (map-side
+    partial distinct), so every join/agg here runs over ~days rows.
+    """
+    days = df.select(date_col.cast("date").alias("d")).distinct()
+    bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    expected = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"))
+    missing = expected.join(days, "d", "left_anti")
+    return (expected.agg(F.count(F.lit(1)).cast("long")
+                         .alias("n_expected_days"))
+            .crossJoin(days.agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_actual_days")))
+            .crossJoin(missing.agg(
+                F.count(F.lit(1)).cast("long").alias("n_missing_days"),
+                F.min(F.col("d").cast("string")).alias("min_missing_day"),
+                F.max(F.col("d").cast("string")).alias("max_missing_day"))))
+
+
 def duplicate_examples(df: DataFrame, keys: Sequence[str],
                        top_n: int = 10) -> DataFrame:
     """The ``top_n`` most-duplicated key values as (key, multiplicity),

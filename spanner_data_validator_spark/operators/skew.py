@@ -55,6 +55,31 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
             .limit(top_n))
 
 
+def join_cardinality(left: DataFrame, right: DataFrame,
+                     on: Sequence[str]) -> DataFrame:
+    """EXACT output cardinality of ``left ⋈ right`` on ``on`` — computed
+    without materializing a single joined row. Both sides collapse to
+    (key, count); the count tables join (distinct keys only) and
+    sum(cnt_l * cnt_r) is the inner-join row count. The pre-flight
+    explosion check: run it before an unfamiliar join — if ``est_rows``
+    is 10^13 or ``max_key_rows`` dwarfs a partition, restructure
+    (pre-aggregate, salt, or rethink the key) BEFORE burning the cluster.
+
+    Returns one row: (est_rows, n_shared_keys, max_key_rows — the largest
+    single key's contribution).
+    """
+    keys = list(on)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cl"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cr"))
+    per_key = lc.join(rc, on=keys).select(
+        (F.col("__cl") * F.col("__cr")).alias("__rows"))
+    return per_key.agg(
+        F.coalesce(F.sum("__rows"), F.lit(0)).cast("long").alias("est_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_shared_keys"),
+        F.coalesce(F.max("__rows"), F.lit(0)).cast("long")
+         .alias("max_key_rows"))
+
+
 def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str],
                 salt_buckets: int, *, big_salt_source: Column,
                 how: str = "inner") -> DataFrame:

@@ -3730,3 +3730,83 @@ def q_header_detail_reconcile(spark, sf_dir):
         header_total=F.round(F.col("o_totalprice") * 100),
         detail_amount=F.round(F.col("l_extendedprice") * 100).cast("long"),
         tolerance=100)
+
+
+@register("join_cardinality_estimate", """
+WITH lc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cl
+            FROM events GROUP BY user_id),
+rc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cr
+       FROM events WHERE event_type <> 'error' GROUP BY user_id),
+p AS (SELECT cl * cr AS rows_per_key FROM lc JOIN rc USING (user_id))
+SELECT CAST(coalesce(sum(rows_per_key), 0) AS BIGINT) AS est_rows,
+       CAST(count(*) AS BIGINT) AS n_shared_keys,
+       CAST(coalesce(max(rows_per_key), 0) AS BIGINT) AS max_key_rows
+FROM p
+""")
+def q_join_cardinality_estimate(spark, sf_dir):
+    """Pre-flight join-explosion check (skew.join_cardinality): the EXACT
+    row count of events ⋈ events-minus-errors on user_id, computed from
+    (key, count) tables only — never materializing the join. The
+    companion to join_skew_profile: run both before an unfamiliar join at
+    100 TB."""
+    from spanner_data_validator_spark.operators.skew import join_cardinality
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return join_cardinality(
+        ev, ev.where(F.col("event_type") != "error"), ["user_id"])
+
+
+@register("partition_completeness", """
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+           WHERE EXTRACT(day FROM ts) % 5 <> 0),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM d),
+e AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b),
+m AS (SELECT e.d FROM e LEFT JOIN d USING (d) WHERE d.d IS NULL)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_expected_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_actual_days,
+       CAST(count(*) AS BIGINT) AS n_missing_days,
+       min(CAST(m.d AS VARCHAR)) AS min_missing_day,
+       max(CAST(m.d AS VARCHAR)) AS max_missing_day
+FROM m
+""")
+def q_partition_completeness(spark, sf_dir):
+    """Calendar-gap detection (integrity.partition_completeness) over an
+    events feed with planted missing days (day-of-month % 5 = 0 dropped):
+    expected days generated JVM-side from the observed bounds, anti-joined
+    against actual distinct days. The input collapses to distinct days
+    immediately, so everything downstream runs over ~days rows."""
+    from spanner_data_validator_spark.operators.integrity import (
+        partition_completeness,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+             .where(F.dayofmonth("ts") % 5 != 0)
+    return partition_completeness(ev, F.col("ts"))
+
+
+@register("type_fit_audit", """
+WITH s AS (SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN length(text) > 2000 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+  CAST(sum(CASE WHEN doc_id < -2147483648 OR doc_id > 2147483647
+           THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2
+FROM documents)
+SELECT 0 AS ord, 'max_length(text,2000)' AS rule, n_rows,
+       v0 AS n_violations, v0 = 0 AS passed FROM s
+UNION ALL SELECT 1, 'fits_int32(doc_id)', n_rows, v1, v1 = 0 FROM s
+UNION ALL SELECT 2, 'not_null(lang)', n_rows, v2, v2 = 0 FROM s
+""")
+def q_type_fit_audit(spark, sf_dir):
+    """Pre-migration type-fit audit: will the corpus survive the target
+    DDL (VARCHAR(2000), INT32 key, NOT NULL lang)? Same one-scan constraint
+    compiler as constraint_suite_events, with the width/overflow rules a
+    schema migration actually needs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = [
+        C.max_length("text", 2000),
+        C.fits_int32("doc_id"),
+        C.not_null("lang"),
+    ]
+    return C.check_constraints(docs, rules)

@@ -119,3 +119,55 @@ def test_dynamic_partition_pruning_kicks_in(spark, tmp_path):
     assert joined.count() == 1000
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_join_cardinality_exact(spark):
+    from spanner_data_validator_spark.operators.skew import join_cardinality
+    left = spark.createDataFrame([(1,), (1,), (1,), (2,), (9,)], "k long")
+    right = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    r = join_cardinality(left, right, ["k"]).first()
+    # key 1: 3*2=6, key 2: 1*1=1; keys 9 and 3 unshared
+    assert (r.est_rows, r.n_shared_keys, r.max_key_rows) == (7, 2, 6)
+    # ground truth: the actual join row count
+    assert left.join(right, "k").count() == 7
+
+
+def test_join_cardinality_disjoint_keys(spark):
+    from spanner_data_validator_spark.operators.skew import join_cardinality
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    r = join_cardinality(a, b, ["k"]).first()
+    assert (r.est_rows, r.n_shared_keys, r.max_key_rows) == (0, 0, 0)
+
+
+def test_partition_completeness_gap_detection(spark):
+    from spanner_data_validator_spark.operators.integrity import (
+        partition_completeness,
+    )
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-02",), ("2024-01-02",),
+         ("2024-01-05",)], "d string")
+    r = partition_completeness(df, F.col("d")).first()
+    assert (r.n_expected_days, r.n_actual_days, r.n_missing_days) == (5, 3, 2)
+    assert (r.min_missing_day, r.max_missing_day) == \
+        ("2024-01-03", "2024-01-04")
+
+
+def test_partition_completeness_no_gaps(spark):
+    from spanner_data_validator_spark.operators.integrity import (
+        partition_completeness,
+    )
+    df = spark.createDataFrame([("2024-02-01",), ("2024-02-02",)],
+                               "d string")
+    r = partition_completeness(df, F.col("d")).first()
+    assert r.n_missing_days == 0 and r.min_missing_day is None
+
+
+def test_type_fit_rules(spark):
+    df = spark.createDataFrame(
+        [("abcdef", 1), ("ab", 2**40), (None, -2**40)],
+        "s string, n long")
+    out = {r.rule: r.n_violations for r in C.check_constraints(
+        df, [C.max_length("s", 3), C.fits_int32("n")]).collect()}
+    assert out["max_length(s,3)"] == 1      # NULL fits any width
+    assert out["fits_int32(n)"] == 2
