@@ -1,3 +1,6 @@
+from spanner_data_validator_spark.operators.timeseries import (  # noqa: F401
+    ewma_by_group,
+)
 from spanner_data_validator_spark.operators.comparator import (  # noqa: F401
     MATCH,
     MISMATCH,
@@ -23,6 +26,10 @@ from spanner_data_validator_spark.operators.constraints import (  # noqa: F401
     max_length,
     not_null,
     unique,
+)
+from spanner_data_validator_spark.operators.funnel import (  # noqa: F401
+    funnel_stages,
+    retention_cohorts,
 )
 from spanner_data_validator_spark.operators.integrity import (  # noqa: F401
     duplicate_examples,

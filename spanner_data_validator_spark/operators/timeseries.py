@@ -1,0 +1,45 @@
+"""Deterministic time-series smoothing over grouped daily aggregates.
+
+``ewma_by_group`` computes an exponentially-weighted moving average of a
+per-day metric, per group, as a SORTED FOLD: the day series is assembled
+with sort_array(collect_list(...)) and folded with the ``aggregate`` HOF,
+so the floating-point operations run in exactly one order — the result is
+bit-reproducible across runs, partitionings, AND engines (a windowed
+sum-of-weights formulation would depend on reduction order). With
+alpha = 0.5 every multiply is exact in IEEE double, so cross-engine
+equality is exact, not approximate.
+
+Scale: the fold runs over the POST-AGGREGATION series (days per group,
+thousands at most), not raw rows; the heavy input collapses in the daily
+count aggregation. State per group = the day array — bounded by the
+calendar, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma_by_group(df: DataFrame, group: str, ts: str,
+                  *, alpha: float = 0.5) -> DataFrame:
+    """Per-group EWMA of the DAILY ROW COUNT: returns (group, n_days,
+    last_day, ewma) where ewma folds the day-ordered counts with
+    ``acc = acc*(1-alpha) + cnt*alpha`` seeded from the first day's count.
+    """
+    daily = (df.groupBy(F.col(group), F.col(ts).cast("date").alias("__d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("__cnt")))
+    series = (daily.groupBy(group)
+              .agg(F.sort_array(F.collect_list(
+                  F.struct(F.col("__d"), F.col("__cnt")))).alias("__s")))
+    a = F.lit(float(alpha))
+    folded = F.aggregate(
+        F.slice(F.col("__s"), 2, F.size(F.col("__s"))),
+        F.element_at(F.col("__s"), 1)["__cnt"],
+        lambda acc, x: acc * (F.lit(1.0) - a) + x["__cnt"] * a)
+    return series.select(
+        F.col(group),
+        F.size(F.col("__s")).alias("n_days"),
+        F.element_at(F.col("__s"), -1)["__d"].cast("string")
+         .alias("last_day"),
+        folded.alias("ewma"))

@@ -3810,3 +3810,82 @@ def q_type_fit_audit(spark, sf_dir):
         C.not_null("lang"),
     ]
     return C.check_constraints(docs, rules)
+
+
+# ---------------------------------------------------------------------------
+# behavioral analytics: funnel, retention, EWMA
+# ---------------------------------------------------------------------------
+
+from spanner_data_validator_spark.operators.funnel import (  # noqa: E402
+    funnel_stages,
+    retention_cohorts,
+)
+from spanner_data_validator_spark.operators.timeseries import (  # noqa: E402
+    ewma_by_group,
+)
+
+
+@register("funnel_view_click_purchase", """
+WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id)
+SELECT 0 AS stage_idx, 'view' AS stage,
+       (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+UNION ALL SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+UNION ALL SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+""")
+def q_funnel_view_click_purchase(spark, sf_dir):
+    """Strictly-ordered conversion funnel (funnel.funnel_stages): users
+    whose click follows their first view, whose purchase follows that
+    click. k stages = k keyed aggs + k-1 user-key joins; every exchange
+    carries one row per user, never per event."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_stages(ev, user="user_id", ts="ts",
+                         stage_col="event_type",
+                         stages=["view", "click", "purchase"])
+
+
+@register("retention_cohorts_weekly", """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', cohort_day, CAST(e.ts AS DATE)) AS INTEGER)
+         AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f USING (user_id)
+WHERE date_diff('day', cohort_day, CAST(e.ts AS DATE)) <= 7
+GROUP BY cohort_day, day_offset
+""")
+def q_retention_cohorts_weekly(spark, sf_dir):
+    """First-seen-day cohort retention (funnel.retention_cohorts), offsets
+    0..7. Cohort table is one aggregation; the offset join is a user-key
+    join; distinct-user counts per (cohort, offset) cell."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = retention_cohorts(ev, user="user_id", ts="ts", max_offset_days=7)
+    return out.withColumn("cohort_day", F.col("cohort_day").cast("string"))
+
+
+@register("ewma_daily_events", """
+WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                      CAST(count(*) AS DOUBLE) AS cnt
+               FROM events GROUP BY event_type, CAST(ts AS DATE)),
+s AS (SELECT event_type, list(cnt ORDER BY d) AS l,
+             CAST(count(*) AS INTEGER) AS n_days,
+             CAST(max(d) AS VARCHAR) AS last_day
+      FROM daily GROUP BY event_type)
+SELECT event_type, n_days, last_day,
+       list_reduce(l, (acc, x) -> acc * CAST(0.5 AS DOUBLE)
+                                  + x * CAST(0.5 AS DOUBLE)) AS ewma
+FROM s
+""")
+def q_ewma_daily_events(spark, sf_dir):
+    """Per-type EWMA of daily event counts (timeseries.ewma_by_group):
+    sorted-fold smoothing that is bit-reproducible across runs,
+    partitionings, and engines — alpha 0.5 keeps every multiply exact in
+    IEEE double, so the oracle comparison is exact equality, not
+    tolerance."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ewma_by_group(ev, "event_type", "ts", alpha=0.5)
