@@ -26,9 +26,16 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Rule:
-    """A named constraint compiled to an aggregate violation count."""
+    """A named constraint compiled to an aggregate violation count.
+
+    ``additive`` marks rules whose per-partition/per-batch violation counts
+    SUM to the global answer (all row-predicate rules). ``unique`` is the
+    exception — duplicates can span batches — so streaming monitors must
+    reject non-additive rules rather than silently under-count.
+    """
     name: str
     violations: Column  # aggregate expression -> long count of violations
+    additive: bool = True
 
 
 def _count_where(cond: Column) -> Column:
@@ -66,7 +73,8 @@ def unique(*cols: str) -> Rule:
     (a bare count_distinct would silently DROP null-keyed rows)."""
     return Rule(f"unique({','.join(cols)})",
                 F.count(F.lit(1))
-                - F.count_distinct(F.struct(*[F.col(c) for c in cols])))
+                - F.count_distinct(F.struct(*[F.col(c) for c in cols])),
+                additive=False)
 
 
 def max_length(col: str, n: int) -> Rule:

@@ -3889,3 +3889,46 @@ def q_ewma_daily_events(spark, sf_dir):
     tolerance."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ewma_by_group(ev, "event_type", "ts", alpha=0.5)
+
+
+@register("stream_constraint_monitor", """
+WITH s AS (SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+  CAST(sum(CASE WHEN (NOT (value BETWEEN 0 AND 250)) OR value IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+  CAST(sum(CASE WHEN length(props) > 9 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+FROM events)
+SELECT 0 AS ord, 'not_null(user_id)' AS rule, n_rows,
+       v0 AS n_violations, v0 = 0 AS passed FROM s
+UNION ALL SELECT 1, 'in_range(value,0,250)', n_rows, v1, v1 = 0 FROM s
+UNION ALL SELECT 2, 'max_length(props,9)', n_rows, v2, v2 = 0 FROM s
+""")
+def q_stream_constraint_monitor(spark, sf_dir):
+    """REAL streaming run of the constraint suite: events replayed as a
+    4-file stream (maxFilesPerTrigger=1 -> 4 micro-batches), each batch
+    evaluated by streaming/constraint_monitor.ConstraintMonitor into the
+    batch-fenced exactly-once sink, totals folded back to the whole-stream
+    answer — which must equal the one-shot batch suite the oracle computes.
+    Stateless streaming: no watermark, per-batch cost is one aggregate
+    scan, sink holds batches x rules tiny rows."""
+    import tempfile
+
+    from spanner_data_validator_spark.streaming.constraint_monitor import (
+        ConstraintMonitor,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="sdv_q_cmon_")
+    ev.repartition(4).write.parquet(f"{work}/in")
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{work}/in"))
+    mon = ConstraintMonitor(f"{work}/out", [
+        C.not_null("user_id"),
+        C.in_range("value", 0, 250),
+        C.max_length("props", 9),
+    ])
+    q = (stream.writeStream.foreachBatch(mon)
+         .option("checkpointLocation", f"{work}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return mon.totals(spark)

@@ -171,3 +171,31 @@ def test_type_fit_rules(spark):
         df, [C.max_length("s", 3), C.fits_int32("n")]).collect()}
     assert out["max_length(s,3)"] == 1      # NULL fits any width
     assert out["fits_int32(n)"] == 2
+
+
+def test_constraint_monitor_exactly_once_on_replay(spark, tmp_path):
+    from spanner_data_validator_spark.streaming.constraint_monitor import (
+        ConstraintMonitor,
+    )
+    mon = ConstraintMonitor(str(tmp_path / "out"),
+                            [C.not_null("v"), C.in_range("v", 0, 5)])
+    b0 = spark.createDataFrame([(1,), (None,), (9,)], "v long")
+    b1 = spark.createDataFrame([(2,), (3,)], "v long")
+    mon(b0, 0)
+    mon(b0, 0)   # sink crash-replay of the same batch: must be a no-op
+    mon(b1, 1)
+    out = {r.rule: r for r in mon.totals(spark).collect()}
+    assert out["not_null(v)"].n_rows == 5
+    assert out["not_null(v)"].n_violations == 1
+    assert out["in_range(v,0,5)"].n_violations == 2   # NULL + 9
+    assert out["in_range(v,0,5)"].passed is False
+
+
+def test_constraint_monitor_rejects_non_additive(spark, tmp_path):
+    import pytest as _pytest
+
+    from spanner_data_validator_spark.streaming.constraint_monitor import (
+        ConstraintMonitor,
+    )
+    with _pytest.raises(ValueError, match="non-additive"):
+        ConstraintMonitor(str(tmp_path / "o"), [C.unique("v")])
