@@ -36,7 +36,12 @@ from spanner_data_validator_spark.operators.integrity import (  # noqa: F401
     orphan_check,
     partition_completeness,
     reconcile_header_detail,
+    sequence_contiguity,
     uniqueness_check,
+)
+from spanner_data_validator_spark.operators.quantize import (  # noqa: F401
+    quantize_int8,
+    quantize_stats,
 )
 from spanner_data_validator_spark.operators.layout import (  # noqa: F401
     write_zordered,

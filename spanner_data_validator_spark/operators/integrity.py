@@ -98,6 +98,38 @@ def reconcile_header_detail(header: DataFrame, detail: DataFrame,
          .alias("max_abs_drift"))
 
 
+def sequence_contiguity(df: DataFrame, group: str, seq_col: str,
+                        *, start_at: int = 1) -> DataFrame:
+    """Per-group sequence-number audit: within each ``group``, ``seq_col``
+    must be exactly ``start_at .. start_at+n-1`` (line numbers, turn
+    indexes, page sequences). One keyed aggregation classifies every group
+    from four scalars (count, distinct, min, max); a second 1-row rollup
+    summarizes: (n_groups, n_clean, n_with_dups, n_with_gaps,
+    n_bad_start). A group can appear in several defect columns (dup AND
+    gap); ``n_clean`` counts groups with none.
+
+    Never sorts: gaps fall out of ``max - min + 1 != n_distinct``,
+    duplicates out of ``count != n_distinct`` — the check costs one
+    exchange of (group, 4 longs).
+    """
+    per = (df.groupBy(group)
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.count_distinct(F.col(seq_col)).alias("__nd"),
+                F.min(seq_col).cast("long").alias("__mn"),
+                F.max(seq_col).cast("long").alias("__mx")))
+    dup = F.col("__n") != F.col("__nd")
+    gap = (F.col("__mx") - F.col("__mn") + 1) != F.col("__nd")
+    bad0 = F.col("__mn") != start_at
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(~dup & ~gap & ~bad0, 1).otherwise(0)).cast("long")
+         .alias("n_clean"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_with_dups"),
+        F.sum(F.when(gap, 1).otherwise(0)).cast("long").alias("n_with_gaps"),
+        F.sum(F.when(bad0, 1).otherwise(0)).cast("long")
+         .alias("n_bad_start"))
+
+
 def partition_completeness(df: DataFrame, date_col: Column) -> DataFrame:
     """Calendar-gap detection for a date-partitioned feed: which days
     between the observed min and max have NO rows at all. A per-day count

@@ -1,0 +1,57 @@
+"""Embedding quantization: symmetric int8 for ANN/storage compression.
+
+The 4x shrink that makes a 10^9-vector index fit executor memory: each
+vector is scaled by 127/max|x| and rounded to integers in [-127, 127]
+(symmetric linear quantization — the scheme FAISS's scalar quantizer and
+most vector stores use). Everything is pure codegen expressions: one
+array_max pass for the scale, one transform for the quantized array.
+
+Cross-engine determinism: the scale is one IEEE divide, each element one
+multiply + half-away-from-zero round — bit-identical in Spark and DuckDB,
+so integer checksums over the quantized arrays are exact oracle material.
+
+Catalyst trap baked in: the per-row scale is materialized behind a
+Generate barrier (``explode(array(..))``) — inlined into the ``transform``
+lambda it would be re-evaluated once per ELEMENT (CollapseProject pushes
+through a plain select; see ivf_assign / BENCH.md notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_int8(df: DataFrame, vec_col: str) -> DataFrame:
+    """Add ``scale`` (double) and ``q`` (array<long> of int8-ranged values)
+    for ``vec_col``. Zero vectors get scale 0 and an all-zero ``q`` rather
+    than a divide-by-zero. ``q`` values are guaranteed in [-127, 127]; cast
+    to tinyint at storage time (kept wide here so downstream integer sums
+    never overflow)."""
+    mx = F.array_max(F.transform(
+        F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    # Generate barrier: ONE scale evaluation per row (not per element)
+    out = df.withColumn("scale", F.explode(F.array(scale)))
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.col("scale")).cast("long"))
+    return out.withColumn("q", q)
+
+
+def quantize_stats(df: DataFrame, vec_col: str, group: str) -> DataFrame:
+    """Per-group quantization audit: vector count, exact integer checksum of
+    all quantized values (the cross-engine bit-equality witness), saturated
+    element count (|q| = 127), and the scale range."""
+    qdf = quantize_int8(df, vec_col)
+    checksum = F.aggregate(F.col("q"), F.lit(0).cast("long"),
+                           lambda acc, x: acc + x)
+    n_sat = F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127))
+    return (qdf.select(F.col(group), checksum.alias("__ck"),
+                       n_sat.alias("__st"), F.col("scale"))
+            .groupBy(group)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.sum("__ck").cast("long").alias("checksum"),
+                 F.sum("__st").cast("long").alias("n_saturated"),
+                 F.min("scale").alias("min_scale"),
+                 F.max("scale").alias("max_scale")))

@@ -3932,3 +3932,119 @@ def q_stream_constraint_monitor(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return mon.totals(spark)
+
+
+@register("linenumber_contiguity", """
+WITH li AS (SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE NOT (l_linenumber = 2 AND l_orderkey % 13 = 4)),
+per AS (SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT l_linenumber) AS BIGINT) AS nd,
+               CAST(min(l_linenumber) AS BIGINT) AS mn,
+               CAST(max(l_linenumber) AS BIGINT) AS mx
+        FROM li GROUP BY l_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n = nd AND mx - mn + 1 = nd AND mn = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN n <> nd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_dups,
+       CAST(sum(CASE WHEN mx - mn + 1 <> nd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_gaps,
+       CAST(sum(CASE WHEN mn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_start
+FROM per
+""")
+def q_linenumber_contiguity(spark, sf_dir):
+    """Sequence-number audit (integrity.sequence_contiguity): every order's
+    l_linenumber must be exactly 1..n; a planted defect drops line 2 from
+    every 13th order. Gaps/dups/start fall out of four scalars per group —
+    no sort anywhere; the exchange carries (orderkey, 4 longs)."""
+    from spanner_data_validator_spark.operators.integrity import (
+        sequence_contiguity,
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+             .where(~((F.col("l_linenumber") == 2)
+                      & (F.col("l_orderkey") % 13 == 4)))
+    return sequence_contiguity(li, "l_orderkey", "l_linenumber", start_at=1)
+
+
+@register("embedding_quantize_stats", """
+WITH q AS (
+  SELECT label,
+         CASE WHEN list_max(list_transform(embedding,
+                                           y -> abs(CAST(y AS DOUBLE)))) > 0
+              THEN CAST(127.0 AS DOUBLE)
+                   / list_max(list_transform(embedding,
+                                             y -> abs(CAST(y AS DOUBLE))))
+              ELSE CAST(0.0 AS DOUBLE) END AS scale,
+         embedding
+  FROM embeddings),
+qq AS (
+  SELECT label, scale,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * scale)
+                                  AS BIGINT)) AS qv
+  FROM q)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(list_sum(qv)) AS BIGINT) AS checksum,
+       CAST(sum(len(list_filter(qv, e -> abs(e) = 127))) AS BIGINT)
+         AS n_saturated,
+       min(scale) AS min_scale,
+       max(scale) AS max_scale
+FROM qq GROUP BY label
+""")
+def q_embedding_quantize_stats(spark, sf_dir):
+    """Symmetric int8 quantization audit (operators/quantize): per-label
+    vector counts, EXACT integer checksum over all quantized values (the
+    cross-engine bit-equality witness — scale divide + element multiply +
+    half-away-from-zero round are IEEE-identical in both engines),
+    saturation counts, scale range. The 4x shrink that fits a 10^9-vector
+    ANN index in executor memory; all pure codegen, scale evaluated once
+    per row behind a Generate barrier."""
+    from spanner_data_validator_spark.operators.quantize import quantize_stats
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_stats(emb, "embedding", "label")
+
+
+@register("validate_classify_pure_sql", _CLS_CTE + """
+SELECT CAST(key % 16 AS BIGINT) AS range_id, status,
+       CAST(count(*) AS BIGINT) AS n
+FROM cls GROUP BY 1, 2
+""")
+def q_validate_classify_pure_sql(spark, sf_dir):
+    """The flagship classify expressed as ONE spark.sql() string — proof the
+    engine's hot path is reachable from the pure SQL API (temp view + SQL
+    text, xxhash64 fingerprints, full-outer classify, per-range tally) with
+    no DataFrame code. Catalyst plans it identically to classify_pair."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("sdv_sql_events")
+    return spark.sql("""
+WITH src AS (
+  SELECT event_id AS key,
+         xxhash64(concat_ws('|', coalesce(event_type, ''),
+                            coalesce(props, ''),
+                            coalesce(CAST(user_id AS STRING), ''))) AS fp
+  FROM sdv_sql_events
+),
+tgt AS (
+  SELECT key,
+         CASE WHEN key % 50 = 0 THEN xxhash64(CAST(fp AS STRING), '#mut')
+              ELSE fp END AS fp
+  FROM src WHERE key % 50 <> 1
+  UNION ALL
+  SELECT key + 100000000 AS key, fp FROM src WHERE key % 50 = 2
+),
+cls AS (
+  SELECT coalesce(s.key, t.key) AS key,
+         CASE WHEN s.fp IS NOT NULL AND t.fp IS NOT NULL AND s.fp = t.fp
+                THEN 'MATCH'
+              WHEN s.fp IS NOT NULL AND t.fp IS NOT NULL THEN 'MISMATCH'
+              WHEN t.fp IS NULL THEN 'SOURCE_ONLY'
+              ELSE 'TARGET_ONLY' END AS status
+  FROM src s FULL OUTER JOIN tgt t ON s.key = t.key
+)
+SELECT CAST(key % 16 AS BIGINT) AS range_id, status,
+       CAST(count(*) AS BIGINT) AS n
+FROM cls GROUP BY 1, 2
+""")

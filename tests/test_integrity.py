@@ -199,3 +199,43 @@ def test_constraint_monitor_rejects_non_additive(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="non-additive"):
         ConstraintMonitor(str(tmp_path / "o"), [C.unique("v")])
+
+
+def test_sequence_contiguity_classifies_defects(spark):
+    from spanner_data_validator_spark.operators.integrity import (
+        sequence_contiguity,
+    )
+    rows = [
+        (1, 1), (1, 2), (1, 3),          # clean
+        (2, 1), (2, 3),                  # gap
+        (3, 1), (3, 1), (3, 2),          # dup
+        (4, 2), (4, 3),                  # bad start (contiguous otherwise)
+        (5, 2), (5, 2), (5, 5),          # dup + gap + bad start
+    ]
+    df = spark.createDataFrame(rows, "g long, s long")
+    r = sequence_contiguity(df, "g", "s").first()
+    assert (r.n_groups, r.n_clean) == (5, 1)
+    assert (r.n_with_dups, r.n_with_gaps, r.n_bad_start) == (2, 2, 2)
+
+
+def test_quantize_int8_values_and_barrier(spark):
+    from spanner_data_validator_spark.operators.quantize import (
+        quantize_int8,
+        quantize_stats,
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5], "a"),
+         (2, [0.0, 0.0], "a"),           # zero vector -> scale 0, all-zero q
+         (3, [4.0], "b")],
+        "id long, v array<double>, g string")
+    got = {r.id: r for r in quantize_int8(df, "v").collect()}
+    assert got[1].q == [64, -127, 32]    # scale 63.5; round(31.75) -> 32
+    assert got[1].scale == 63.5
+    assert got[2].q == [0, 0] and got[2].scale == 0.0
+    assert got[3].q == [127]
+    stats = {r.g: r for r in quantize_stats(df, "v", "g").collect()}
+    assert stats["a"].checksum == 64 - 127 + 32
+    assert stats["a"].n_saturated == 1 and stats["b"].n_saturated == 1
+    # every quantized value in int8 range
+    flat = [x for r in got.values() for x in r.q]
+    assert all(-127 <= x <= 127 for x in flat)
