@@ -157,7 +157,7 @@ def run_default() -> None:
         # registry warm-up never touches, and their first run is 3-5x the
         # steady state (measured 13.1 -> 2.5 s batch / 25.2 -> 17.5 s stream
         # back-to-back). One untimed tiny-corpus pass first.
-        if warmup_sec or os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
             t0 = time.time()
             ws, wt, wn = build_transcript_corpus(spark, 0.001, f"{work}/warm")
             bench_transcripts(spark, ws, wt, wn, f"{work}/warm")

@@ -39,7 +39,9 @@ class Rule:
 
 
 def _count_where(cond: Column) -> Column:
-    return F.sum(F.when(cond, 1).otherwise(0))
+    # coalesce: SUM over zero rows is NULL — an empty table/micro-batch must
+    # report 0 violations / passed=true, not NULL/NULL
+    return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
 
 
 def not_null(col: str) -> Rule:

@@ -9,7 +9,10 @@ no windows over raw rows, no per-user state.
   an event of stage-i type occurs STRICTLY AFTER their stage-(i-1) entry
   time. Stage i is one conditional min aggregation joined back on user_id,
   so k stages cost k keyed aggs + (k-1) key joins — every exchange carries
-  one row per user, never per event.
+  one row per user, never per event. Each stage's per-user table is
+  localCheckpoint-ed: it feeds both its count and the next stage, and an
+  un-materialized branch would re-run the whole upstream chain (O(k^2)
+  input scans).
 * ``retention_cohorts`` — users bucketed by first-seen day (cohort), then
   distinct-user counts per (cohort_day, day_offset). The cohort table is
   one aggregation; the offset join is on user_id.
@@ -41,6 +44,11 @@ def funnel_stages(events: DataFrame, *, user: str, ts: str, stage_col: str,
                              on=user)
                    .where(F.col(ts) > F.col("__pt"))
                    .groupBy(user).agg(F.min(ts).alias("__t")))
+        # checkpoint the per-user stage table (one row per user): it feeds
+        # BOTH the count branch and the next stage, and Catalyst re-computes
+        # the whole upstream chain per branch otherwise (O(k^2) input scans
+        # measured — the CLAUDE.md aliased-branch gotcha)
+        cur = cur.localCheckpoint()
         reached.append(cur.agg(
             F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"),
             F.count(F.lit(1)).cast("long").alias("n_users")))

@@ -142,7 +142,11 @@ def partition_completeness(df: DataFrame, date_col: Column) -> DataFrame:
     Scale: the heavy input collapses to distinct days immediately (map-side
     partial distinct), so every join/agg here runs over ~days rows.
     """
-    days = df.select(date_col.cast("date").alias("d")).distinct()
+    # checkpoint the tiny distinct-days table: it feeds the bounds, the
+    # anti-join, and the count branches — without materialization each
+    # branch re-scans the RAW input (7 scans measured)
+    days = (df.select(date_col.cast("date").alias("d")).distinct()
+            .localCheckpoint())
     bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     expected = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"))

@@ -24,6 +24,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_zorder_args(n_cols: int, bits: int) -> None:
+    if n_cols < 2:
+        raise ValueError("zorder needs >= 2 columns (1 column = plain sort)")
+    if bits * n_cols > 62:
+        raise ValueError(
+            f"bits*cols = {bits * n_cols} > 62 overflows a long key")
+
+
 def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
     """Morton-interleave the low ``bits`` bits of each column (as longs).
 
@@ -35,10 +43,7 @@ def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
     ``bits * len(cols)`` — keep it ≤ 62 to stay in a signed long.
     """
     k = len(cols)
-    if k < 2:
-        raise ValueError("zorder needs >= 2 columns (1 column = plain sort)")
-    if bits * k > 62:
-        raise ValueError(f"bits*cols = {bits * k} > 62 overflows a long key")
+    _check_zorder_args(k, bits)
     z: Column | None = None
     for i, c in enumerate(cols):
         v = c.cast("long")
@@ -54,6 +59,7 @@ def zorder_sql_expr(col_exprs: Sequence[str], bits: int = 8) -> str:
     SQL over pre-normalized integer expressions — one string, same bit
     positions, so Spark and the oracle agree exactly."""
     k = len(col_exprs)
+    _check_zorder_args(k, bits)
     terms = [f"((({e} >> {b}) & 1) << {b * k + i})"
              for i, e in enumerate(col_exprs) for b in range(bits)]
     return "(" + " | ".join(terms) + ")"

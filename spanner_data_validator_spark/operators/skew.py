@@ -40,7 +40,11 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
 
     Ties are broken by ascending key so the result is deterministic.
     """
-    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    # localCheckpoint: counts feeds BOTH the stats aggregate and the top-N —
+    # without it Catalyst re-runs the input scan + groupBy per branch (the
+    # CLAUDE.md aliased-branch exchange-reuse gotcha; 3 scans measured)
+    counts = (df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint())
     stats = counts.agg(
         F.sum("cnt").cast("double").alias("__total"),
         F.count(F.lit(1)).cast("double").alias("__n_keys"))

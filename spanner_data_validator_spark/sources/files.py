@@ -25,6 +25,8 @@ expressions) — one text scan, zero Python in the row path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -34,16 +36,23 @@ _RAW_COL = "_raw_line"
 
 
 def _with_corrupt_carrier(schema: StructType) -> StructType:
-    if CORRUPT_COL in schema.fieldNames():
-        raise ValueError(f"schema already defines {CORRUPT_COL!r}")
+    for reserved in (CORRUPT_COL, _RAW_COL):
+        if reserved in schema.fieldNames():
+            raise ValueError(f"schema already defines {reserved!r} "
+                             "(reserved by the strict readers)")
     # never schema.add(): StructType.add MUTATES the caller's schema object
     return StructType(list(schema.fields)
                       + [StructField(CORRUPT_COL, StringType(), True)])
 
 
 def _parse_lines(lines: DataFrame, parsed) -> DataFrame:
-    out = lines.select(parsed.alias("__r"),
-                       F.col("value").alias(_RAW_COL))
+    # drop whitespace-only lines FIRST: from_json/from_csv parse them to an
+    # all-NULL struct with a NULL corrupt column, which would sail through
+    # the quarantine split as phantom all-NULL "good" rows (the silent-nulls
+    # failure this module exists to prevent). Spark's native JSON/CSV
+    # readers skip blank lines too, so this matches ingest expectations.
+    out = (lines.where(F.trim(F.col("value")) != "")
+           .select(parsed.alias("__r"), F.col("value").alias(_RAW_COL)))
     return out.select("__r.*", _RAW_COL)
 
 
@@ -63,17 +72,26 @@ def read_csv_strict(spark: SparkSession, path: str, schema: StructType,
     """CSV with declared schema; malformed lines (wrong column count,
     uncastable values) get ``_corrupt_record`` set.
 
-    With ``header=True`` the exact rendered header line (schema field names
-    joined by ``sep``) is dropped wherever it appears — per-FILE headers in
-    a multi-file directory are all removed, which the line-oriented text
-    scan could not otherwise attribute to file starts.
+    With ``header=True`` the rendered header line (schema field names
+    joined by ``sep``) is dropped wherever it appears, compared after
+    stripping double quotes, surrounding whitespace, and case — so
+    ``"id","name"`` / ``ID, Name`` variants are removed too. Per-FILE
+    headers in a multi-file directory are all removed, which the
+    line-oriented text scan could not otherwise attribute to file starts.
+    Two caveats inherent to line-oriented parsing: a header with REORDERED
+    column names is not recognized (it lands in quarantine for typed
+    schemas — inspect it there), and a data row that happens to equal the
+    normalized header is dropped with it.
     """
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL,
             "sep": sep}
     lines = spark.read.text(path)
     if header:
-        header_line = sep.join(schema.fieldNames())
-        lines = lines.where(F.col("value") != F.lit(header_line))
+        header_norm = sep.join(f.lower() for f in schema.fieldNames())
+        line_norm = F.lower(F.regexp_replace(
+            F.regexp_replace(F.col("value"), '"', ""),
+            r"\s*" + re.escape(sep) + r"\s*", sep))
+        lines = lines.where(F.trim(line_norm) != F.lit(header_norm))
     return _parse_lines(
         lines, F.from_csv(F.col("value"),
                           _with_corrupt_carrier(schema).simpleString(),

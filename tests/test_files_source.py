@@ -80,3 +80,31 @@ def test_split_requires_strict_reader(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="strict reader"):
         split_quarantine(df)
+
+
+def test_blank_lines_never_become_phantom_rows(spark, tmp_path):
+    f = tmp_path / "in.jsonl"
+    f.write_text('{"id": 1, "name": "a", "score": 1.0}\n\n   \n'
+                 '{"id": 2, "name": "b", "score": 2.0}\n')
+    good, bad = split_quarantine(read_jsonl_strict(spark, str(f), SCHEMA))
+    # whitespace-only lines are dropped (native-reader semantics), NOT
+    # parsed into all-NULL "good" rows
+    assert good.count() == 2 and bad.count() == 0
+    assert good.where("id IS NULL").count() == 0
+
+
+def test_csv_header_variants_dropped(spark, tmp_path):
+    f = tmp_path / "in.csv"
+    f.write_text('"id","name","score"\n1,a,1.0\nID, Name, Score\n2,b,2.0\n')
+    good, bad = split_quarantine(
+        read_csv_strict(spark, str(f), SCHEMA, header=True))
+    assert {r.id for r in good.collect()} == {1, 2}
+    assert bad.count() == 0
+
+
+def test_schema_with_raw_line_col_rejected(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql.types import StructField, StructType
+    s = StructType([StructField("_raw_line", StringType())])
+    with _pytest.raises(ValueError, match="reserved"):
+        read_jsonl_strict(spark, str(tmp_path), s)

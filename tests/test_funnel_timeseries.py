@@ -68,3 +68,20 @@ def test_ewma_fold_matches_hand_computation(spark):
     assert out["a"].ewma == 5.5 and out["a"].n_days == 3
     assert out["a"].last_day == "2024-01-03"
     assert out["b"].ewma == 3.0 and out["b"].n_days == 1
+
+
+def test_funnel_input_scanned_once_per_stage(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    rows = [(i % 7, dt.datetime(2024, 1, 1 + i % 5), t)
+            for i in range(50) for t in ("view", "click")]
+    spark.createDataFrame(rows, "user_id long, ts timestamp, et string") \
+        .write.parquet(path)
+    ev = spark.read.parquet(path)
+    out = funnel_stages(ev, user="user_id", ts="ts", stage_col="et",
+                        stages=["view", "click"])
+    n = out.count()
+    assert n == 2
+    # stage tables are checkpointed: the final union plan reads checkpoints,
+    # not k^2 re-scans of the raw input (11 scans for 3 stages pre-fix)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0

@@ -239,3 +239,36 @@ def test_quantize_int8_values_and_barrier(spark):
     # every quantized value in int8 range
     flat = [x for r in got.values() for x in r.q]
     assert all(-127 <= x <= 127 for x in flat)
+
+
+def test_constraints_empty_input_passes_with_zero(spark):
+    df = spark.createDataFrame([], "v long")
+    out = C.check_constraints(df, [C.not_null("v"), C.in_range("v", 0, 5),
+                                   C.unique("v")]).collect()
+    assert all(r.n_violations == 0 and r.passed for r in out)
+    assert all(r.n_rows == 0 for r in out)
+
+
+def test_partition_completeness_single_input_scan(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    spark.createDataFrame([("2024-01-01",), ("2024-01-03",)],
+                          "d string").write.parquet(path)
+    from spanner_data_validator_spark.operators.integrity import (
+        partition_completeness,
+    )
+    df = spark.read.parquet(path)
+    out = partition_completeness(df, F.col("d"))
+    assert out.first().n_missing_days == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the raw input is scanned exactly once (days is checkpointed)
+    assert plan.count("FileScan parquet") == 0  # no raw scans post-checkpoint
+
+
+def test_key_skew_profile_single_input_scan(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    spark.range(0, 100).selectExpr("id % 5 AS k").write.parquet(path)
+    from spanner_data_validator_spark.operators.skew import key_skew_profile
+    out = key_skew_profile(spark.read.parquet(path), "k", top_n=3)
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0
