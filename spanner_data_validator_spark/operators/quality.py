@@ -19,6 +19,8 @@ shape: reduce rows to small tokens before any shuffle.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -140,3 +142,28 @@ def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"))
            .withColumn("overlap_frac", F.col("n_hits") / F.col("n_shingles")))
     return out.where(F.col("overlap_frac") >= threshold)
+
+
+def pseudonymize(df: DataFrame, cols: Sequence[str], secret: str,
+                 *, token_len: int = 16) -> DataFrame:
+    """Deterministic keyed pseudonymization for identifier columns: each
+    value is replaced by the first ``token_len`` hex chars of
+    SHA-256(secret || '|' || value). Same value -> same token within a
+    secret, so joins/groupings survive the migration; rotating the secret
+    unlinks past exports. NULLs stay NULL (a NULL identifier carries no
+    identity to protect).
+
+    Pure codegen (sha2 is a JVM expression — no UDF); works identically in
+    any engine with SHA-256, so pseudonymized exports remain
+    oracle-comparable. This is reversible ONLY by brute force over the
+    value domain — for low-entropy identifiers (sequential ints) treat the
+    secret like a key, not a salt. Complements redact_pii (free-text
+    scrubbing) for the structured-identifier side.
+    """
+    out = df
+    for c in cols:
+        tok = F.substring(
+            F.sha2(F.concat_ws("|", F.lit(secret), F.col(c).cast("string")),
+                   256), 1, token_len)
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
+    return out

@@ -4048,3 +4048,30 @@ SELECT CAST(key % 16 AS BIGINT) AS range_id, status,
        CAST(count(*) AS BIGINT) AS n
 FROM cls GROUP BY 1, 2
 """)
+
+
+@register("pseudonymize_users", """
+WITH p AS (SELECT substring(sha256('sdv-demo-secret|' ||
+                            CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
+                  event_type
+           FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_token) AS BIGINT) AS n_tokens,
+       min(user_token) AS min_token
+FROM p GROUP BY event_type
+""")
+def q_pseudonymize_users(spark, sf_dir):
+    """Deterministic keyed pseudonymization (quality.pseudonymize): user_id
+    replaced by a SHA-256(secret|value) token — pure codegen, identical hex
+    in any engine, so the pseudonymized export is itself oracle-comparable.
+    Per-type distinct-token counts must equal distinct-user counts (the
+    join-survival property)."""
+    from spanner_data_validator_spark.operators.quality import pseudonymize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+             .select("user_id", "event_type")
+    p = pseudonymize(ev, ["user_id"], "sdv-demo-secret", token_len=16)
+    return (p.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.countDistinct("user_id").alias("n_tokens"),
+                  F.min("user_id").alias("min_token")))

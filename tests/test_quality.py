@@ -96,3 +96,17 @@ def test_line_dedup_removes_boilerplate_keeps_order(spark):
         assert out[i] == (f"unique {i} alpha\nunique {i} beta", 3, 1)
     assert out[100] == ("", 1, 1)                    # fully-boilerplate doc
     assert out[101] == ("lonely line\nanother lonely", 2, 0)
+
+
+def test_pseudonymize_consistent_null_safe_and_rotatable(spark):
+    from spanner_data_validator_spark.operators.quality import pseudonymize
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d")], "uid long, x string")
+    p1 = pseudonymize(df, ["uid"], "s1").collect()
+    toks = {r.x: r.uid for r in p1}
+    assert toks["a"] == toks["b"]                  # same value, same token
+    assert toks["a"] != toks["c"]                  # different values differ
+    assert toks["d"] is None                       # NULL stays NULL
+    assert len(toks["a"]) == 16
+    p2 = {r.x: r.uid for r in pseudonymize(df, ["uid"], "s2").collect()}
+    assert p2["a"] != toks["a"]                    # secret rotation unlinks
