@@ -4075,3 +4075,62 @@ def q_pseudonymize_users(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.countDistinct("user_id").alias("n_tokens"),
                   F.min("user_id").alias("min_token")))
+
+
+@register("udaf_value_dispersion", """
+WITH med AS (SELECT event_type, median(value) AS median_value
+             FROM events GROUP BY event_type),
+dev AS (SELECT e.event_type, abs(e.value - m.median_value) AS ad
+        FROM events e JOIN med m USING (event_type))
+SELECT m.event_type,
+       (SELECT CAST(count(*) AS BIGINT) FROM events e2
+        WHERE e2.event_type = m.event_type) AS n,
+       m.median_value,
+       (SELECT median(d.ad) FROM dev d
+        WHERE d.event_type = m.event_type) AS mad_value
+FROM med m
+""")
+def q_udaf_value_dispersion(spark, sf_dir):
+    """UDAF surface (functions/udx): exact per-type median and median
+    absolute deviation via pandas GROUPED_AGG UDFs — the robust dispersion
+    pair Spark has no exact built-in for. Groups here are the 5 event
+    types, so each Arrow batch is bounded; for high-cardinality groups use
+    profile.quantiles_by_rank (pure shuffle arithmetic) instead."""
+    from spanner_data_validator_spark.functions.udx import (
+        grouped_count,
+        grouped_mad,
+        grouped_median,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # count also via GROUPED_AGG: Spark refuses to mix pandas and plain
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT)
+    return (ev.groupBy("event_type")
+            .agg(grouped_count(F.col("value")).alias("n"),
+                 grouped_median(F.col("value")).alias("median_value"),
+                 grouped_mad(F.col("value")).alias("mad_value")))
+
+
+@register("udtf_char_chunks", """
+SELECT lang,
+       CAST(sum((length(text) + 39) // 40) AS BIGINT) AS n_chunks,
+       CAST(sum(length(text)) AS BIGINT) AS total_chunk_len
+FROM documents GROUP BY lang
+""")
+def q_udtf_char_chunks(spark, sf_dir):
+    """UDTF surface (functions/udx.CharChunks): one row in, N rows out via
+    a LATERAL table function — fixed-width character chunks whose exact
+    integer geometry the oracle recomputes arithmetically
+    (count = ceil(len/40), sum of chunk lengths = len). The hot-path
+    equivalent is packing.chunk_tokens (pure expressions); this covers the
+    extension point."""
+    from spanner_data_validator_spark.functions.udx import char_chunks_udtf
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("sdv_udtf_docs")
+    spark.udtf.register("sdv_char_chunks", char_chunks_udtf())
+    return spark.sql("""
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(c.chunk_len) AS BIGINT) AS total_chunk_len
+        FROM sdv_udtf_docs d, LATERAL sdv_char_chunks(d.text, 40) c
+        GROUP BY d.lang
+    """)

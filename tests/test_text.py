@@ -127,3 +127,37 @@ def test_char_ngrams_short_and_normalized(spark):
     df = spark.createDataFrame([("  A   b  ",), ("ab",), ("",)], "t STRING")
     got = [r[0] for r in df.select(char_ngrams("t", 3)).collect()]
     assert got == [["a b"], [], []]
+
+
+def test_udaf_median_mad_exact(spark):
+    from spanner_data_validator_spark.functions.udx import (
+        grouped_mad,
+        grouped_median,
+    )
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 100.0),
+         ("b", 2.0), ("b", 4.0)], "g string, v double")
+    out = {r.g: r for r in df.groupBy("g").agg(
+        grouped_median(F.col("v")).alias("med"),
+        grouped_mad(F.col("v")).alias("mad")).collect()}
+    assert out["a"].med == 3.0 and out["a"].mad == 2.0   # |1-3|,|3-3|,|100-3| -> med 2
+    assert out["b"].med == 3.0 and out["b"].mad == 1.0   # even count: mean of middle two
+
+
+def test_udtf_char_chunks_geometry(spark):
+    from spanner_data_validator_spark.functions.udx import char_chunks_udtf
+    spark.udtf.register("t_char_chunks", char_chunks_udtf())
+    spark.createDataFrame(
+        [(1, "x" * 95), (2, ""), (3, None), (4, "abc")],
+        "id long, text string").createOrReplaceTempView("t_udtf_in")
+    rows = spark.sql("""
+        SELECT i.id, c.chunk_idx, c.chunk_len
+        FROM t_udtf_in i, LATERAL t_char_chunks(i.text, 40) c
+    """).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append((r.chunk_idx, r.chunk_len))
+    assert sorted(by_id[1]) == [(0, 40), (1, 40), (2, 15)]
+    assert by_id[4] == [(0, 3)]
+    assert 2 not in by_id and 3 not in by_id   # empty/NULL emit nothing
