@@ -4134,3 +4134,45 @@ def q_udtf_char_chunks(spark, sf_dir):
         FROM sdv_udtf_docs d, LATERAL sdv_char_chunks(d.text, 40) c
         GROUP BY d.lang
     """)
+
+
+@register("stream_conflicts_to_jdbc", _CLS_CTE + """
+SELECT status, CAST(count(*) AS BIGINT) AS n
+FROM cls WHERE status <> 'MATCH' GROUP BY status
+""")
+def q_stream_conflicts_to_jdbc(spark, sf_dir):
+    """The conflicting-record sink (SURVEY §2 S8) against a LIVE database:
+    non-MATCH classifications replayed as a 4-file stream land in an
+    embedded-Derby table through streaming/jdbc_sink.JdbcExactlyOnceSink
+    (batch-fenced: fence row inserted last, torn writes invisible and
+    cleaned on replay), then the committed rows are read back and tallied —
+    which must equal the batch classification the oracle computes. The
+    portable stand-in for the reference's BigQuery conflict writers."""
+    import tempfile
+
+    from spanner_data_validator_spark.streaming.jdbc_sink import (
+        JdbcExactlyOnceSink,
+    )
+    work = tempfile.mkdtemp(prefix="sdv_q_jdbc_sink_")
+    url = f"jdbc:derby:{work}/db;create=true"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE conflicts "
+               "(k BIGINT, status VARCHAR(16), batch_id BIGINT)")
+    st.close()
+    conn.close()
+
+    conflicts = (classified_events(spark, sf_dir)
+                 .where(F.col("status") != MATCH)
+                 .select(F.col("key").alias("k"), "status"))
+    conflicts.repartition(4).write.parquet(f"{work}/in")
+    sink = JdbcExactlyOnceSink(url, "conflicts")
+    stream = (spark.readStream.schema(conflicts.schema)
+              .option("maxFilesPerTrigger", 2).parquet(f"{work}/in"))
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", f"{work}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (sink.read_committed(spark)
+            .groupBy("status").agg(F.count(F.lit(1)).alias("n")))
