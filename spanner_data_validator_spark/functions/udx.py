@@ -38,19 +38,23 @@ def grouped_count(v: pd.Series) -> int:
 
 
 @F.pandas_udf(T.DoubleType())
-def grouped_median(v: pd.Series) -> float:
+def grouped_median(v: pd.Series) -> float | None:
     """Exact median (mean-of-middle-two on even counts — the same rule
-    DuckDB's ``median`` applies to DOUBLE, so results are oracle-exact)."""
-    return float(v.median())
+    DuckDB's ``median`` applies to DOUBLE, so results are oracle-exact).
+    An all-NULL group yields SQL NULL, matching the oracle (pandas would
+    hand back NaN, which is a different double)."""
+    m = v.median()
+    return None if pd.isna(m) else float(m)
 
 
 @F.pandas_udf(T.DoubleType())
-def grouped_mad(v: pd.Series) -> float:
+def grouped_mad(v: pd.Series) -> float | None:
     """Median absolute deviation: median(|x - median(x)|) — the robust
     dispersion measure a drift monitor wants where stddev would chase one
     outlier."""
     med = v.median()
-    return float((v - med).abs().median())
+    mad = (v - med).abs().median()
+    return None if pd.isna(mad) else float(mad)
 
 
 class CharChunks:

@@ -4114,7 +4114,8 @@ def q_udaf_value_dispersion(spark, sf_dir):
 SELECT lang,
        CAST(sum((length(text) + 39) // 40) AS BIGINT) AS n_chunks,
        CAST(sum(length(text)) AS BIGINT) AS total_chunk_len
-FROM documents GROUP BY lang
+FROM documents WHERE text IS NOT NULL AND length(text) > 0
+GROUP BY lang
 """)
 def q_udtf_char_chunks(spark, sf_dir):
     """UDTF surface (functions/udx.CharChunks): one row in, N rows out via
@@ -4124,7 +4125,11 @@ def q_udtf_char_chunks(spark, sf_dir):
     equivalent is packing.chunk_tokens (pure expressions); this covers the
     extension point."""
     from spanner_data_validator_spark.functions.udx import char_chunks_udtf
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # filter empty/NULL docs on BOTH sides: the comma-LATERAL join is
+    # inner, so a lang whose docs are all empty would vanish from the Spark
+    # result while the oracle's GROUP BY kept it
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .where(F.col("text").isNotNull() & (F.length("text") > 0))
     docs.createOrReplaceTempView("sdv_udtf_docs")
     spark.udtf.register("sdv_char_chunks", char_chunks_udtf())
     return spark.sql("""
@@ -4174,5 +4179,14 @@ def q_stream_conflicts_to_jdbc(spark, sf_dir):
          .option("checkpointLocation", f"{work}/ckpt")
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return (sink.read_committed(spark)
-            .groupBy("status").agg(F.count(F.lit(1)).alias("n")))
+    tally = (sink.read_committed(spark)
+             .groupBy("status").agg(F.count(F.lit(1)).alias("n")))
+    # materialize, then shut this Derby DB down — embedded Derby keeps every
+    # booted database resident in the driver JVM until exit, and bench runs
+    # this query repeatedly
+    rows = tally.collect()
+    from spanner_data_validator_spark.streaming.jdbc_sink import (
+        shutdown_embedded_derby,
+    )
+    shutdown_embedded_derby(spark, url)
+    return spark.createDataFrame(rows, tally.schema)

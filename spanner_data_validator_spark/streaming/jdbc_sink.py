@@ -3,29 +3,39 @@
 The reference lands mismatch rows in BigQuery via STORAGE_WRITE_API writers
 (`JDBCToSpannerDVTWithHash.java:191-246`, SURVEY §2 S7/S8); the portable
 analogue is a JDBC table. Plain ``df.write.jdbc(mode="append")`` from
-``foreachBatch`` double-writes on micro-batch replay (sink crash between
-the append and the checkpoint commit), so this sink applies the same
-batch-fence protocol as ``sink.ExactlyOnceParquetSink``, with the fence IN
-THE DATABASE:
+``foreachBatch`` is wrong twice over: a micro-batch replay (sink crash
+before the checkpoint commit) double-writes the batch, and a TASK retry
+inside one attempt double-writes its partition (each partition commits its
+own JDBC transaction — there is no file-committer equivalent to make that
+idempotent). This sink closes both holes:
 
-1. every data row carries its ``batch_id`` column;
-2. a replayed batch is detected via the fence table and (a) any rows the
-   crashed attempt left behind are deleted, (b) the batch is re-appended;
-3. the fence row is inserted LAST, on the driver, after the append
-   succeeded — the single atomic commit point;
-4. readers join data ⋈ fence (``read_committed``), so a crash between (2b)
-   and (3) leaves only invisible rows that the next replay deletes.
+1. executors append the batch to a per-batch STAGING table (task retries
+   may duplicate rows there — staging is allowed to be dirty);
+2. the driver then promotes staging in ONE transaction:
+   ``DELETE`` any rows a previous torn attempt left in the target,
+   ``INSERT INTO target SELECT DISTINCT * FROM staging``, and the fence-row
+   insert — commit is the single atomic point, so data and fence land
+   together and task-retry duplicates are collapsed by DISTINCT;
+3. a replayed committed batch is detected via the fence table and skipped;
+   its leftover staging table is dropped.
+
+DISTINCT at promote means rows within one batch must be distinct as a set
+(true for classify output keyed by row key; add a uid column upstream if
+your feed has legitimate duplicate rows).
 
 Executor appends go through Spark's parallel JDBC writer (one connection
-per partition); only the tiny fence/cleanup statements run on the driver
+per partition); only the tiny promote/fence statements run on the driver
 over java.sql via the py4j gateway. Works against any JDBC database with
-DELETE + INSERT; tested live on embedded Derby.
+transactions + INSERT..SELECT; tested live on embedded Derby, including
+torn-write and dirty-staging replay convergence.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_DERBY_TABLE_EXISTS = "X0Y32"
 
 
 class JdbcExactlyOnceSink:
@@ -47,6 +57,14 @@ class JdbcExactlyOnceSink:
         return spark.sparkContext._jvm.java.sql.DriverManager.getConnection(
             self.url)
 
+    @staticmethod
+    def _sql_state(exc: Exception) -> str | None:
+        je = getattr(exc, "java_exception", None)
+        try:
+            return je.getSQLState() if je is not None else None
+        except Exception:  # noqa: BLE001 — not a java.sql exception
+            return None
+
     def _ensure_fence(self, spark: SparkSession) -> None:
         if self._fence_ready:
             return
@@ -56,8 +74,12 @@ class JdbcExactlyOnceSink:
             try:
                 st.execute(f"CREATE TABLE {self.fence_table} "
                            "(batch_id BIGINT PRIMARY KEY)")
-            except Exception:  # noqa: BLE001 — already exists
-                pass
+            except Exception as e:  # noqa: BLE001
+                # tolerate ONLY 'table already exists' — anything else
+                # (privileges, bad URL) must surface here, not at the first
+                # fence insert three steps later
+                if self._sql_state(e) != _DERBY_TABLE_EXISTS:
+                    raise
             st.close()
         finally:
             conn.close()
@@ -78,36 +100,73 @@ class JdbcExactlyOnceSink:
         finally:
             conn.close()
 
-    def _driver_update(self, spark: SparkSession, sql: str,
-                       batch_id: int) -> None:
-        conn = self._conn(spark)
+    def _stage_name(self, batch_id: int) -> str:
+        return f"{self.table}_stage_{batch_id}"
+
+    def _drop_if_exists(self, conn, table: str) -> None:
+        st = conn.createStatement()
         try:
-            ps = conn.prepareStatement(sql)
-            ps.setLong(1, batch_id)
-            ps.executeUpdate()
-            ps.close()
+            st.execute(f"DROP TABLE {table}")
+        except Exception:  # noqa: BLE001 — didn't exist
+            pass
         finally:
-            conn.close()
+            st.close()
 
     # -- the foreachBatch protocol ----------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        stage = self._stage_name(batch_id)
         if self.is_committed(spark, batch_id):
-            return  # checkpoint replay of a fully committed batch
-        # a crashed attempt may have appended unfenced rows — remove them so
-        # the re-append lands exactly once
-        self._driver_update(
-            spark, f"DELETE FROM {self.table} WHERE batch_id = ?", batch_id)
+            # replay of a committed batch: clean any leftover staging table
+            conn = self._conn(spark)
+            try:
+                self._drop_if_exists(conn, stage)
+            finally:
+                conn.close()
+            return
+        conn = self._conn(spark)
+        try:
+            self._drop_if_exists(conn, stage)  # dirty staging from a crash
+            st = conn.createStatement()
+            st.execute(f"CREATE TABLE {stage} AS SELECT * FROM {self.table} "
+                       "WITH NO DATA")
+            st.close()
+        finally:
+            conn.close()
+        # executors: parallel append to STAGING (task retries may duplicate
+        # rows here — promote collapses them)
         (batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
          .write.mode("append")
          .format("jdbc").option("url", self.url)
-         .option("dbtable", self.table).save())
-        # atomic commit point: fence row last
-        self._driver_update(
-            spark, f"INSERT INTO {self.fence_table} VALUES (?)", batch_id)
+         .option("dbtable", stage).save())
+        # driver: atomic promote — cleanup + dedup-insert + fence, ONE commit
+        conn = self._conn(spark)
+        try:
+            conn.setAutoCommit(False)
+            ps = conn.prepareStatement(
+                f"DELETE FROM {self.table} WHERE batch_id = ?")
+            ps.setLong(1, batch_id)
+            ps.executeUpdate()
+            ps.close()
+            st = conn.createStatement()
+            st.execute(f"INSERT INTO {self.table} "
+                       f"SELECT DISTINCT * FROM {stage}")
+            st.close()
+            ps = conn.prepareStatement(
+                f"INSERT INTO {self.fence_table} VALUES (?)")
+            ps.setLong(1, batch_id)
+            ps.executeUpdate()
+            ps.close()
+            conn.commit()
+            conn.setAutoCommit(True)
+            self._drop_if_exists(conn, stage)
+        finally:
+            conn.close()
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
-        """Exactly the fenced rows: data semi-joined to the fence table."""
+        """Exactly the fenced rows: data semi-joined to the fence table
+        (promote is atomic, but the semi-join also hides rows written by a
+        foreign/legacy producer that never fenced)."""
         def rd(table: str) -> DataFrame:
             df = (spark.read.format("jdbc").option("url", self.url)
                   .option("dbtable", table).load())
@@ -118,3 +177,16 @@ class JdbcExactlyOnceSink:
         self._ensure_fence(spark)
         return rd(self.table).join(
             rd(self.fence_table), on="batch_id", how="left_semi")
+
+
+def shutdown_embedded_derby(spark: SparkSession, url: str) -> None:
+    """Shut down one embedded Derby database (``jdbc:derby:<path>``) so a
+    long-lived driver JVM doesn't accumulate booted databases (page cache,
+    file handles, background threads per DB). Derby signals a SUCCESSFUL
+    single-DB shutdown with SQLState 08006 — that 'error' is expected."""
+    base = url.split(";")[0]
+    jvm = spark.sparkContext._jvm
+    try:
+        jvm.java.sql.DriverManager.getConnection(base + ";shutdown=true")
+    except Exception:  # noqa: BLE001 — 08006 on success, by Derby contract
+        pass

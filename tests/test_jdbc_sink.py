@@ -61,3 +61,41 @@ def test_jdbc_sink_streaming_end_to_end(spark, derby_sink, tmp_path):
     out = derby_sink.read_committed(spark)
     assert out.count() == 40
     assert out.select("batch_id").distinct().count() >= 2
+
+
+def test_jdbc_sink_task_retry_duplicates_collapsed(spark, derby_sink):
+    """Simulate a task retry: staging holds duplicated rows before promote.
+    The atomic DISTINCT promote must land each row once."""
+    from pyspark.sql import functions as F
+    b = spark.createDataFrame([(20, "MISMATCH"), (21, "SOURCE_ONLY")],
+                              "k long, status string")
+    # pre-create the staging table with a duplicated partition, as a
+    # committed-then-retried task would leave it
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_sink.url)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE conflicts_stage_5 AS SELECT * FROM conflicts "
+               "WITH NO DATA")
+    st.close()
+    conn.close()
+    dup = b.withColumn("batch_id", F.lit(5).cast("long"))
+    dup.unionAll(dup).write.mode("append").format("jdbc") \
+        .option("url", derby_sink.url) \
+        .option("dbtable", "conflicts_stage_5").save()
+    # the sink drops the dirty staging and redoes the batch cleanly
+    derby_sink(b, 5)
+    got = derby_sink.read_committed(spark).where("batch_id = 5").collect()
+    assert sorted((r.k, r.status) for r in got) == [
+        (20, "MISMATCH"), (21, "SOURCE_ONLY")]
+
+
+def test_udaf_all_null_group_yields_sql_null(spark):
+    from pyspark.sql import functions as F
+
+    from spanner_data_validator_spark.functions.udx import grouped_median
+    df = spark.createDataFrame([("a", None), ("a", None), ("b", 2.0)],
+                               "g string, v double")
+    out = {r.g: r.m for r in df.groupBy("g").agg(
+        grouped_median(F.col("v")).alias("m")).collect()}
+    assert out["a"] is None          # NULL, not NaN
+    assert out["b"] == 2.0
