@@ -4190,3 +4190,86 @@ def q_stream_conflicts_to_jdbc(spark, sf_dir):
     )
     shutdown_embedded_derby(spark, url)
     return spark.createDataFrame(rows, tally.schema)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource API (sources/pyds.py): pluggable batch + incremental-scan
+# streaming source whose rows are a pure function of the row id — DuckDB
+# recomputes the corpus from scratch, so both queries are fully hash-matched.
+# ---------------------------------------------------------------------------
+
+_PYDS_CONVS, _PYDS_TURNS = 400, 25  # 10,000 rows; ~2 windows/conversation
+
+from spanner_data_validator_spark.functions.hashing import (  # noqa: E402
+    portable_hash60_sql,
+)
+from spanner_data_validator_spark.sources import pyds as _pyds  # noqa: E402
+
+
+@register("pyds_batch_scan", f"""
+WITH {_pyds.rows_oracle_sql(_PYDS_CONVS, _PYDS_TURNS)}
+SELECT role,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       bit_xor({portable_hash60_sql("CAST(i AS VARCHAR)", 7)}) AS fp_xor,
+       CAST(min(({_pyds.BASE_EPOCH_S} + off_s) * 1000) AS BIGINT) AS min_ts_ms,
+       CAST(max(({_pyds.BASE_EPOCH_S} + off_s) * 1000) AS BIGINT) AS max_ts_ms
+FROM pyds_rows GROUP BY role
+""")
+def q_pyds_batch_scan(spark, sf_dir):
+    """Batch scan through the Python DataSource API (sources/pyds.py): the
+    planner splits the corpus into offset-range partitions, each executor
+    generates its slice as Arrow batches. Per-role checksum aggregate — the
+    xor-folded portable hash proves every generated row (id, order-free)
+    against DuckDB's from-scratch recomputation of the row law."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+
+    _pyds.register(spark)
+    df = (spark.read.format(_pyds.SOURCE_NAME)
+          .option("convs", _PYDS_CONVS).option("turns", _PYDS_TURNS)
+          .option("parts", 8).load())
+    return (df.groupBy("role")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("conv_id").alias("n_convs"),
+                 F.bit_xor(portable_hash60(F.col("i").cast("string"), 7))
+                  .alias("fp_xor"),
+                 F.min(F.unix_millis("ts")).alias("min_ts_ms"),
+                 F.max(F.unix_millis("ts")).alias("max_ts_ms")))
+
+
+@register("pyds_stream_incremental", f"""
+WITH {_pyds.rows_oracle_sql(_PYDS_CONVS, _PYDS_TURNS)}
+SELECT CAST(({_pyds.BASE_EPOCH_S} + off_s // 3600 * 3600) * 1000 AS BIGINT)
+         AS window_start_ms,
+       role, CAST(count(*) AS BIGINT) AS n
+FROM pyds_rows GROUP BY 1, 2
+""")
+def q_pyds_stream_incremental(spark, sf_dir):
+    """REAL micro-batch streaming run over the Python DataSource's
+    incremental-scan reader (offset admission of 2,000 ids per trigger →
+    6 micro-batches): watermarked tumbling 1 h per-role counts into an
+    append parquet sink. The source's far-future sentinel row flushes the
+    final windows (its own window can never close, so it never reaches the
+    sink); Trigger.AvailableNow admits only the FIRST offset poll on a
+    Python streaming source, so the run uses processingTime + drain_stream
+    (see sources/pyds.py). Every closed window is hash-matched against the
+    oracle's arithmetic recomputation."""
+    import tempfile
+
+    _pyds.register(spark)
+    work = tempfile.mkdtemp(prefix="sdv_q_pyds_stream_")
+    stream = (spark.readStream.format(_pyds.SOURCE_NAME)
+              .option("convs", _PYDS_CONVS).option("turns", _PYDS_TURNS)
+              .option("batch_rows", 2000).option("parts", 8)
+              .option("sentinel", "true").load())
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                   "role", "n"))
+    q = (agg.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(processingTime="0 seconds").start())
+    _pyds.drain_stream(q, _PYDS_CONVS * _PYDS_TURNS + 1)
+    return spark.read.parquet(f"{work}/out")

@@ -14,6 +14,12 @@ from spanner_data_validator_spark.sources.files import (  # noqa: F401
     read_jsonl_strict,
     split_quarantine,
 )
+from spanner_data_validator_spark.sources.pyds import (  # noqa: F401
+    TranscriptGenDataSource,
+    drain_stream,
+    rows_oracle_sql,
+    source_offset,
+)
 from spanner_data_validator_spark.sources.jdbc_source import (  # noqa: F401
     range_predicates,
     ranged_predicates_for,

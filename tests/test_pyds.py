@@ -1,0 +1,151 @@
+"""Python DataSource API (sources/pyds.py): batch scan, incremental-scan
+streaming, offset recovery, and the engine-portable row law."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.sources import pyds
+
+
+@pytest.fixture()
+def registered(spark):
+    pyds.register(spark)
+    return spark
+
+
+def _batch(spark, convs=30, turns=10, parts=4):
+    return (spark.read.format(pyds.SOURCE_NAME)
+            .option("convs", convs).option("turns", turns)
+            .option("parts", parts).load())
+
+
+def test_batch_shape_and_partitions(registered):
+    df = _batch(registered, convs=30, turns=10, parts=4)
+    assert df.count() == 300
+    assert df.rdd.getNumPartitions() == 4
+    assert [f.name for f in df.schema.fields] == [
+        "i", "conv_id", "turn_idx", "role", "ts"]
+    # no sentinel rows in batch mode
+    assert df.where(F.col("role") == "sentinel").count() == 0
+
+
+def test_batch_row_law(registered):
+    row = (_batch(registered).where(F.col("i") == 147)
+           .select("conv_id", "turn_idx", "role",
+                   F.unix_millis("ts").alias("ms")).first())
+    conv, turn = 147 // 10, 147 % 10
+    assert row.conv_id == f"conv-{conv:08d}"
+    assert row.turn_idx == turn
+    assert row.role == ["user", "assistant", "tool"][turn % 3]
+    assert row.ms == (pyds.BASE_EPOCH_S + (conv % 16384) * 7200 + turn * 60) * 1000
+    # system override on turn 0 of conv % 7 == 0
+    r0 = _batch(registered).where(F.col("i") == 70).first()  # conv 7, turn 0
+    assert r0.role == "system"
+
+
+def test_batch_deterministic(registered):
+    a = sorted(tuple(r) for r in _batch(registered, parts=2).collect())
+    b = sorted(tuple(r) for r in _batch(registered, parts=5).collect())
+    assert a == b
+
+
+def test_stream_incremental_exact_and_multibatch(registered, tmp_path):
+    convs, turns, batch_rows = 40, 10, 120
+    stream = (registered.readStream.format(pyds.SOURCE_NAME)
+              .option("convs", convs).option("turns", turns)
+              .option("batch_rows", batch_rows).option("parts", 3)
+              .option("sentinel", "true").load())
+    agg = (stream.withWatermark("ts", "0 seconds")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.unix_millis(F.col("w.start")).alias("ws"), "role", "n"))
+    q = (agg.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(processingTime="0 seconds").start())
+    pyds.drain_stream(q, convs * turns + 1)
+
+    sink = registered.read.parquet(str(tmp_path / "out"))
+    # every data row landed in exactly one closed window (sentinel excluded)
+    assert sink.agg(F.sum("n")).first()[0] == convs * turns
+    # the run was genuinely incremental: ceil(401/120) = 4 data batches
+    batches = {pyds.source_offset(p) for p in q.recentProgress}
+    assert len([b for b in batches if b]) >= 3
+
+    # equals the batch computation over the same source
+    expect = (_batch(registered, convs, turns)
+              .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.unix_millis(F.col("w.start")).alias("ws"), "role", "n"))
+    assert (sorted(tuple(r) for r in sink.collect())
+            == sorted(tuple(r) for r in expect.collect()))
+
+
+def test_stream_restart_from_checkpoint_no_duplicates(registered, tmp_path):
+    """Kill the query mid-stream and restart on the same checkpoint: the
+    admission cursor restarts at 0 but partitions() fast-forwards past the
+    committed offset, so committed rows are never re-emitted."""
+    convs, turns = 40, 10
+    total = convs * turns  # no sentinel: plain pass-through sink
+
+    def build():
+        stream = (registered.readStream.format(pyds.SOURCE_NAME)
+                  .option("convs", convs).option("turns", turns)
+                  .option("batch_rows", 90).option("parts", 2)
+                  .option("sentinel", "false").load())
+        return (stream.writeStream.format("parquet")
+                .option("path", str(tmp_path / "rows"))
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .outputMode("append").trigger(processingTime="0 seconds"))
+
+    import time
+    q1 = build().start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q1.exception():
+            raise q1.exception()
+        off = pyds.source_offset(q1.lastProgress)
+        if off and off >= 180:  # at least two committed batches
+            break
+        time.sleep(0.1)
+    q1.stop()
+
+    q2 = build().start()
+    pyds.drain_stream(q2, total)
+    rows = registered.read.parquet(str(tmp_path / "rows"))
+    assert rows.count() == total
+    assert rows.select("i").distinct().count() == total
+
+
+def test_drain_stream_timeout(registered, tmp_path):
+    stream = (registered.readStream.format(pyds.SOURCE_NAME)
+              .option("convs", 5).option("turns", 4)
+              .option("batch_rows", 100).load())
+    q = (stream.writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="0 seconds").start())
+    with pytest.raises(TimeoutError):
+        # target offset is past the source's total — can never be reached
+        pyds.drain_stream(q, 10_000, timeout_s=5)
+    assert not q.isActive
+
+
+def test_oracle_sql_is_the_same_law(registered):
+    """DuckDB recomputes the corpus from the row law and agrees row-for-row."""
+    import duckdb
+
+    df = _batch(registered, convs=21, turns=6).select(
+        "i", "conv_id", "turn_idx", "role",
+        F.unix_millis("ts").alias("ms"))
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+        WITH {pyds.rows_oracle_sql(21, 6)}
+        SELECT i, conv_id, turn_idx, role,
+               CAST(({pyds.BASE_EPOCH_S} + off_s) * 1000 AS BIGINT) AS ms
+        FROM pyds_rows
+    """).fetchall())
+    assert got == want
