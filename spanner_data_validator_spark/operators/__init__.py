@@ -43,6 +43,10 @@ from spanner_data_validator_spark.operators.quantize import (  # noqa: F401
     quantize_int8,
     quantize_stats,
 )
+from spanner_data_validator_spark.operators.linkage import (  # noqa: F401
+    fuzzy_candidates,
+    fuzzy_match_keys,
+)
 from spanner_data_validator_spark.operators.layout import (  # noqa: F401
     write_zordered,
     zorder_key,

@@ -4273,3 +4273,81 @@ def q_pyds_stream_incremental(spark, sf_dir):
          .outputMode("append").trigger(processingTime="0 seconds").start())
     _pyds.drain_stream(q, _PYDS_CONVS * _PYDS_TURNS + 1)
     return spark.read.parquet(f"{work}/out")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy key linkage (operators/linkage.py): SymSpell deletion blocking
+# ---------------------------------------------------------------------------
+
+#: deterministic planted drift: keys divisible by 5 lose one character at a
+#: key-dependent position — the same rule rendered in both engines. The
+#: '#partkey' suffix makes keys unique (testdata p_name has only ~64 distinct
+#: values, which would let every drifted key find a dist-0 twin).
+_LK_KEY = "p_name || '#' || CAST(p_partkey AS VARCHAR)"
+_DRIFT_POS = f"CAST(p_partkey % length({_LK_KEY}) AS INT)"
+_DRIFT_SQL = f"""
+lk_src AS (SELECT p_partkey AS id, {_LK_KEY} AS key FROM part),
+lk_tgt AS (
+  SELECT p_partkey AS id,
+         CASE WHEN p_partkey % 5 = 0
+              THEN substr({_LK_KEY}, 1, {_DRIFT_POS})
+                   || substr({_LK_KEY}, {_DRIFT_POS} + 2)
+              ELSE {_LK_KEY} END AS key
+  FROM part)
+"""
+
+
+@register("fuzzy_key_match", f"""
+WITH {_DRIFT_SQL},
+sv AS (SELECT id, key,
+              unnest({{v}}) AS v
+       FROM lk_src),
+tv AS (SELECT id, key,
+              unnest({{v}}) AS v
+       FROM lk_tgt),
+cand AS (SELECT DISTINCT s.id AS src_id, s.key AS src_key,
+                         t.id AS tgt_id, t.key AS tgt_key
+         FROM sv s JOIN tv t ON s.v = t.v),
+ver AS (SELECT *, levenshtein(src_key, tgt_key) AS dist FROM cand
+        WHERE levenshtein(src_key, tgt_key) <= 1),
+best AS (SELECT *, row_number() OVER (
+           PARTITION BY src_id ORDER BY dist, tgt_key, tgt_id) AS rn
+         FROM ver)
+SELECT dist,
+       CAST(count(*) AS BIGINT) AS n,
+       bit_xor({portable_hash60_sql("src_key || '|' || tgt_key", 13)})
+         AS pair_xor
+FROM best WHERE rn = 1 GROUP BY dist
+""".replace("{v}", "list_transform(range(0, length(key) + 1), "
+                   "j -> substr(key, 1, j) || substr(key, j + 2))"))
+def q_fuzzy_key_match(spark, sf_dir):
+    """Record linkage for drifted identifiers (operators/linkage.py): keys
+    divisible by 5 lose one character in the target; SymSpell deletion-
+    neighborhood blocking finds every levenshtein<=1 pair through an
+    equi-join on variant hashes (no cross product anywhere), verification
+    + deterministic best-match-per-source-key follow. The oracle replays
+    the whole pipeline independently (string-valued variants, window
+    tie-break) — per-distance counts and an xor checksum of the matched
+    pairs must agree."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.linkage import fuzzy_match_keys
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .withColumn("lk_key", F.concat_ws("#", "p_name",
+                                          F.col("p_partkey").cast("string")))
+    src = part.select(F.col("p_partkey").alias("id"),
+                      F.col("lk_key").alias("key"))
+    pos = (F.col("p_partkey") % F.length("lk_key")).cast("int")
+    drifted = F.concat(F.col("lk_key").substr(F.lit(1), pos),
+                       F.col("lk_key").substr(pos + F.lit(2),
+                                              F.length("lk_key")))
+    tgt = part.select(
+        F.col("p_partkey").alias("id"),
+        F.when(F.col("p_partkey") % 5 == 0, drifted)
+         .otherwise(F.col("lk_key")).alias("key"))
+    best = fuzzy_match_keys(src, tgt, "key", "id", max_dist=1)
+    return (best.groupBy("dist")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.bit_xor(portable_hash60(
+                     F.concat_ws("|", "src_key", "tgt_key"), 13))
+                  .alias("pair_xor")))

@@ -1,0 +1,75 @@
+"""SymSpell deletion-blocked fuzzy key linkage (operators/linkage.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.operators.linkage import (
+    _deletion_variants,
+    fuzzy_candidates,
+    fuzzy_match_keys,
+)
+
+
+def _df(spark, side, rows):
+    return spark.createDataFrame(rows, "id long, key string")
+
+
+def test_deletion_variants_law(spark):
+    got = (spark.createDataFrame([("abc",)], "s string")
+           .select(_deletion_variants(F.col("s")).alias("v")).first().v)
+    assert got == ["bc", "ac", "ab", "abc"]
+    one = (spark.createDataFrame([("x",)], "s string")
+           .select(_deletion_variants(F.col("s")).alias("v")).first().v)
+    assert one == ["", "x"]
+
+
+def test_completeness_vs_bruteforce(spark):
+    """Candidates contain EVERY levenshtein<=1 pair (the SymSpell pigeonhole
+    guarantee) — checked against an exhaustive cross join."""
+    keys = ["alpha", "alpa", "alphax", "blpha", "beta", "betta", "bet",
+            "x", "y", "xy", "", "gamma", "gamm", "gamme", "delta"]
+    src = _df(spark, "src", [(i, k) for i, k in enumerate(keys)])
+    tgt = _df(spark, "tgt", [(100 + i, k) for i, k in enumerate(keys)])
+
+    brute = (src.alias("s").crossJoin(tgt.alias("t"))
+             .withColumn("dist", F.levenshtein(F.col("s.key"), F.col("t.key")))
+             .where(F.col("dist") <= 1)
+             .select(F.col("s.id").alias("src_id"),
+                     F.col("t.id").alias("tgt_id")))
+    cand = fuzzy_candidates(src, tgt, "key", "id")
+    want = {(r.src_id, r.tgt_id) for r in brute.collect()}
+    got = {(r.src_id, r.tgt_id) for r in cand.collect()}
+    assert want <= got  # complete (candidates may add dist-2 extras)
+
+    # and after verification, exactly the true pair set
+    best_pairs = (cand.withColumn("dist", F.levenshtein("src_key", "tgt_key"))
+                  .where(F.col("dist") <= 1)
+                  .select("src_id", "tgt_id"))
+    assert {(r.src_id, r.tgt_id) for r in best_pairs.collect()} == want
+
+
+def test_best_match_deterministic_tiebreak(spark):
+    src = _df(spark, "src", [(1, "abc")])
+    # two candidates at dist 1: tie broken by (tgt_key, tgt_id)
+    tgt = _df(spark, "tgt", [(7, "abd"), (3, "abe"), (9, "abd")])
+    row = fuzzy_match_keys(src, tgt, "key", "id").first()
+    assert (row.tgt_key, row.tgt_id, row.dist) == ("abd", 7, 1)
+
+
+def test_no_match_rows_absent(spark):
+    src = _df(spark, "src", [(1, "abcdef")])
+    tgt = _df(spark, "tgt", [(2, "zzzzzz")])
+    assert fuzzy_match_keys(src, tgt, "key", "id").count() == 0
+
+
+def test_max_block_size_drops_hot_variant(spark):
+    """A degenerate template shared by many keys floods one variant bucket;
+    max_block_size removes it before pair expansion."""
+    hot = [(i, f"k{i % 10}") for i in range(60)]  # 10 keys x 6 dups
+    src = _df(spark, "src", hot)
+    tgt = _df(spark, "tgt", hot)
+    unlimited = fuzzy_candidates(src, tgt, "key", "id").count()
+    capped = fuzzy_candidates(src, tgt, "key", "id",
+                              max_block_size=5).count()
+    assert capped == 0 < unlimited
