@@ -69,3 +69,9 @@ from spanner_data_validator_spark.operators.skew import (  # noqa: F401
     key_skew_profile,
     salted_join,
 )
+from spanner_data_validator_spark.operators.sketch import (  # noqa: F401
+    cms_build,
+    cms_lookup,
+    kmv_distinct,
+    kmv_distinct_by_group,
+)

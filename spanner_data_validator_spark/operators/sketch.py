@@ -166,6 +166,86 @@ def kmv_distinct_by_group(df: DataFrame, group: str, col: Column,
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: bounded-state frequency estimation
+# ---------------------------------------------------------------------------
+#
+# Per-key exact counts over a 10^12-row stream hold state per DISTINCT key —
+# unbounded for open key domains (users, terms, IPs). A Count-Min sketch
+# (Cormode & Muthukrishnan 2005) caps the state at depth × width counters per
+# window REGARDLESS of key cardinality: each row increments one bucket per
+# depth (bucket_d = hash_d(key) mod width), and a key's estimate is the MIN
+# of its buckets — always >= the true count, over by at most ~ N/width with
+# probability 1 - 2^-depth. Like KMV, the sketch is a pure deterministic
+# function of the multiset + hash family, so a DuckDB oracle rebuilds the
+# identical table and identical estimates; and it is MERGEABLE (bucket-wise
+# sum), so per-partition/per-window sketches roll up without raw data.
+#
+# Streaming shape: groupBy(window, d, bucket).count() — ONE windowed
+# aggregation whose state is open_windows × depth × width rows of ~20 B,
+# where the exact per-key count (stream_trending_terms) holds a row per
+# (window, key). At width 2^16, depth 4 that is fixed ~4 MB per open window
+# against potentially billions of keys.
+
+
+def cms_bucket(key: Column, d: int, width: int, seed: int = 0) -> Column:
+    """Row d's bucket for ``key``: portable_hash60(key, seed + d) mod width
+    (the hash is nonnegative, so % is identical in Spark and DuckDB)."""
+    return (portable_hash60(key, seed + d) % F.lit(width)).cast("int")
+
+
+def cms_bucket_sql(expr: str, d: int, width: int, seed: int = 0) -> str:
+    return f"({portable_hash60_sql(expr, seed + d)} % {width})"
+
+
+def cms_build(df: DataFrame, key: Column, *, depth: int, width: int,
+              seed: int = 0,
+              extra_group_cols: list[str] | None = None) -> DataFrame:
+    """Sketch table ``(d int, bucket int, n long)`` (+ extra group cols,
+    e.g. the event-time window for streaming builds).
+
+    The d-fan-out is one Generate (explode of a depth-length struct array);
+    partial aggregation collapses it map-side, so the exchange carries at
+    most partitions × groups × depth × width pre-aggregated rows.
+    Zero-count buckets are simply absent (lookups coalesce to 0).
+    """
+    extra = extra_group_cols or []
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 cms_bucket(key, d, width, seed).alias("bucket"))
+        for d in range(depth)])).alias("p")
+    return (df.select(*extra, pairs)
+            .groupBy(*extra, F.col("p.d").alias("d"),
+                     F.col("p.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def cms_lookup(cms: DataFrame, keys: DataFrame, key_col: str, *,
+               depth: int, width: int, seed: int = 0,
+               join_cols: list[str] | None = None) -> DataFrame:
+    """Point estimates for ``keys``: (join_cols..., key, est) with
+    est = min over d of the key's bucket count (0 when absent).
+
+    ``join_cols`` aligns sketch slices (e.g. window_start_ms) present in
+    BOTH the sketch and the key table. The join is broadcast-friendly: the
+    sketch side is at most slices × depth × width rows by construction.
+    """
+    jc = join_cols or []
+    probes = keys.select(
+        *jc, F.col(key_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     cms_bucket(F.col(key_col), d, width, seed)
+                     .alias("bucket"))
+            for d in range(depth)])).alias("p")) \
+        .select(*jc, key_col, F.col("p.d").alias("d"),
+                F.col("p.bucket").alias("bucket"))
+    joined = probes.join(cms, jc + ["d", "bucket"], "left") \
+                   .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    return (joined.groupBy(*jc, key_col)
+            .agg(F.min("n").alias("est")))
+
+
 def kmv_distinct_by_group_sql(source_sql: str, group_expr: str, expr: str,
                               k: int) -> str:
     """DuckDB rendering of :func:`kmv_distinct_by_group`."""

@@ -4351,3 +4351,104 @@ def q_fuzzy_key_match(spark, sf_dir):
                  F.bit_xor(portable_hash60(
                      F.concat_ws("|", "src_key", "tgt_key"), 13))
                   .alias("pair_xor")))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch over a stream (operators/sketch.py): bounded-state
+# frequency estimation — windows x depth x width counters instead of a state
+# row per distinct key.
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_SEED = 3, 64, 5
+
+
+def _cms_fanout_sql(cols: str, expr: str) -> str:
+    from spanner_data_validator_spark.operators.sketch import cms_bucket_sql
+    return " UNION ALL ".join(
+        f"SELECT {cols}, {d} AS d, "
+        f"{cms_bucket_sql(expr, d, _CMS_W, _CMS_SEED)} AS bucket FROM cms_ev"
+        for d in range(_CMS_D))
+
+
+@register("stream_cms_window_counts", f"""
+WITH cms_ev AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, user_id
+  FROM events WHERE user_id IS NOT NULL),
+fan AS ({_cms_fanout_sql("window_start_ms, user_id", "CAST(user_id AS VARCHAR)")}),
+cms AS (SELECT window_start_ms, d, bucket, count(*) AS n
+        FROM fan GROUP BY 1, 2, 3),
+cand AS (SELECT window_start_ms, user_id,
+                CAST(count(*) AS BIGINT) AS n_true
+         FROM cms_ev WHERE user_id % 13 = 0 GROUP BY 1, 2),
+probe AS (SELECT c.window_start_ms, c.user_id, c.n_true, f.d, f.bucket
+          FROM cand c JOIN (
+            {_cms_fanout_sql("window_start_ms, user_id", "CAST(user_id AS VARCHAR)")}
+          ) f USING (window_start_ms, user_id)),
+est AS (SELECT p.window_start_ms, p.user_id, p.n_true,
+               min(coalesce(s.n, 0)) AS est
+        FROM probe p LEFT JOIN cms s
+          ON p.window_start_ms = s.window_start_ms
+         AND p.d = s.d AND p.bucket = s.bucket
+        GROUP BY 1, 2, 3)
+SELECT window_start_ms, user_id, CAST(est AS BIGINT) AS est, n_true
+FROM est
+""")
+def q_stream_cms_window_counts(spark, sf_dir):
+    """REAL streaming Count-Min build: the event stream folds into ONE
+    windowed aggregation over (window, depth, bucket) — state is
+    open_windows x 3 x 64 counters of ~20 B regardless of how many distinct
+    users exist (the per-key exact plan holds a state row per (window, key)).
+    Closed windows land in the append sink; point lookups for the candidate
+    users take min-over-depths. The oracle rebuilds the identical sketch
+    (same portable hash family, same buckets) and the identical estimates;
+    n_true rides along, witnessing the CMS guarantee est >= true. The
+    far-future sentinel flushes the final windows; it carries a dummy
+    non-null user and simply flows through the aggregation (its own window
+    can never close), because filtering it pre-aggregation would push the
+    predicate below EventTimeWatermark — the stream_digest_drift trap."""
+    import tempfile
+
+    from spanner_data_validator_spark.operators.sketch import (
+        cms_build,
+        cms_lookup,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("user_id").isNotNull())
+          .select(F.col("ts").cast("timestamp").alias("ts"), "user_id"))
+    work = tempfile.mkdtemp(prefix="sdv_q_cms_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+    # sentinel carries a dummy NON-NULL user: filtering it pre-aggregation
+    # would push the predicate below EventTimeWatermark (the digest-drift
+    # trap) — instead it flows, and its far-future window can never close
+    (spark.range(1).select(F.lit("2100-01-01").cast("timestamp").alias("ts"),
+                           F.lit(-1).cast("long").alias("user_id"))
+          .write.mode("append").parquet(in_dir))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir)
+              .withWatermark("ts", "10 minutes"))
+    windowed = stream.select(F.window("ts", "1 hour").alias("w"),
+                             F.col("user_id"))
+    cms_stream = cms_build(
+        windowed, F.col("user_id"),
+        depth=_CMS_D, width=_CMS_W, seed=_CMS_SEED, extra_group_cols=["w"])
+    q = (cms_stream.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    cms = (spark.read.parquet(f"{work}/out")
+           .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                   "d", "bucket", "n"))
+    cand = (ev.where(F.col("user_id") % 13 == 0)
+            .groupBy(F.unix_millis(F.date_trunc("hour", "ts"))
+                     .alias("window_start_ms"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_true")))
+    est = cms_lookup(cms, cand, "user_id", depth=_CMS_D, width=_CMS_W,
+                     seed=_CMS_SEED, join_cols=["window_start_ms"])
+    return (est.join(cand, ["window_start_ms", "user_id"])
+            .select("window_start_ms", "user_id",
+                    F.col("est").cast("long").alias("est"), "n_true"))

@@ -188,3 +188,70 @@ def test_kmv_by_group_keeps_null_group(spark):
            kmv_distinct_by_group(df, "g", F.col("v"), 8).collect()}
     assert None in out and out[None].est_distinct == 2.0
     assert out["a"].est_distinct == 1.0
+
+
+class TestCountMinSketch:
+    D, W, SEED = 3, 32, 9
+
+    def _cms(self, spark, values):
+        from spanner_data_validator_spark.operators.sketch import cms_build
+        df = spark.createDataFrame([(v,) for v in values], "k string")
+        return cms_build(df, F.col("k"), depth=self.D, width=self.W,
+                         seed=self.SEED)
+
+    def _est(self, spark, cms, keys):
+        from spanner_data_validator_spark.operators.sketch import cms_lookup
+        kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+        out = cms_lookup(cms, kdf, "k", depth=self.D, width=self.W,
+                         seed=self.SEED)
+        return {r.k: r.est for r in out.collect()}
+
+    def test_overestimate_and_total_mass(self, spark):
+        vals = ["a"] * 7 + ["b"] * 3 + ["c"] * 1 + [f"x{i}" for i in range(40)]
+        cms = self._cms(spark, vals)
+        # every depth row carries the full input mass
+        per_d = {r.d: r.n for r in
+                 cms.groupBy("d").agg(F.sum("n").alias("n")).collect()}
+        assert per_d == {d: len(vals) for d in range(self.D)}
+        true = {"a": 7, "b": 3, "c": 1, "x0": 1}
+        est = self._est(spark, cms, list(true))
+        for k, t in true.items():
+            assert est[k] >= t  # the CMS one-sided guarantee
+
+    def test_unseen_key_estimates_zero_or_collision(self, spark):
+        cms = self._cms(spark, ["a", "b"])
+        est = self._est(spark, cms, ["never-seen-key-zzz"])
+        assert 0 <= est["never-seen-key-zzz"] <= 2
+
+    def test_partitioning_invariant(self, spark):
+        from spanner_data_validator_spark.operators.sketch import cms_build
+        vals = [f"k{i % 17}" for i in range(200)]
+        df = spark.createDataFrame([(v,) for v in vals], "k string")
+        a = cms_build(df.repartition(1), F.col("k"), depth=self.D,
+                      width=self.W, seed=self.SEED)
+        b = cms_build(df.repartition(7), F.col("k"), depth=self.D,
+                      width=self.W, seed=self.SEED)
+        assert (sorted(map(tuple, a.collect()))
+                == sorted(map(tuple, b.collect())))
+
+    def test_mergeable_bucketwise_sum(self, spark):
+        va = [f"m{i % 5}" for i in range(30)]
+        vb = [f"m{i % 9}" for i in range(40)]
+        ca, cb = self._cms(spark, va), self._cms(spark, vb)
+        merged = (ca.unionAll(cb).groupBy("d", "bucket")
+                  .agg(F.sum("n").alias("n")))
+        whole = self._cms(spark, va + vb)
+        assert (sorted(map(tuple, merged.collect()))
+                == sorted(map(tuple, whole.collect())))
+
+    def test_exact_when_no_collisions(self, spark):
+        # few keys vs width 32: if every (d, key) bucket is collision-free,
+        # the estimate is exact; assert conditionally so the test is robust
+        vals = ["p"] * 4 + ["q"] * 2
+        cms = self._cms(spark, vals)
+        n_buckets = cms.count()
+        est = self._est(spark, cms, ["p", "q"])
+        if n_buckets == self.D * 2:  # no bucket shared
+            assert est == {"p": 4, "q": 2}
+        else:
+            assert est["p"] >= 4 and est["q"] >= 2
