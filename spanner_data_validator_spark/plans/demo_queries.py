@@ -4452,3 +4452,86 @@ def q_stream_cms_window_counts(spark, sf_dir):
     return (est.join(cand, ["window_start_ms", "user_id"])
             .select("window_start_ms", "user_id",
                     F.col("est").cast("long").alias("est"), "n_true"))
+
+
+# ---------------------------------------------------------------------------
+# streaming near-duplicate ingest guard (streaming/neardup_stream.py)
+# ---------------------------------------------------------------------------
+
+@register("stream_neardup_guard", """
+WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+inc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'XX ' || text FROM documents
+  WHERE doc_id % 4 <> 0 AND doc_id % 20 = 0),
+hs AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(string_split(text,' '), i, i+2), ' ') AS shingle
+  FROM hist, UNNEST(range(1, len(string_split(text,' ')) - 1)) AS t(i)
+  WHERE len(string_split(text,' ')) >= 3),
+isq AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(string_split(text,' '), i, i+2), ' ') AS shingle
+  FROM inc, UNNEST(range(1, len(string_split(text,' ')) - 1)) AS t(i)
+  WHERE len(string_split(text,' ')) >= 3),
+hn AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1),
+inn AS (SELECT doc_id, count(*) AS n FROM isq GROUP BY 1),
+inter AS (
+  SELECT i.doc_id AS in_id, h.doc_id AS hist_id, count(*) AS k
+  FROM isq i JOIN hs h ON i.shingle = h.shingle GROUP BY 1, 2)
+SELECT x.in_id, x.hist_id,
+       CAST(x.k AS DOUBLE) / (a.n + b.n - x.k) AS jaccard
+FROM inter x JOIN inn a ON x.in_id = a.doc_id
+             JOIN hn b ON x.hist_id = b.doc_id
+WHERE CAST(x.k AS DOUBLE) / (a.n + b.n - x.k) >= 0.7
+""")
+def q_stream_neardup_guard(spark, sf_dir):
+    """Streaming near-dup ingest guard: historical docs (3 of every 4) are
+    sketched into a static MinHash-LSH index; the remaining quarter plus
+    planted 'XX '-prefixed near-copies ARRIVE AS A STREAM and are screened
+    through two stateless stream-static joins + inline hashed-shingle
+    Jaccard. The only state is the watermark-bounded (in_id, hist_id) dedup
+    (a pair can match through several bands). At (32 perms, 16 bands) recall
+    on >=0.7 pairs is total on this corpus, so the oracle is the exact
+    cross-side Jaccard join — hash-matched row for row."""
+    import tempfile
+
+    from spanner_data_validator_spark.streaming.neardup_stream import (
+        build_lsh_index,
+        neardup_guard,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    hist = docs.where(F.col("doc_id") % 4 != 0)
+    incoming = (docs.where(F.col("doc_id") % 4 == 0)
+                .unionByName(
+                    hist.where(F.col("doc_id") % 20 == 0)
+                        .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                                F.concat(F.lit("XX "), F.col("text"))
+                                .alias("text")))
+                .withColumn("ts", F.lit("2025-06-01").cast("timestamp")))
+
+    buckets, sets = build_lsh_index(hist, "doc_id", "text",
+                                    num_perm=32, bands=16, materialize=True)
+
+    work = tempfile.mkdtemp(prefix="sdv_q_neardup_guard_")
+    incoming.repartition(4).write.parquet(f"{work}/in")
+    stream = (spark.readStream.schema(incoming.schema)
+              .option("maxFilesPerTrigger", 2).parquet(f"{work}/in"))
+    flagged = neardup_guard(stream, buckets, sets, "doc_id", "text",
+                            ts_col="ts", num_perm=32, bands=16,
+                            threshold=0.7)
+    q = (flagged.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{work}/out")
+            .select(F.col("in_id").cast("long").alias("in_id"),
+                    F.col("hist_id").cast("long").alias("hist_id"),
+                    "jaccard"))

@@ -21,3 +21,7 @@ from spanner_data_validator_spark.streaming.tws import (  # noqa: F401
     conversation_digest_stream,
     tws_available,
 )
+from spanner_data_validator_spark.streaming.neardup_stream import (  # noqa: F401
+    build_lsh_index,
+    neardup_guard,
+)
