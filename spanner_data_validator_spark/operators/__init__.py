@@ -55,6 +55,7 @@ from spanner_data_validator_spark.operators.layout import (  # noqa: F401
 from spanner_data_validator_spark.operators.profile import (  # noqa: F401
     column_profile,
     histogram_drift,
+    psi_terms,
     quantiles_by_rank,
     schema_drift,
 )

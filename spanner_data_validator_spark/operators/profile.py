@@ -110,6 +110,38 @@ def histogram_drift(src: DataFrame, tgt: DataFrame, value: Column,
     return merged.withColumn("abs_diff", F.abs(F.col("src_n") - F.col("tgt_n")))
 
 
+def psi_terms(src: DataFrame, tgt: DataFrame, value: Column,
+              lo: int, hi: int, n_bins: int, *,
+              smooth: float = 0.5) -> DataFrame:
+    """Per-bin Population Stability Index contributions between two corpora:
+    ``(bin, src_n, tgt_n, psi_term)`` with
+    ``psi_term = (p - q) * ln(p / q)``, ``p = src_n/total_src``,
+    ``q = tgt_n/total_tgt`` (zero cells smoothed to ``smooth`` counts, the
+    standard PSI convention). Total PSI is the sum of ``psi_term`` — the
+    conventional alert thresholds are ~0.1 (investigate) / ~0.25 (shifted).
+
+    Deliberately returns the TERMS, not the sum: each term is a fixed IEEE
+    expression over two integer counts and two integer totals, identical in
+    any engine, whereas a cross-row double sum depends on addition order.
+    Scale shape: both sides reduce to <= n_bins rows before anything else
+    (same as :func:`histogram_drift`); the totals ride in on a broadcast
+    one-row cross join.
+    """
+    merged = histogram_drift(src, tgt, value, lo, hi, n_bins) \
+        .drop("abs_diff")
+    totals = merged.agg(F.sum("src_n").alias("__ts"),
+                        F.sum("tgt_n").alias("__tt"))
+    j = merged.crossJoin(F.broadcast(totals))
+    sn = F.when(F.col("src_n") == 0, F.lit(float(smooth))) \
+          .otherwise(F.col("src_n").cast("double"))
+    tn = F.when(F.col("tgt_n") == 0, F.lit(float(smooth))) \
+          .otherwise(F.col("tgt_n").cast("double"))
+    p = sn / F.col("__ts").cast("double")
+    q = tn / F.col("__tt").cast("double")
+    return j.select("bin", "src_n", "tgt_n",
+                    ((p - q) * F.log(p / q)).alias("psi_term"))
+
+
 def quantiles_by_rank(df: DataFrame, group: str, value: Column,
                       ps: Sequence[float], tiebreak: Column) -> DataFrame:
     """Exact discrete per-group quantiles: value at the ceil(p*n)-th ordered

@@ -4246,8 +4246,8 @@ FROM pyds_rows GROUP BY 1, 2
 """)
 def q_pyds_stream_incremental(spark, sf_dir):
     """REAL micro-batch streaming run over the Python DataSource's
-    incremental-scan reader (offset admission of 2,000 ids per trigger →
-    6 micro-batches): watermarked tumbling 1 h per-role counts into an
+    incremental-scan reader (offset admission of 3,400 ids per trigger →
+    4 micro-batches): watermarked tumbling 1 h per-role counts into an
     append parquet sink. The source's far-future sentinel row flushes the
     final windows (its own window can never close, so it never reaches the
     sink); Trigger.AvailableNow admits only the FIRST offset poll on a
@@ -4260,7 +4260,7 @@ def q_pyds_stream_incremental(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sdv_q_pyds_stream_")
     stream = (spark.readStream.format(_pyds.SOURCE_NAME)
               .option("convs", _PYDS_CONVS).option("turns", _PYDS_TURNS)
-              .option("batch_rows", 2000).option("parts", 8)
+              .option("batch_rows", 3400).option("parts", 8)
               .option("sentinel", "true").load())
     agg = (stream.withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 hour").alias("w"), "role")
@@ -4535,3 +4535,51 @@ def q_stream_neardup_guard(spark, sf_dir):
             .select(F.col("in_id").cast("long").alias("in_id"),
                     F.col("hist_id").cast("long").alias("hist_id"),
                     "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift (operators/profile.psi_terms)
+# ---------------------------------------------------------------------------
+
+@register("psi_value_drift", """
+WITH src AS (SELECT value FROM events WHERE value IS NOT NULL),
+tgt AS (SELECT CASE WHEN user_id % 3 = 0 THEN value * 1.25 ELSE value END
+          AS value
+        FROM events WHERE value IS NOT NULL),
+sb AS (SELECT least(greatest(CAST(floor((value - 0) * 16 / 200) AS BIGINT),
+                             0), 15) AS bin, count(*) AS src_n
+       FROM src GROUP BY 1),
+tb AS (SELECT least(greatest(CAST(floor((value - 0) * 16 / 200) AS BIGINT),
+                             0), 15) AS bin, count(*) AS tgt_n
+       FROM tgt GROUP BY 1),
+m AS (SELECT coalesce(sb.bin, tb.bin) AS bin,
+             coalesce(src_n, 0) AS src_n, coalesce(tgt_n, 0) AS tgt_n
+      FROM sb FULL OUTER JOIN tb ON sb.bin = tb.bin),
+t AS (SELECT m.*, sum(src_n) OVER () AS ts, sum(tgt_n) OVER () AS tt FROM m)
+SELECT bin, CAST(src_n AS BIGINT) AS src_n, CAST(tgt_n AS BIGINT) AS tgt_n,
+       ((CASE WHEN src_n = 0 THEN 0.5 ELSE CAST(src_n AS DOUBLE) END
+           / CAST(ts AS DOUBLE))
+        - (CASE WHEN tgt_n = 0 THEN 0.5 ELSE CAST(tgt_n AS DOUBLE) END
+           / CAST(tt AS DOUBLE)))
+       * ln(((CASE WHEN src_n = 0 THEN 0.5 ELSE CAST(src_n AS DOUBLE) END
+               / CAST(ts AS DOUBLE)))
+            / ((CASE WHEN tgt_n = 0 THEN 0.5 ELSE CAST(tgt_n AS DOUBLE) END
+               / CAST(tt AS DOUBLE)))) AS psi_term
+FROM t
+""")
+def q_psi_value_drift(spark, sf_dir):
+    """Population Stability Index between the source value distribution and
+    a planted shift (every third user's values scaled 1.25x): per-bin PSI
+    contributions from profile.psi_terms — both sides collapse to 16 bins
+    before any join, and the output doubles are single fixed IEEE
+    expressions over integer counts (no cross-row float sum), so the oracle
+    reproduces them bit-for-bit. Total PSI = sum(psi_term) downstream."""
+    from spanner_data_validator_spark.operators.profile import psi_terms
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull()))
+    src = ev.select("value")
+    tgt = ev.select(
+        F.when(F.col("user_id") % 3 == 0, F.col("value") * 1.25)
+         .otherwise(F.col("value")).alias("value"))
+    return psi_terms(src, tgt, F.col("value"), 0, 200, 16)

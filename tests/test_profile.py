@@ -113,3 +113,35 @@ def test_schema_drift_detects_all_kinds(spark):
     assert ("extra", "missing_in_src") in drift
     assert ("s", "type_changed") not in drift
     assert schema_drift(src, src) == []
+
+
+class TestPsiTerms:
+    def _sides(self, spark, a, b):
+        return (spark.createDataFrame([(float(x),) for x in a], "v double"),
+                spark.createDataFrame([(float(x),) for x in b], "v double"))
+
+    def test_identical_sides_zero_psi(self, spark):
+        from spanner_data_validator_spark.operators.profile import psi_terms
+        src, tgt = self._sides(spark, range(100), range(100))
+        rows = psi_terms(src, tgt, F.col("v"), 0, 100, 10).collect()
+        assert len(rows) == 10
+        assert all(r.psi_term == 0.0 for r in rows)
+
+    def test_shift_raises_psi_above_alert(self, spark):
+        from spanner_data_validator_spark.operators.profile import psi_terms
+        src, tgt = self._sides(spark, range(100),
+                               [x * 1.5 for x in range(100)])
+        rows = psi_terms(src, tgt, F.col("v"), 0, 150, 10).collect()
+        total = sum(r.psi_term for r in rows)
+        assert total > 0.25  # conventional "distribution shifted" threshold
+        assert all(r.psi_term >= 0.0 for r in rows)  # terms are nonnegative
+
+    def test_zero_cells_smoothed_finite(self, spark):
+        from spanner_data_validator_spark.operators.profile import psi_terms
+        import math
+        # tgt occupies only the top half of the range: src-only bins must
+        # yield finite terms through the 0.5-count smoothing
+        src, tgt = self._sides(spark, range(100), range(50, 100))
+        rows = psi_terms(src, tgt, F.col("v"), 0, 100, 10).collect()
+        assert all(math.isfinite(r.psi_term) for r in rows)
+        assert any(r.tgt_n == 0 and r.psi_term > 0 for r in rows)
