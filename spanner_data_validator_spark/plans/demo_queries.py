@@ -4583,3 +4583,52 @@ def q_psi_value_drift(spark, sf_dir):
         F.when(F.col("user_id") % 3 == 0, F.col("value") * 1.25)
          .otherwise(F.col("value")).alias("value"))
     return psi_terms(src, tgt, F.col("value"), 0, 200, 16)
+
+
+@register("stream_session_conv_digest", f"""
+WITH {_pyds.rows_oracle_sql(300, 20)}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       bit_xor({portable_hash60_sql("CAST(i AS VARCHAR)", 3)}) AS fp_xor,
+       CAST(min(({_pyds.BASE_EPOCH_S} + off_s) * 1000) AS BIGINT) AS first_ms,
+       CAST(max(({_pyds.BASE_EPOCH_S} + off_s) * 1000) AS BIGINT) AS last_ms
+FROM pyds_rows GROUP BY conv_id
+""")
+def q_stream_session_conv_digest(spark, sf_dir):
+    """Gap-closed per-conversation digests on the RUNNABLE engine path:
+    ``session_window(ts, 30 min)`` keyed by conv_id over the Python
+    DataSource's incremental stream, aggregating the same order-free folds
+    (count / xor fingerprint / first / last) as the transformWithState
+    processor (streaming/tws.py — its runtime needs protobuf, so this
+    session-window twin is the executable evidence of those semantics; the
+    oracle is the identical batch ground truth `tws.batch_equivalent`
+    computes). Turns are 60 s apart within a conversation, so each
+    conversation is exactly one session; the source's far-future sentinel
+    flushes every real session and its own can never close."""
+    import tempfile
+
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+
+    _pyds.register(spark)
+    convs, turns = 300, 20
+    work = tempfile.mkdtemp(prefix="sdv_q_sess_digest_")
+    stream = (spark.readStream.format(_pyds.SOURCE_NAME)
+              .option("convs", convs).option("turns", turns)
+              .option("batch_rows", 2200).option("parts", 8)
+              .option("sentinel", "true").load())
+    agg = (stream
+           .withColumn("fp", portable_hash60(F.col("i").cast("string"), 3))
+           .withWatermark("ts", "10 minutes")
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                    "conv_id")
+           .agg(F.count(F.lit(1)).alias("n_turns"),
+                F.bit_xor("fp").alias("fp_xor"),
+                F.min(F.unix_millis("ts")).alias("first_ms"),
+                F.max(F.unix_millis("ts")).alias("last_ms"))
+           .select("conv_id", "n_turns", "fp_xor", "first_ms", "last_ms"))
+    q = (agg.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(processingTime="0 seconds").start())
+    _pyds.drain_stream(q, convs * turns + 1)
+    return spark.read.parquet(f"{work}/out")

@@ -31,7 +31,14 @@ sandbox cannot install. The processor logic is therefore plain Python,
 unit-tested against a fake handle (`tests/test_tws.py`), and
 ``conversation_digest_stream`` raises a clear error when protobuf is absent
 — the same honest-seam treatment as the Iceberg MERGE sink
-(`streaming/sink.py`). On a real cluster it runs as-is.
+(`streaming/sink.py`). On a real cluster it runs as-is. The SAME gap-close
+digest semantics also run end-to-end in this sandbox on the built-in
+engine: the ``stream_session_conv_digest`` query
+(plans/demo_queries.py) expresses them with ``session_window`` and is
+oracle-checked against :func:`batch_equivalent`'s ground truth — use that
+path when a built-in operator suffices; use this processor when you need
+what TWS uniquely adds (several independent state variables per key,
+timers decoupled from emission, initial-state bootstrap, state TTL).
 """
 
 from __future__ import annotations
