@@ -81,6 +81,12 @@ def fuzzy_candidates(src: DataFrame, tgt: DataFrame, key_col: str,
     s = _exploded(src, key_col, id_col, "src", hash_seed)
     t = _exploded(tgt, key_col, id_col, "tgt", hash_seed)
     if max_block_size is not None:
+        # each side feeds TWO branches (the hot-bucket count and the
+        # anti-join) — Catalyst recomputes the explode+hash per branch
+        # (measured 6 Generates instead of 2; the CLAUDE.md multi-branch
+        # rescan trap), so pin the exploded tables once before deriving
+        # the hot set
+        s, t = s.localCheckpoint(), t.localCheckpoint()
         # drop degenerate variant buckets BEFORE the pair expansion; counts
         # come from the union so a bucket hot on either side is dropped
         hot = (s.select("vh").unionAll(t.select("vh"))

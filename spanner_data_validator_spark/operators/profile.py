@@ -127,8 +127,12 @@ def psi_terms(src: DataFrame, tgt: DataFrame, value: Column,
     (same as :func:`histogram_drift`); the totals ride in on a broadcast
     one-row cross join.
     """
+    # the <= n_bins-row histogram feeds TWO branches (totals + the term
+    # projection); without a barrier Catalyst recomputes the full corpus
+    # scans per branch (CLAUDE.md multi-branch rescan trap — measured 4
+    # scans instead of 2), so pin the tiny intermediate once
     merged = histogram_drift(src, tgt, value, lo, hi, n_bins) \
-        .drop("abs_diff")
+        .drop("abs_diff").localCheckpoint()
     totals = merged.agg(F.sum("src_n").alias("__ts"),
                         F.sum("tgt_n").alias("__tt"))
     j = merged.crossJoin(F.broadcast(totals))

@@ -4297,13 +4297,16 @@ lk_tgt AS (
 """
 
 
+from spanner_data_validator_spark.operators.linkage import (  # noqa: E402
+    deletion_variants_sql as _del_variants_sql,
+)
+
+
 @register("fuzzy_key_match", f"""
 WITH {_DRIFT_SQL},
-sv AS (SELECT id, key,
-              unnest({{v}}) AS v
+sv AS (SELECT id, key, unnest({_del_variants_sql("key")}) AS v
        FROM lk_src),
-tv AS (SELECT id, key,
-              unnest({{v}}) AS v
+tv AS (SELECT id, key, unnest({_del_variants_sql("key")}) AS v
        FROM lk_tgt),
 cand AS (SELECT DISTINCT s.id AS src_id, s.key AS src_key,
                          t.id AS tgt_id, t.key AS tgt_key
@@ -4318,8 +4321,7 @@ SELECT dist,
        bit_xor({portable_hash60_sql("src_key || '|' || tgt_key", 13)})
          AS pair_xor
 FROM best WHERE rn = 1 GROUP BY dist
-""".replace("{v}", "list_transform(range(0, length(key) + 1), "
-                   "j -> substr(key, 1, j) || substr(key, j + 2))"))
+""")
 def q_fuzzy_key_match(spark, sf_dir):
     """Record linkage for drifted identifiers (operators/linkage.py): keys
     divisible by 5 lose one character in the target; SymSpell deletion-
@@ -4381,9 +4383,7 @@ cand AS (SELECT window_start_ms, user_id,
                 CAST(count(*) AS BIGINT) AS n_true
          FROM cms_ev WHERE user_id % 13 = 0 GROUP BY 1, 2),
 probe AS (SELECT c.window_start_ms, c.user_id, c.n_true, f.d, f.bucket
-          FROM cand c JOIN (
-            {_cms_fanout_sql("window_start_ms, user_id", "CAST(user_id AS VARCHAR)")}
-          ) f USING (window_start_ms, user_id)),
+          FROM cand c JOIN fan f USING (window_start_ms, user_id)),
 est AS (SELECT p.window_start_ms, p.user_id, p.n_true,
                min(coalesce(s.n, 0)) AS est
         FROM probe p LEFT JOIN cms s

@@ -143,35 +143,49 @@ class _Reader(DataSourceReader):
 class _StreamReader(DataSourceStreamReader):
     """Offset-managed incremental scan: ``batch_rows`` ids per trigger.
 
-    The admission cursor ``_cur`` lives in the driver-side runner process.
-    After a restart from checkpoint the engine resumes from the committed
-    offset while ``_cur`` restarts at 0; ``partitions()`` returns [] for
-    non-advancing ranges and fast-forwards ``_cur``, so recovery costs at
-    most a few empty triggers and never re-emits committed rows.
+    The admission cursor ``_cur`` lives in the driver-side runner process
+    and restarts at 0 after a recovery, while the engine resumes from its
+    checkpoint. Restart safety is therefore explicit:
+
+    * a REPLAY of a logged-but-uncommitted batch calls
+      ``partitions(committed, logged_end)`` first — regenerated in full
+      (the file sink's batch-id metadata dedups whole-batch replays);
+    * a fresh post-restart ``latestOffset()`` can briefly return LESS than
+      the committed offset (the engine still logs that as a batch). The
+      high-water mark ``_hw`` — advanced by every ``partitions``/``commit``
+      call — clamps generation: ``partitions(s, e)`` emits ids from
+      ``max(s, _hw)`` only, so a later catch-up batch whose logged range
+      dips below an already-delivered offset never re-emits those rows
+      (regression-tested by driving the exact engine call sequence in
+      tests/test_pyds.py).
     """
 
     def __init__(self, options: dict):
         self.o = _Opts(options)
-        self._cur = 0
+        self._cur = 0   # admission cursor (how far latestOffset has offered)
+        self._hw = 0    # delivery high water (never re-emit below this)
 
     def initialOffset(self) -> dict:
         return {"i": 0}
 
     def latestOffset(self) -> dict:
-        self._cur = min(self._cur + self.o.batch_rows, self.o.total)
+        self._cur = min(max(self._cur, self._hw) + self.o.batch_rows,
+                        self.o.total)
         return {"i": self._cur}
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["i"]), int(end["i"])
-        self._cur = max(self._cur, e)
-        return _split(s, e, self.o.parts)
+        lo = max(s, self._hw)
+        self._hw = max(self._hw, s, e)
+        self._cur = max(self._cur, self._hw)
+        return _split(lo, e, self.o.parts)
 
     def read(self, part: _Range):
         yield _gen_batch(part.start, part.end, self.o.turns, self.o.n,
                          self.o.sentinel)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._hw = max(self._hw, int(end["i"]))
 
 
 class TranscriptGenDataSource(DataSource):

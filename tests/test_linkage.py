@@ -73,3 +73,16 @@ def test_max_block_size_drops_hot_variant(spark):
     capped = fuzzy_candidates(src, tgt, "key", "id",
                               max_block_size=5).count()
     assert capped == 0 < unlimited
+
+
+def test_capped_candidates_no_explode_rescans(spark):
+    """With max_block_size the exploded variant tables feed two branches;
+    they must be pinned so the final plan re-reads the checkpoint, never
+    re-running the explode+hash (no Generate downstream)."""
+    rows = [(i, f"key{i}") for i in range(20)]
+    src = _df(spark, "src", rows)
+    tgt = _df(spark, "tgt", rows)
+    cand = fuzzy_candidates(src, tgt, "key", "id", max_block_size=50)
+    cand.collect()  # AQE finalizes the plan only after an action
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan

@@ -145,3 +145,15 @@ class TestPsiTerms:
         rows = psi_terms(src, tgt, F.col("v"), 0, 100, 10).collect()
         assert all(math.isfinite(r.psi_term) for r in rows)
         assert any(r.tgt_n == 0 and r.psi_term > 0 for r in rows)
+
+    def test_no_rescans_downstream_of_histogram(self, spark, tmp_path):
+        """The totals + term branches must read the checkpointed <=n_bins
+        histogram, never re-scan the input corpora (multi-branch trap)."""
+        from spanner_data_validator_spark.operators.profile import psi_terms
+        src, tgt = self._sides(spark, range(50), range(50))
+        p = str(tmp_path / "psi_src")
+        src.write.parquet(p)
+        src_pq = spark.read.parquet(p)
+        out = psi_terms(src_pq, tgt, F.col("v"), 0, 100, 10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" not in plan

@@ -149,3 +149,58 @@ def test_oracle_sql_is_the_same_law(registered):
         FROM pyds_rows
     """).fetchall())
     assert got == want
+
+
+def test_reader_offset_regression_after_committed_restart():
+    """Drive the exact engine call sequence around a fully-committed-boundary
+    restart: the fresh reader's first latestOffset() is BEHIND the committed
+    offset and the engine logs that backward batch — the high-water clamp
+    must keep already-delivered ids from ever being regenerated."""
+    from spanner_data_validator_spark.sources.pyds import _StreamReader
+
+    opts = {"convs": "30", "turns": "10", "batch_rows": "90",
+            "parts": "2", "sentinel": "false"}  # total = 300
+
+    def ids(parts):
+        return [i for p in parts for i in range(p.start, p.end)]
+
+    # run 1: two batches planned, committed, then the process dies
+    r1 = _StreamReader(opts)
+    assert r1.latestOffset() == {"i": 90}
+    assert ids(r1.partitions({"i": 0}, {"i": 90})) == list(range(0, 90))
+    r1.commit({"i": 90})
+    assert r1.latestOffset() == {"i": 180}
+    assert ids(r1.partitions({"i": 90}, {"i": 180})) == list(range(90, 180))
+    r1.commit({"i": 180})
+
+    # restart: fresh reader, engine checkpoint says committed = 180
+    r2 = _StreamReader(opts)
+    stale = r2.latestOffset()            # {"i": 90} — behind the checkpoint
+    assert stale == {"i": 90}
+    # engine logs the backward batch (180 -> 90): must emit nothing
+    assert ids(r2.partitions({"i": 180}, stale)) == []
+    # next trigger catches up; its logged range dips below 180 but the
+    # already-delivered ids 90..179 must NOT be regenerated
+    nxt = r2.latestOffset()
+    assert nxt["i"] >= 180
+    regen = ids(r2.partitions({"i": 90}, nxt))
+    assert regen == list(range(180, nxt["i"]))
+    # and from there the run proceeds normally to the end
+    fin = r2.latestOffset()
+    assert ids(r2.partitions(nxt, fin)) == list(range(nxt["i"], fin["i"]))
+
+
+def test_reader_uncommitted_replay_regenerates_in_full():
+    """A logged-but-uncommitted batch is replayed by a fresh reader via
+    partitions(committed, logged_end) BEFORE any latestOffset call — it must
+    regenerate the whole range (the file sink dedups whole-batch replays)."""
+    from spanner_data_validator_spark.sources.pyds import _StreamReader
+
+    opts = {"convs": "30", "turns": "10", "batch_rows": "90",
+            "parts": "2", "sentinel": "false"}
+    r = _StreamReader(opts)
+    got = [i for p in r.partitions({"i": 90}, {"i": 180})
+           for i in range(p.start, p.end)]
+    assert got == list(range(90, 180))
+    # and admission continues past the replayed range, never behind it
+    assert r.latestOffset()["i"] > 180 or r.latestOffset()["i"] == 270
