@@ -76,3 +76,7 @@ from spanner_data_validator_spark.operators.sketch import (  # noqa: F401
     kmv_distinct,
     kmv_distinct_by_group,
 )
+from spanner_data_validator_spark.operators.sampling import (  # noqa: F401
+    priority_sample,
+    priority_score,
+)

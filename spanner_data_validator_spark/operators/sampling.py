@@ -114,6 +114,57 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
                                 seed=seed, hash_fn=hash_fn))
 
 
+#: priority-sampling uniform granularity: 2^52 distinct values keep the
+#: (0, 1] uniform EXACT in a double mantissa (the /2^52 is a power-of-two
+#: division, so every u is representable and identical in any IEEE engine)
+PRIORITY_SPACE = 2 ** 52
+
+
+def priority_score(key: Column, weight: Column, *, seed: int = 0,
+                   hash_fn=None) -> Column:
+    """Weighted sampling priority ``ln(u)/w`` with ``u = hash-uniform(0,1]``.
+
+    Taking the k LARGEST priorities implements Ohlsson/Rosén priority
+    sampling — inclusion probability ≈ proportional to ``w`` for k << n —
+    as a pure deterministic function of (key, seed): re-runs, backfills and
+    other engines select the identical sample. ``ln(u)/w`` is the monotone
+    log form of the textbook ``u^(1/w)`` (ln u < 0, so dividing by a larger
+    weight moves the priority toward 0 = better), chosen because one ``ln``
+    + one division leaves far less room for cross-engine ulp drift than
+    ``pow``.
+    """
+    hash_fn = hash_fn or xxhash64_family
+    u = (F.pmod(hash_fn(key, seed), F.lit(PRIORITY_SPACE)) + F.lit(1)) \
+        .cast("double") / F.lit(float(PRIORITY_SPACE))
+    return F.log(u) / weight.cast("double")
+
+
+def priority_sample(df: DataFrame, key_col: str, weight: Column, k: int, *,
+                    seed: int = 0, hash_fn=None,
+                    rank_col: str = "rank") -> DataFrame:
+    """Top-k weighted priority sample: df columns + ``rank`` (1 = best).
+
+    The quality-weighted data-selection primitive (sample documents
+    proportional to a quality/length score without a global sort): the
+    priority is computed per row, phase 1 reduces each partition to its
+    local top-k (ann.topk_per_query), and the only exchange carries
+    <= partitions * k skinny rows. Rows with weight <= 0 or NULL are
+    excluded (they cannot carry sampling mass).
+    """
+    from spanner_data_validator_spark.operators.ann import topk_per_query
+
+    w = weight.cast("double")
+    scored = (df.withColumn("__w", w)
+              .where(F.col("__w") > 0)
+              .withColumn("__pr", priority_score(F.col(key_col), F.col("__w"),
+                                                 seed=seed, hash_fn=hash_fn))
+              .withColumn("__g", F.lit(1)))
+    top = topk_per_query(scored, k, key_col="__g", order_col="__pr",
+                         tie_col=key_col)
+    return (top.withColumnRenamed("rank", rank_col)
+            if rank_col != "rank" else top).drop("__g", "__pr", "__w")
+
+
 def hash_split(key: Column, fractions: dict[str, float], *, seed: int = 0,
                hash_fn=None) -> Column:
     """Deterministic dataset-split assignment (train/val/test) by hash bucket.

@@ -4585,6 +4585,44 @@ def q_psi_value_drift(spark, sf_dir):
     return psi_terms(src, tgt, F.col("value"), 0, 200, 16)
 
 
+@register("priority_sample_docs", f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE len(string_split(text, ' ')) END AS n_tokens
+  FROM documents WHERE text IS NOT NULL),
+p AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         ln((({portable_hash60_sql("CAST(doc_id AS VARCHAR)", 4)}
+              % {2**52}) + 1) / {float(2**52)!r})
+           / CAST(n_tokens AS DOUBLE) AS pr
+  FROM d WHERE n_tokens > 0),
+r AS (SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY pr DESC, doc_id) AS rank
+      FROM p)
+SELECT doc_id, n_tokens, CAST(rank AS INT) AS rank FROM r WHERE rank <= 40
+""")
+def q_priority_sample_docs(spark, sf_dir):
+    """Weighted priority sampling (sampling.priority_sample): the top-40
+    documents by Ohlsson/Rosén priority ln(u)/w with w = whitespace token
+    count — the deterministic quality/length-weighted data-selection
+    primitive. u comes from the portable hash folded into 2^52 buckets so
+    every uniform is EXACTLY representable as a double; the oracle computes
+    the identical priorities and ranking. The Spark plan never global-sorts:
+    per-partition top-k reduce, then one <= partitions x 40-row exchange."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", token_count_ws(F.col("text")).alias("n_tokens")))
+    top = priority_sample(docs, "doc_id", F.col("n_tokens"), 40,
+                          seed=4, hash_fn=portable_hash60)
+    return top.select("doc_id", "n_tokens", F.col("rank").cast("int").alias("rank"))
+
+
 @register("stream_session_conv_digest", f"""
 WITH {_pyds.rows_oracle_sql(300, 20)}
 SELECT conv_id,

@@ -206,3 +206,56 @@ class TestHashSplit:
         from spanner_data_validator_spark.operators.sampling import hash_split
         with pytest.raises(ValueError):
             hash_split(F.lit("x"), {"train": 0.5, "val": 0.1})
+
+
+class TestPrioritySample:
+    def _docs(self, spark, n=200):
+        rows = [(i, 1 + (i % 10) * 10) for i in range(n)]  # weights 1..91
+        return spark.createDataFrame(rows, "id long, w long")
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from spanner_data_validator_spark.operators.sampling import (
+            priority_sample,
+        )
+        df = self._docs(spark)
+        a = priority_sample(df.repartition(1), "id", F.col("w"), 15)
+        b = priority_sample(df.repartition(7), "id", F.col("w"), 15)
+        assert (sorted(map(tuple, a.collect()))
+                == sorted(map(tuple, b.collect()))) and a.count() == 15
+
+    def test_weight_bias(self, spark):
+        """Inclusion probability must grow with weight: across seeds, the
+        heavy stratum (w=91) is sampled far more often than w=1."""
+        from spanner_data_validator_spark.operators.sampling import (
+            priority_sample,
+        )
+        df = self._docs(spark)
+        heavy = light = 0
+        for seed in range(8):
+            got = priority_sample(df, "id", F.col("w"), 20, seed=seed)
+            ws = [r.w for r in got.collect()]
+            heavy += sum(1 for w in ws if w == 91)
+            light += sum(1 for w in ws if w == 1)
+        assert heavy > 5 * max(light, 1)
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from spanner_data_validator_spark.operators.sampling import (
+            priority_sample,
+        )
+        rows = [(1, 5), (2, 0), (3, -4), (4, None), (5, 7)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        got = priority_sample(df, "id", F.col("w"), 10)
+        assert sorted(r.id for r in got.collect()) == [1, 5]
+
+    def test_rank_is_priority_order(self, spark):
+        from spanner_data_validator_spark.operators.sampling import (
+            priority_sample,
+            priority_score,
+        )
+        df = self._docs(spark, 50)
+        got = priority_sample(df, "id", F.col("w"), 10).collect()
+        pr = {r.id: r.pr for r in df.select(
+            "id", priority_score(F.col("id"), F.col("w")).alias("pr")).collect()}
+        ranked = sorted(got, key=lambda r: r.rank)
+        prs = [pr[r.id] for r in ranked]
+        assert prs == sorted(prs, reverse=True)
