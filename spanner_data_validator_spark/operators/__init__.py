@@ -80,3 +80,7 @@ from spanner_data_validator_spark.operators.sampling import (  # noqa: F401
     priority_sample,
     priority_score,
 )
+from spanner_data_validator_spark.operators.diff import (  # noqa: F401
+    column_diff,
+    column_drift_summary,
+)

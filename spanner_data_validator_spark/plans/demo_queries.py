@@ -4585,6 +4585,91 @@ def q_psi_value_drift(spark, sf_dir):
     return psi_terms(src, tgt, F.col("value"), 0, 200, 16)
 
 
+@register("column_drift_attribution", """
+WITH cd_src AS (
+  SELECT event_id AS k, event_type, props, value, user_id FROM events),
+cd_tgt AS (
+  SELECT event_id AS k,
+         event_type,
+         CASE WHEN event_id % 50 = 0 THEN props || '#mut' ELSE props END AS props,
+         CASE WHEN event_id % 70 = 0 THEN value + 1 ELSE value END AS value,
+         CASE WHEN event_id % 90 = 0 THEN NULL ELSE user_id END AS user_id
+  FROM events WHERE event_id % 50 <> 1
+  UNION ALL
+  SELECT event_id + 100000000 AS k, event_type, props, value, user_id
+  FROM events WHERE event_id % 50 = 2),
+j AS (
+  SELECT s.k IS NOT NULL AS in_src, t.k IS NOT NULL AS in_tgt,
+         NOT (s.event_type IS NOT DISTINCT FROM t.event_type) AS d_event_type,
+         NOT (s.props      IS NOT DISTINCT FROM t.props)      AS d_props,
+         NOT (s.value      IS NOT DISTINCT FROM t.value)      AS d_value,
+         NOT (s.user_id    IS NOT DISTINCT FROM t.user_id)    AS d_user_id
+  FROM cd_src s FULL OUTER JOIN cd_tgt t ON s.k = t.k),
+c AS (
+  SELECT CASE WHEN NOT in_src THEN 'ADDED'
+              WHEN NOT in_tgt THEN 'REMOVED'
+              WHEN d_event_type OR d_props OR d_value OR d_user_id
+                THEN 'CHANGED'
+              ELSE 'UNCHANGED' END AS change,
+         d_event_type, d_props, d_value, d_user_id
+  FROM j)
+SELECT dim, CAST(n AS BIGINT) AS n FROM (
+  SELECT 'col:event_type' AS dim,
+         count(*) FILTER (WHERE change = 'CHANGED' AND d_event_type) AS n FROM c
+  UNION ALL
+  SELECT 'col:props', count(*) FILTER (WHERE change = 'CHANGED' AND d_props) FROM c
+  UNION ALL
+  SELECT 'col:value', count(*) FILTER (WHERE change = 'CHANGED' AND d_value) FROM c
+  UNION ALL
+  SELECT 'col:user_id', count(*) FILTER (WHERE change = 'CHANGED' AND d_user_id) FROM c
+  UNION ALL
+  SELECT 'change:' || change, count(*) FROM c WHERE change <> 'UNCHANGED'
+  GROUP BY change
+) WHERE n > 0
+""")
+def q_column_drift_attribution(spark, sf_dir):
+    """Column-level drift attribution (operators/diff.py): three planted
+    per-column mutations (props suffix, value +1, user_id nulled) plus
+    deletes/inserts; column_diff runs ONE keyed full-outer join with pure
+    codegen null-safe comparisons into a diff_cols array, and only the
+    drifted keys' short arrays leave the join stage. Output: per-column
+    changed-key counts + change-type counts (zero-count columns dropped on
+    both sides)."""
+    from spanner_data_validator_spark.operators.diff import (
+        column_diff,
+        column_drift_summary,
+    )
+
+    cols = ["event_type", "props", "value", "user_id"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(F.col("event_id").alias("k"), *cols)
+    kept = ev.where(F.col("event_id") % 50 != 1)
+    tgt = (kept.select(
+        F.col("event_id").alias("k"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 50 == 0,
+               F.concat(F.col("props"), F.lit("#mut")))
+         .otherwise(F.col("props")).alias("props"),
+        F.when(F.col("event_id") % 70 == 0, F.col("value") + 1)
+         .otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 90 == 0, F.lit(None).cast("long"))
+         .otherwise(F.col("user_id")).alias("user_id"))
+        .unionByName(ev.where(F.col("event_id") % 50 == 2)
+                     .select((F.col("event_id") + 100_000_000).alias("k"),
+                             *cols)))
+    # the diff feeds two aggregation branches (per-column summary + change
+    # counts) — pin the small drifted-keys-only table once
+    diff = column_diff(src, tgt, ["k"], cols).localCheckpoint()
+    per_col = (column_drift_summary(diff)
+               .select(F.concat(F.lit("col:"), F.col("column")).alias("dim"),
+                       F.col("n_changed").alias("n")))
+    per_change = (diff.groupBy("change")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .select(F.concat(F.lit("change:"), F.col("change"))
+                          .alias("dim"), "n"))
+    return per_col.unionByName(per_change).where(F.col("n") > 0)
+
+
 @register("priority_sample_docs", f"""
 WITH d AS (
   SELECT doc_id,
