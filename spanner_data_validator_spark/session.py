@@ -65,6 +65,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # let Python DataSources (sources/pyds.py) receive pushed filters —
+        # off by default in Spark 4.1, and a reader implementing
+        # pushFilters() FAILS when it's disabled rather than degrading
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")

@@ -130,11 +130,50 @@ class _Opts:
 
 
 class _Reader(DataSourceReader):
+    """Batch reader with real filter pushdown on the row id.
+
+    ``pushFilters`` narrows the generated [lo, hi) id range for range/point
+    predicates on ``i`` BEFORE partition planning — the custom-source
+    analogue of parquet scan pruning (a ``WHERE i >= x AND i < y`` over a
+    10^12-row source then generates exactly the selected slice instead of
+    everything). Filters on other columns (and shapes the range can't
+    express, e.g. ``In``/``Not``) are yielded back to Spark unsupported and
+    applied post-scan as usual.
+    """
+
     def __init__(self, options: dict):
         self.o = _Opts(options)
+        self.lo, self.hi = 0, self.o.n
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col != ("i",):
+                yield f
+                continue
+            if isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value) + 1)
+            else:
+                yield f
 
     def partitions(self):
-        return _split(0, self.o.n, self.o.parts)
+        return _split(self.lo, max(self.lo, self.hi), self.o.parts)
 
     def read(self, part: _Range):
         yield _gen_batch(part.start, part.end, self.o.turns, self.o.n, False)
@@ -145,19 +184,25 @@ class _StreamReader(DataSourceStreamReader):
 
     The admission cursor ``_cur`` lives in the driver-side runner process
     and restarts at 0 after a recovery, while the engine resumes from its
-    checkpoint. Restart safety is therefore explicit:
+    checkpoint. Restart safety is explicit, driven by the measured engine
+    call sequences (tests/test_pyds.py replays them verbatim):
 
-    * a REPLAY of a logged-but-uncommitted batch calls
-      ``partitions(committed, logged_end)`` first — regenerated in full
-      (the file sink's batch-id metadata dedups whole-batch replays);
-    * a fresh post-restart ``latestOffset()`` can briefly return LESS than
-      the committed offset (the engine still logs that as a batch). The
-      high-water mark ``_hw`` — advanced by every ``partitions``/``commit``
-      call — clamps generation: ``partitions(s, e)`` emits ids from
-      ``max(s, _hw)`` only, so a later catch-up batch whose logged range
-      dips below an already-delivered offset never re-emits those rows
-      (regression-tested by driving the exact engine call sequence in
-      tests/test_pyds.py).
+    * restart probe: the engine first plans the ZERO-WIDTH range
+      ``(logged_end, logged_end)`` — that offset may belong to an
+      uncommitted batch, so it must not advance any state (advancing the
+      high water here emptied the subsequent replay and silently lost the
+      batch — measured);
+    * replay of a logged-but-uncommitted batch:
+      ``partitions(committed, logged_end)`` — regenerated in full (the
+      file sink's batch-id metadata dedups whole-batch replays);
+    * stale admission: a fresh post-restart ``latestOffset()`` can return
+      LESS than the committed offset and the engine logs that strictly
+      BACKWARD batch ``(committed, stale)`` — it emits nothing, but its
+      start is authoritative delivery evidence, advancing the high-water
+      mark ``_hw``;
+    * catch-up: a later real batch whose logged range dips below ``_hw``
+      generates only ``[max(start, _hw), end)`` — committed rows are never
+      re-emitted.
     """
 
     def __init__(self, options: dict):
@@ -165,19 +210,46 @@ class _StreamReader(DataSourceStreamReader):
         self._cur = 0   # admission cursor (how far latestOffset has offered)
         self._hw = 0    # delivery high water (never re-emit below this)
 
+    def _trace(self, msg: str) -> None:
+        import os
+        path = os.environ.get("SDV_PYDS_TRACE")
+        if path:
+            with open(path, "a") as f:
+                f.write(f"pid={os.getpid()} id={id(self) % 100000} {msg}\n")
+
     def initialOffset(self) -> dict:
+        self._trace("initialOffset")
         return {"i": 0}
 
     def latestOffset(self) -> dict:
         self._cur = min(max(self._cur, self._hw) + self.o.batch_rows,
                         self.o.total)
+        self._trace(f"latestOffset -> {self._cur} (hw={self._hw})")
         return {"i": self._cur}
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["i"]), int(end["i"])
+        if e == s:
+            # zero-width probe: on restart the engine plans
+            # (logged_end, logged_end) BEFORE replaying an uncommitted
+            # batch — that offset may never have been delivered, so it
+            # must NOT advance the high water (measured: advancing here
+            # emptied the subsequent replay and lost the batch)
+            self._trace(f"partitions({s},{e}) probe hw={self._hw}")
+            return []
+        if e < s:
+            # strictly backward batch: the engine's start is its last
+            # logged==committed offset (this only happens right after
+            # restart when a stale latestOffset was logged) — everything
+            # below s was delivered; record it, emit nothing
+            self._hw = max(self._hw, s)
+            self._cur = max(self._cur, self._hw)
+            self._trace(f"partitions({s},{e}) backward hw={self._hw}")
+            return []
         lo = max(s, self._hw)
-        self._hw = max(self._hw, s, e)
+        self._hw = max(self._hw, s)
         self._cur = max(self._cur, self._hw)
+        self._trace(f"partitions({s},{e}) lo={lo} hw={self._hw}")
         return _split(lo, e, self.o.parts)
 
     def read(self, part: _Range):

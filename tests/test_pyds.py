@@ -202,5 +202,64 @@ def test_reader_uncommitted_replay_regenerates_in_full():
     got = [i for p in r.partitions({"i": 90}, {"i": 180})
            for i in range(p.start, p.end)]
     assert got == list(range(90, 180))
-    # and admission continues past the replayed range, never behind it
-    assert r.latestOffset()["i"] > 180 or r.latestOffset()["i"] == 270
+    # and admission continues from the replayed range, never behind it
+    assert r.latestOffset()["i"] >= 180
+    assert r.latestOffset()["i"] > 180
+
+
+def test_reader_restart_probe_then_replay_regenerates():
+    """The measured restart sequence that originally LOST a batch: the
+    engine probes the zero-width (logged_end, logged_end) range BEFORE
+    replaying the uncommitted batch (committed, logged_end). The probe must
+    not advance the high water, or the replay comes back empty."""
+    from spanner_data_validator_spark.sources.pyds import _StreamReader
+
+    opts = {"convs": "40", "turns": "10", "batch_rows": "90",
+            "parts": "2", "sentinel": "false"}  # total = 400
+    r = _StreamReader(opts)
+    assert r.partitions({"i": 270}, {"i": 270}) == []          # probe
+    replay = [i for p in r.partitions({"i": 180}, {"i": 270})  # replay
+              for i in range(p.start, p.end)]
+    assert replay == list(range(180, 270))
+    nxt = r.latestOffset()
+    assert nxt["i"] >= 270
+    cont = [i for p in r.partitions({"i": 270}, nxt)
+            for i in range(p.start, p.end)]
+    assert cont == list(range(270, nxt["i"]))
+
+
+def test_batch_filter_pushdown_narrows_generation(registered):
+    """Range predicates on i reach the source: the reader narrows its
+    generated id range before partition planning, and unsupported filters
+    are handed back to Spark (still applied — results exact)."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThanOrEqual, IsNotNull, LessThan,
+    )
+    from spanner_data_validator_spark.sources.pyds import _Reader
+
+    r = _Reader({"convs": "30", "turns": "10", "parts": "4"})
+    rest = list(r.pushFilters([GreaterThanOrEqual(("i",), 50),
+                               LessThan(("i",), 120),
+                               IsNotNull(("role",))]))
+    assert [type(f).__name__ for f in rest] == ["IsNotNull"]
+    assert (r.lo, r.hi) == (50, 120)
+    covered = [i for p in r.partitions() for i in range(p.start, p.end)]
+    assert covered == list(range(50, 120))
+
+    # point lookup collapses to a single-row range
+    r2 = _Reader({"convs": "30", "turns": "10", "parts": "4"})
+    assert list(r2.pushFilters([EqualTo(("i",), 7)])) == []
+    assert (r2.lo, r2.hi) == (7, 8)
+
+    # contradictory range -> empty scan, not a crash
+    r3 = _Reader({"convs": "30", "turns": "10", "parts": "4"})
+    list(r3.pushFilters([GreaterThanOrEqual(("i",), 200), LessThan(("i",), 100)]))
+    assert r3.partitions() == []
+
+    # end-to-end: pushed + residual filters agree with the unpushed result
+    df = (_batch(registered, convs=30, turns=10)
+          .where((F.col("i") >= 50) & (F.col("i") < 120)
+                 & (F.col("role") != "tool")))
+    rows = df.collect()
+    assert len(rows) == 49 and all(50 <= r.i < 120 and r.role != "tool"
+                                   for r in rows)
