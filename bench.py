@@ -262,11 +262,56 @@ def run_batch_child(cpus: int) -> None:
     spark.stop()
 
 
+def _burn_worker(q, dur: float) -> None:
+    end = time.time() + dur
+    n = 0
+    while time.time() < end:
+        x = 0
+        for i in range(100_000):
+            x += i * i
+        n += 1
+    q.put(n)
+
+
+def cpu_parallel_ceiling(lo: int, hi: int, dur: float = 20.0) -> dict:
+    """Same-day pure-CPU parallel-scaling ceiling: total throughput of a
+    trivial Python loop at ``lo`` vs ``hi`` pinned processes.
+
+    This VM's lo->hi ceiling is NOT stable across days (host co-tenancy /
+    SMT sharing of physical cores): measured 0.94-0.97 on the round's
+    original quiet day and 0.86-0.89 on a later day with nothing running in
+    the VM (pure-python burn, zero steal, 122 GB free). No Spark job can
+    scale better than the machine does that day, so the scaling summary
+    reports this ceiling next to the raw efficiency — the honest split of
+    "software plan scaling" from "today's hardware".
+    """
+    import multiprocessing as mp
+
+    res = {}
+    for procs in (lo, hi):
+        q = mp.Queue()
+        ps = [mp.Process(target=_burn_worker, args=(q, dur))
+              for _ in range(procs)]
+        for i, p in enumerate(ps):
+            p.start()
+            if shutil.which("taskset"):
+                subprocess.run(["taskset", "-cp", str(i % procs), str(p.pid)],
+                               capture_output=True)
+        for p in ps:
+            p.join()
+        res[procs] = sum(q.get() for _ in range(procs))
+    return {
+        "lo_total": res[lo], "hi_total": res[hi],
+        "ceiling_efficiency": round((res[hi] / res[lo]) / (hi / lo), 3),
+    }
+
+
 def run_batch_scaling(lo: int, hi: int) -> dict:
     """The stable batch-scaling protocol: one staged corpus (own exiting
     subprocess — see run_scaling for why), then one CPU-pinned batch-only
     child per level, 5 timed reps each; efficiency from the medians (min
-    also reported)."""
+    also reported), plus the same-day pure-CPU ceiling and the
+    ceiling-normalized efficiencies."""
     corpus = tempfile.mkdtemp(prefix="sdv_bscaling_corpus_")
     try:
         sf = _sf_from_dir(SF_DIR)
@@ -289,16 +334,24 @@ def run_batch_scaling(lo: int, hi: int) -> dict:
                 raise RuntimeError(
                     f"batch child {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
             results[cpus] = json.loads(line[-1][len("CHILD_RESULT "):])
+        ceiling = cpu_parallel_ceiling(lo, hi)
+        eff_median = round(
+            (results[hi]["median_turns_per_sec"]
+             / results[lo]["median_turns_per_sec"]) / (hi / lo), 3)
+        eff_min = round(
+            ((results[lo]["turns"] / results[hi]["min_sec"])
+             / (results[lo]["turns"] / results[lo]["min_sec"])) / (hi / lo), 3)
         summary = {
             "sf": sf,
             "turns": results[lo]["turns"],
             "levels": results,
-            "batch_scaling_efficiency_median": round(
-                (results[hi]["median_turns_per_sec"]
-                 / results[lo]["median_turns_per_sec"]) / (hi / lo), 3),
-            "batch_scaling_efficiency_min": round(
-                ((results[lo]["turns"] / results[hi]["min_sec"])
-                 / (results[lo]["turns"] / results[lo]["min_sec"])) / (hi / lo), 3),
+            "batch_scaling_efficiency_median": eff_median,
+            "batch_scaling_efficiency_min": eff_min,
+            "cpu_ceiling": ceiling,
+            "ceiling_normalized_median": round(
+                eff_median / ceiling["ceiling_efficiency"], 3),
+            "ceiling_normalized_min": round(
+                eff_min / ceiling["ceiling_efficiency"], 3),
         }
         print(json.dumps(summary))
         return summary
