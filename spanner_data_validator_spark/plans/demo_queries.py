@@ -4670,6 +4670,93 @@ def q_column_drift_attribution(spark, sf_dir):
     return per_col.unionByName(per_change).where(F.col("n") > 0)
 
 
+@register("stream_psi_drift", """
+WITH base AS (
+  SELECT least(greatest(CAST(floor(value * 16 / 200) AS BIGINT), 0), 15)
+           AS bin, count(*) AS base_n
+  FROM events WHERE value IS NOT NULL AND user_id % 2 = 0 GROUP BY 1),
+live AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+         least(greatest(CAST(floor(value * 16 / 200) AS BIGINT), 0), 15)
+           AS bin, count(*) AS n
+  FROM events WHERE value IS NOT NULL AND user_id % 2 = 1 GROUP BY 1, 2),
+tot AS (
+  SELECT l.*, sum(n) OVER (PARTITION BY window_start_ms) AS wt,
+         (SELECT sum(base_n) FROM base) AS bt
+  FROM live l),
+j AS (SELECT t.window_start_ms, t.bin, t.n, t.wt, t.bt,
+             coalesce(b.base_n, 0) AS base_n
+      FROM tot t LEFT JOIN base b ON t.bin = b.bin)
+SELECT window_start_ms, bin, CAST(n AS BIGINT) AS n,
+       ((CAST(n AS DOUBLE) / CAST(wt AS DOUBLE))
+        - (CASE WHEN base_n = 0 THEN 0.5 ELSE CAST(base_n AS DOUBLE) END
+           / CAST(bt AS DOUBLE)))
+       * ln((CAST(n AS DOUBLE) / CAST(wt AS DOUBLE))
+            / ((CASE WHEN base_n = 0 THEN 0.5 ELSE CAST(base_n AS DOUBLE) END
+               / CAST(bt AS DOUBLE)))) AS psi_term
+FROM j
+""")
+def q_stream_psi_drift(spark, sf_dir):
+    """Streaming distribution-drift monitor: per-hour value histograms fold
+    in ONE windowed aggregation (state = open_windows x 16 bins, the same
+    bounded-state discipline as the CMS monitor), closed windows land in
+    the append sink, and each window's PSI terms against a broadcast
+    baseline histogram (the even-user half of the corpus) are pure
+    arithmetic on the tiny sink output. Live-window bins present in the
+    stream are the PSI support (a bin with live mass but no baseline mass
+    is smoothed; bins with no live mass contribute nothing — the window's
+    live histogram IS the distribution under test). Sentinel flows through
+    the aggregation as always."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from spanner_data_validator_spark.operators.profile import bin_expr
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull())
+          .select(F.col("ts").cast("timestamp").alias("ts"),
+                  "value", "user_id"))
+    baseline = (ev.where(F.col("user_id") % 2 == 0)
+                .groupBy(bin_expr(F.col("value"), 0, 200, 16).alias("bin"))
+                .agg(F.count(F.lit(1)).alias("base_n")))
+
+    work = tempfile.mkdtemp(prefix="sdv_q_psi_stream_")
+    live = ev.where(F.col("user_id") % 2 == 1).drop("user_id")
+    live.repartition(4).write.parquet(f"{work}/in")
+    (spark.range(1).select(F.lit("2100-01-01").cast("timestamp").alias("ts"),
+                           F.lit(0.0).alias("value"))
+          .write.mode("append").parquet(f"{work}/in"))
+
+    stream = (spark.readStream.schema(live.schema)
+              .option("maxFilesPerTrigger", 2).parquet(f"{work}/in")
+              .withWatermark("ts", "10 minutes"))
+    hist = (stream.groupBy(F.window("ts", "1 hour").alias("w"),
+                           bin_expr(F.col("value"), 0, 200, 16).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    q = (hist.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    sink = (spark.read.parquet(f"{work}/out")
+            .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                    "bin", "n"))
+    wt = F.sum("n").over(W.partitionBy("window_start_ms"))
+    sink = sink.withColumn("wt", wt)
+    bt = baseline.agg(F.sum("base_n").alias("bt"))
+    j = (sink.join(F.broadcast(baseline), "bin", "left")
+         .withColumn("base_n", F.coalesce("base_n", F.lit(0)))
+         .crossJoin(F.broadcast(bt)))
+    p = F.col("n").cast("double") / F.col("wt").cast("double")
+    qq = (F.when(F.col("base_n") == 0, F.lit(0.5))
+           .otherwise(F.col("base_n").cast("double"))
+          / F.col("bt").cast("double"))
+    return j.select("window_start_ms", "bin", "n",
+                    ((p - qq) * F.log(p / qq)).alias("psi_term"))
+
+
 @register("priority_sample_docs", f"""
 WITH d AS (
   SELECT doc_id,
