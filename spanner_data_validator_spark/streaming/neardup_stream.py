@@ -43,13 +43,14 @@ from spanner_data_validator_spark.functions.text import shingles
 
 def sketch_cols(text_col: str, *, n: int = 3, num_perm: int = 32,
                 bands: int = 16, hash_fn=None) -> tuple[Column, Column]:
-    """Per-row (shingle-hash set, band-hash array) — pure expressions.
+    """Per-row (shingle-hash set, band-hash array) — raw EXPRESSIONS.
 
-    The signature is min-over-shingle-hashes per seed, computed FROM the
-    hashed set (re-hash with seed i+1), so one shingle pass feeds both the
-    Jaccard sets and the LSH bands. The set is wrapped behind the caller's
-    explode/select as-is; everything is per-row, so this works identically
-    on batch and streaming DataFrames.
+    WARNING: selecting both outputs directly re-evaluates the shingle+hash
+    pipeline once per signature element (CollapseProject inlines the shared
+    ``shs`` subexpression into every ``array_min(transform(...))`` — the
+    CLAUDE.md re-evaluation trap; measured ~30x on this operator). Use
+    :func:`with_sketch`, which materializes each stage behind a Generate
+    barrier, unless you only need ONE of the outputs.
     """
     hash_fn = hash_fn or xxhash64_family
     if num_perm % bands:
@@ -66,6 +67,40 @@ def sketch_cols(text_col: str, *, n: int = 3, num_perm: int = 32,
     return shs, band_hashes
 
 
+def with_sketch(df, text_col: str, *, n: int = 3, num_perm: int = 32,
+                bands: int = 16, hash_fn=None,
+                keep: list[str] | None = None):
+    """df → (keep cols..., shs array<long>, bhs array<long>), each sketch
+    stage evaluated exactly once per row.
+
+    Two Generate barriers: ``shs`` (shingle-hash set) materializes before
+    the 32 per-seed min-folds read it, and the signature array materializes
+    before the band hashes slice it — without them Catalyst inlines the
+    upstream expression into every consumer (num_perm× the shingle work).
+    Works identically on batch and streaming DataFrames (explode of a
+    one-element array is supported in streaming plans).
+    """
+    hash_fn = hash_fn or xxhash64_family
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    rows = num_perm // bands
+    keep = keep if keep is not None else [c for c in df.columns
+                                          if c != text_col]
+    shs_expr = F.array_distinct(
+        F.transform(shingles(F.col(text_col), n), lambda s: hash_fn(s, 0)))
+    stage1 = df.select(*keep, F.explode(F.array(shs_expr)).alias("shs"))
+    sig_expr = F.array(*[
+        F.array_min(F.transform(F.col("shs"), lambda x: hash_fn(x, i + 1)))
+        for i in range(num_perm)])
+    stage2 = stage1.select(*keep, "shs",
+                           F.explode(F.array(sig_expr)).alias("__sig"))
+    bhs = F.array(*[
+        hash_fn(F.concat_ws(",", *[F.col("__sig")[b * rows + r].cast("string")
+                                   for r in range(rows)]), 1_000 + b)
+        for b in range(bands)])
+    return stage2.select(*keep, "shs", bhs.alias("bhs"))
+
+
 def build_lsh_index(docs: DataFrame, id_col: str, text_col: str, *,
                     n: int = 3, num_perm: int = 32, bands: int = 16,
                     hash_fn=None, materialize: bool = False
@@ -79,10 +114,9 @@ def build_lsh_index(docs: DataFrame, id_col: str, text_col: str, *,
     re-evaluates per micro-batch — without it the per-doc sketch work runs
     2 x n_batches times (the CLAUDE.md multi-branch rescan trap). Production
     builds write both tables to storage instead."""
-    shs, bhs = sketch_cols(text_col, n=n, num_perm=num_perm, bands=bands,
-                           hash_fn=hash_fn)
-    base = (docs.select(F.col(id_col).alias("id"), shs.alias("shs"),
-                        bhs.alias("bhs"))
+    base = (with_sketch(docs.select(F.col(id_col).alias("id"), text_col),
+                        text_col, n=n, num_perm=num_perm, bands=bands,
+                        hash_fn=hash_fn, keep=["id"])
             .where(F.size("shs") > 0))
     if materialize:
         base = base.localCheckpoint()
@@ -109,11 +143,12 @@ def neardup_guard(stream: DataFrame, buckets: DataFrame, sets: DataFrame,
     sentinel needed for output; state holds just the matched pairs inside
     the ``dedup_delay`` horizon, evicted by the ``ts_col`` watermark).
     """
-    shs, bhs = sketch_cols(text_col, n=n, num_perm=num_perm, bands=bands,
-                           hash_fn=hash_fn)
-    probe = (stream.withWatermark(ts_col, dedup_delay)
-             .select(F.col(id_col).alias("in_id"), F.col(ts_col),
-                     shs.alias("in_shs"), bhs.alias("bhs"))
+    sketched = with_sketch(
+        stream.withWatermark(ts_col, dedup_delay)
+              .select(F.col(id_col).alias("in_id"), F.col(ts_col), text_col),
+        text_col, n=n, num_perm=num_perm, bands=bands, hash_fn=hash_fn,
+        keep=["in_id", ts_col])
+    probe = (sketched.withColumnRenamed("shs", "in_shs")
              .where(F.size("in_shs") > 0)
              .select("in_id", ts_col, "in_shs",
                      F.posexplode("bhs").alias("band", "band_hash")))
