@@ -4261,6 +4261,7 @@ def q_pyds_stream_incremental(spark, sf_dir):
     stream = (spark.readStream.format(_pyds.SOURCE_NAME)
               .option("convs", _PYDS_CONVS).option("turns", _PYDS_TURNS)
               .option("batch_rows", 3400).option("parts", 8)
+              .option("hw_file", f"{work}/hw")
               .option("sentinel", "true").load())
     agg = (stream.withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 hour").alias("w"), "role")
@@ -4717,9 +4718,12 @@ def q_stream_psi_drift(spark, sf_dir):
           .where(F.col("value").isNotNull())
           .select(F.col("ts").cast("timestamp").alias("ts"),
                   "value", "user_id"))
+    # baseline feeds two branches (the broadcast join and the bt total) —
+    # pin the <=16-row histogram so the events scan doesn't run per branch
     baseline = (ev.where(F.col("user_id") % 2 == 0)
                 .groupBy(bin_expr(F.col("value"), 0, 200, 16).alias("bin"))
-                .agg(F.count(F.lit(1)).alias("base_n")))
+                .agg(F.count(F.lit(1)).alias("base_n"))
+                .localCheckpoint())
 
     work = tempfile.mkdtemp(prefix="sdv_q_psi_stream_")
     live = ev.where(F.col("user_id") % 2 == 1).drop("user_id")
@@ -4825,6 +4829,7 @@ def q_stream_session_conv_digest(spark, sf_dir):
     stream = (spark.readStream.format(_pyds.SOURCE_NAME)
               .option("convs", convs).option("turns", turns)
               .option("batch_rows", 2200).option("parts", 8)
+              .option("hw_file", f"{work}/hw")
               .option("sentinel", "true").load())
     agg = (stream
            .withColumn("fp", portable_hash60(F.col("i").cast("string"), 3))

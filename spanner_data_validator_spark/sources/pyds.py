@@ -125,6 +125,9 @@ class _Opts:
         self.parts = int(options.get("parts", "8"))
         self.batch_rows = int(options.get("batch_rows", "1000"))
         self.sentinel = str(options.get("sentinel", "true")).lower() == "true"
+        #: optional path persisting the delivery high water across reader
+        #: restarts (point it inside the query's checkpoint dir)
+        self.hw_file = options.get("hw_file")
         #: stream offsets run to n (+1 sentinel row when enabled)
         self.total = self.n + (1 if self.sentinel else 0)
 
@@ -203,12 +206,40 @@ class _StreamReader(DataSourceStreamReader):
     * catch-up: a later real batch whose logged range dips below ``_hw``
       generates only ``[max(start, _hw), end)`` — committed rows are never
       re-emitted.
+
+    The high water is process-local by default, which covers ONE restart
+    (the stale-admission batch rewinds the engine's offset log, so a SECOND
+    restart before the catch-up batch commits would replay from the rewound
+    offset with a fresh ``_hw``). Set the ``hw_file`` option (a path inside
+    the query's checkpoint dir) to persist the high water across restarts
+    and make the no-re-emission guarantee unconditional — the demo query
+    and the restart tests do.
     """
 
     def __init__(self, options: dict):
         self.o = _Opts(options)
         self._cur = 0   # admission cursor (how far latestOffset has offered)
-        self._hw = 0    # delivery high water (never re-emit below this)
+        self._hw = self._load_hw()  # delivery high water (never re-emit below)
+
+    def _load_hw(self) -> int:
+        if self.o.hw_file:
+            try:
+                with open(self.o.hw_file) as f:
+                    return int(f.read().strip() or 0)
+            except FileNotFoundError:
+                pass
+        return 0
+
+    def _advance_hw(self, v: int) -> None:
+        if v <= self._hw:
+            return
+        self._hw = v
+        if self.o.hw_file:
+            tmp = self.o.hw_file + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            import os
+            os.replace(tmp, self.o.hw_file)
 
     def _trace(self, msg: str) -> None:
         import os
@@ -242,12 +273,12 @@ class _StreamReader(DataSourceStreamReader):
             # logged==committed offset (this only happens right after
             # restart when a stale latestOffset was logged) — everything
             # below s was delivered; record it, emit nothing
-            self._hw = max(self._hw, s)
+            self._advance_hw(s)
             self._cur = max(self._cur, self._hw)
             self._trace(f"partitions({s},{e}) backward hw={self._hw}")
             return []
         lo = max(s, self._hw)
-        self._hw = max(self._hw, s)
+        self._advance_hw(s)
         self._cur = max(self._cur, self._hw)
         self._trace(f"partitions({s},{e}) lo={lo} hw={self._hw}")
         return _split(lo, e, self.o.parts)
@@ -257,7 +288,7 @@ class _StreamReader(DataSourceStreamReader):
                          self.o.sentinel)
 
     def commit(self, end: dict) -> None:
-        self._hw = max(self._hw, int(end["i"]))
+        self._advance_hw(int(end["i"]))
 
 
 class TranscriptGenDataSource(DataSource):

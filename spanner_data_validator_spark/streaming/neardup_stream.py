@@ -41,30 +41,50 @@ from spanner_data_validator_spark.functions.hashing import xxhash64_family
 from spanner_data_validator_spark.functions.text import shingles
 
 
+def _rows_per_band(num_perm: int, bands: int) -> int:
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    return num_perm // bands
+
+
+def _shs_expr(text_col: str, n: int, hash_fn) -> Column:
+    """Distinct shingle-hash set of a text column (the Jaccard support)."""
+    return F.array_distinct(
+        F.transform(shingles(F.col(text_col), n), lambda s: hash_fn(s, 0)))
+
+
+def _sig_exprs(shs: Column, num_perm: int, hash_fn) -> list[Column]:
+    """MinHash signature elements: per-seed min over the hashed set."""
+    return [F.array_min(F.transform(shs, lambda x: hash_fn(x, i + 1)))
+            for i in range(num_perm)]
+
+
+def _band_hashes(sig: list[Column], bands: int, rows: int,
+                 hash_fn) -> Column:
+    """Banded LSH bucket keys: hash of each band's signature slice."""
+    return F.array(*[
+        hash_fn(F.concat_ws(",", *[sig[b * rows + r].cast("string")
+                                   for r in range(rows)]), 1_000 + b)
+        for b in range(bands)])
+
+
 def sketch_cols(text_col: str, *, n: int = 3, num_perm: int = 32,
                 bands: int = 16, hash_fn=None) -> tuple[Column, Column]:
-    """Per-row (shingle-hash set, band-hash array) — raw EXPRESSIONS.
+    """Per-row (shingle-hash set, band-hash array) — raw EXPRESSIONS over
+    the same formula :func:`with_sketch` materializes (single source of
+    truth: the private _shs/_sig/_band builders).
 
     WARNING: selecting both outputs directly re-evaluates the shingle+hash
     pipeline once per signature element (CollapseProject inlines the shared
     ``shs`` subexpression into every ``array_min(transform(...))`` — the
     CLAUDE.md re-evaluation trap; measured ~30x on this operator). Use
-    :func:`with_sketch`, which materializes each stage behind a Generate
-    barrier, unless you only need ONE of the outputs.
+    :func:`with_sketch` unless you only need ONE of the outputs.
     """
     hash_fn = hash_fn or xxhash64_family
-    if num_perm % bands:
-        raise ValueError("bands must divide num_perm")
-    rows = num_perm // bands
-    shs = F.array_distinct(
-        F.transform(shingles(F.col(text_col), n), lambda s: hash_fn(s, 0)))
-    sig = [F.array_min(F.transform(shs, lambda x: hash_fn(x, i + 1)))
-           for i in range(num_perm)]
-    band_hashes = F.array(*[
-        hash_fn(F.concat_ws(",", *[sig[b * rows + r].cast("string")
-                                   for r in range(rows)]), 1_000 + b)
-        for b in range(bands)])
-    return shs, band_hashes
+    rows = _rows_per_band(num_perm, bands)
+    shs = _shs_expr(text_col, n, hash_fn)
+    sig = _sig_exprs(shs, num_perm, hash_fn)
+    return shs, _band_hashes(sig, bands, rows, hash_fn)
 
 
 def with_sketch(df, text_col: str, *, n: int = 3, num_perm: int = 32,
@@ -81,23 +101,16 @@ def with_sketch(df, text_col: str, *, n: int = 3, num_perm: int = 32,
     one-element array is supported in streaming plans).
     """
     hash_fn = hash_fn or xxhash64_family
-    if num_perm % bands:
-        raise ValueError("bands must divide num_perm")
-    rows = num_perm // bands
+    rows = _rows_per_band(num_perm, bands)
     keep = keep if keep is not None else [c for c in df.columns
                                           if c != text_col]
-    shs_expr = F.array_distinct(
-        F.transform(shingles(F.col(text_col), n), lambda s: hash_fn(s, 0)))
-    stage1 = df.select(*keep, F.explode(F.array(shs_expr)).alias("shs"))
-    sig_expr = F.array(*[
-        F.array_min(F.transform(F.col("shs"), lambda x: hash_fn(x, i + 1)))
-        for i in range(num_perm)])
+    stage1 = df.select(*keep, F.explode(F.array(
+        _shs_expr(text_col, n, hash_fn))).alias("shs"))
+    sig_array = F.array(*_sig_exprs(F.col("shs"), num_perm, hash_fn))
     stage2 = stage1.select(*keep, "shs",
-                           F.explode(F.array(sig_expr)).alias("__sig"))
-    bhs = F.array(*[
-        hash_fn(F.concat_ws(",", *[F.col("__sig")[b * rows + r].cast("string")
-                                   for r in range(rows)]), 1_000 + b)
-        for b in range(bands)])
+                           F.explode(F.array(sig_array)).alias("__sig"))
+    sig_elems = [F.col("__sig")[i] for i in range(num_perm)]
+    bhs = _band_hashes(sig_elems, bands, rows, hash_fn)
     return stage2.select(*keep, "shs", bhs.alias("bhs"))
 
 
