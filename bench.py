@@ -170,6 +170,10 @@ def run_default() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # same-run host-weather context: this VM's parallel ceiling moves
+    # 0.77-1.00 across the day (see BENCH.md) and inflates one-shot totals
+    # ~2x when degraded — record it so the number is interpretable
+    ceiling = cpu_parallel_ceiling(4, 16, dur=5.0)["ceiling_efficiency"]
     print(json.dumps({
         "metric": "total_bench_sec",
         "value": round(total, 3),
@@ -178,6 +182,7 @@ def run_default() -> None:
         "sf": sf,
         "cpus": CPUS,
         "warmup_sec": warmup_sec,
+        "cpu_ceiling_4_16": ceiling,
         "transcript": tr,
     }))
     spark.stop()
