@@ -95,9 +95,14 @@ def bench_transcripts(spark, src_dir: str, tgt_dir: str, turns: int,
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     t0 = time.time()
-    run_streaming_validation(
+    # state_store='auto' (VERDICT r3 item 8): a finite sentinel-punctuated
+    # drain holds ALL keys in state until the sentinel advances the watermark,
+    # so projected keys = turns; the selector picks the ~2x-faster heap store
+    # when that fits a heap fraction, RocksDB (scale-safe) otherwise.
+    sink = run_streaming_validation(
         spark, src_dir, tgt_dir, out, ckpt,
-        watermark="10 minutes", band="2 hours", engine="join", timeout_s=1800)
+        watermark="10 minutes", band="2 hours", engine="join", timeout_s=1800,
+        state_store="auto", projected_state_keys=turns)
     stream_sec = time.time() - t0
 
     return {
@@ -106,6 +111,8 @@ def bench_transcripts(spark, src_dir: str, tgt_dir: str, turns: int,
         "stream_sec": round(stream_sec, 3),
         "batch_turns_per_sec": round(turns / batch_sec, 1),
         "stream_turns_per_sec": round(turns / stream_sec, 1),
+        "state_store": sink.state_store,
+        "projected_state_keys": turns,
     }
 
 
@@ -150,31 +157,34 @@ def run_default() -> None:
         times[name] = round(dt, 3)
         total += dt
 
-    work = tempfile.mkdtemp(prefix="sdv_bench_")
-    try:
-        # Same steady-state rule as the registry queries: the transcript
-        # validators compile whole new streaming/codegen paths the sf0.001
-        # registry warm-up never touches, and their first run is 3-5x the
-        # steady state (measured 13.1 -> 2.5 s batch / 25.2 -> 17.5 s stream
-        # back-to-back). One untimed tiny-corpus pass first.
-        if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
-            t0 = time.time()
-            ws, wt, wn = build_transcript_corpus(spark, 0.001, f"{work}/warm")
-            bench_transcripts(spark, ws, wt, wn, f"{work}/warm")
-            warmup_sec = round(warmup_sec + time.time() - t0, 3)
-        src_dir, tgt_dir, turns = build_transcript_corpus(spark, sf, work)
-        tr = bench_transcripts(spark, src_dir, tgt_dir, turns, work)
-        times["transcript_batch"] = tr["batch_sec"]
-        times["transcript_stream"] = tr["stream_sec"]
-        total += tr["batch_sec"] + tr["stream_sec"]
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    # The transcript validators run in a FRESH subprocess (own JVM): by r3 the
+    # timed stream ran after ~230 registry-query passes in this JVM, whose
+    # aged heap/GC inflated it ~1.8x (VERDICT r3 item 1 — transcript_stream
+    # 11.7 -> 20.6 s with identical streaming code; the isolated A/B in
+    # BENCH.md attributes the delta to bench context, not the plan). The
+    # child does its own tiny-corpus warm-up, so it still reports
+    # steady-state numbers.
+    spark.stop()  # release this JVM's RES before the child runs
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--transcript-bench"],
+        capture_output=True, text=True, timeout=3600, cwd=REPO)
+    line = [l for l in out.stdout.splitlines()
+            if l.startswith("TRANSCRIPT_RESULT ")]
+    if not line:
+        raise RuntimeError(
+            f"transcript bench child failed:\n{out.stdout[-2000:]}\n"
+            f"{out.stderr[-2000:]}")
+    tr = json.loads(line[-1][len("TRANSCRIPT_RESULT "):])
+    warmup_sec = round(warmup_sec + tr.pop("warmup_sec", 0.0), 3)
+    times["transcript_batch"] = tr["batch_sec"]
+    times["transcript_stream"] = tr["stream_sec"]
+    total += tr["batch_sec"] + tr["stream_sec"]
 
     # same-run host-weather context: this VM's parallel ceiling moves
     # 0.77-1.00 across the day (see BENCH.md) and inflates one-shot totals
     # ~2x when degraded — record it so the number is interpretable
     ceiling = cpu_parallel_ceiling(4, 16, dur=5.0)["ceiling_efficiency"]
-    print(json.dumps({
+    result = {
         "metric": "total_bench_sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -184,8 +194,41 @@ def run_default() -> None:
         "warmup_sec": warmup_sec,
         "cpu_ceiling_4_16": ceiling,
         "transcript": tr,
-    }))
-    spark.stop()
+    }
+    print(json.dumps(result))
+    # capture-proof artifact (VERDICT r3 item 2): the driver keeps only a
+    # 2000-char tail of stdout, which truncated BENCH_r03.json — the full
+    # JSON always lands on disk too
+    with open(os.path.join(REPO, "BENCH_SELF.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+def run_transcript_bench() -> None:
+    """Isolated transcript-validator bench (fresh JVM — see run_default)."""
+    from spanner_data_validator_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(app_name="sdv-bench-transcripts", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    work = tempfile.mkdtemp(prefix="sdv_bench_tr_")
+    warmup_sec = 0.0
+    try:
+        # Steady-state rule: the validators compile whole new streaming/
+        # codegen paths, and their first run is 3-5x the steady state
+        # (measured 13.1 -> 2.5 s batch / 25.2 -> 17.5 s stream back-to-back).
+        # One untimed tiny-corpus pass first.
+        if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+            t0 = time.time()
+            ws, wt, wn = build_transcript_corpus(spark, 0.001, f"{work}/warm")
+            bench_transcripts(spark, ws, wt, wn, f"{work}/warm")
+            warmup_sec = round(time.time() - t0, 3)
+        src_dir, tgt_dir, turns = build_transcript_corpus(spark, sf, work)
+        tr = bench_transcripts(spark, src_dir, tgt_dir, turns, work)
+        tr["warmup_sec"] = warmup_sec
+        print("TRANSCRIPT_RESULT " + json.dumps(tr))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
 
 
 def run_child(cpus: int) -> None:
@@ -410,7 +453,8 @@ def run_scaling(lo: int, hi: int) -> dict:
         summary = {
             "sf": sf,
             "turns": turns,
-            "state_store": os.environ.get("SDV_STATE_STORE", "rocksdb"),
+            "state_store": results[hi].get(
+                "state_store", os.environ.get("SDV_STATE_STORE", "rocksdb")),
             "levels": results,
             "batch_scaling_efficiency": round(
                 (results[hi]["batch_turns_per_sec"] / results[lo]["batch_turns_per_sec"])
@@ -538,7 +582,9 @@ def run_rate_stage(corpus_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--stage":
+    if len(sys.argv) > 1 and sys.argv[1] == "--transcript-bench":
+        run_transcript_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stage":
         run_stage(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--rate-stage":
         run_rate_stage(sys.argv[2])

@@ -44,20 +44,27 @@ def normalize_column(
     *,
     adjust_timestamp_precision: bool = True,
     json_normalize: bool = False,
+    java_json: bool = False,
 ) -> Column:
     """Return a STRING column holding the canonical serialization of ``col``.
 
     ``json_normalize=True`` (string columns only) applies the key-order- and
     nesting-insensitive JSON flattening of the reference's JSONNormalizer via a
-    vectorized pandas UDF (the one place an expression can't express it).
+    vectorized pandas UDF (the one place an expression can't express it);
+    ``java_json=True`` selects the byte-compatible variant (Java scalar
+    rendering + UTF-16 TreeSet order — reference-parity mode).
     """
     c = F.col(col) if isinstance(col, str) else col
 
     if isinstance(dtype, T.StringType):
         if json_normalize:
-            from spanner_data_validator_spark.functions.fingerprint import normalize_json_udf
+            from spanner_data_validator_spark.functions.fingerprint import (
+                normalize_json_ref_udf,
+                normalize_json_udf,
+            )
 
-            return F.coalesce(normalize_json_udf(c), F.lit(""))
+            udf = normalize_json_ref_udf if java_json else normalize_json_udf
+            return F.coalesce(udf(c), F.lit(""))
         return F.coalesce(c, F.lit(""))
     if isinstance(dtype, T.BinaryType):
         return F.coalesce(F.base64(c), F.lit(""))

@@ -115,6 +115,8 @@ def run_streaming_validation(
     max_files_per_trigger: int | None = None,
     timeout_s: float = 300.0,
     dedup_keys: bool = False,
+    state_store: str | None = None,
+    projected_state_keys: int | None = None,
 ) -> TallyForeachBatch:
     """Run the streaming pipeline; returns the sink for result readback.
 
@@ -127,7 +129,28 @@ def run_streaming_validation(
     engine has natively): a ``dropDuplicatesWithinWatermark`` per side before
     the join. Costs one extra stateful stage whose state is watermark-bounded
     (key + ts per in-flight key); leave off when upstream keys are unique.
+
+    ``state_store``: ``'rocksdb'`` / ``'hdfs'`` pin the provider for this
+    query; ``'auto'`` picks via :func:`session.select_state_store` from
+    ``projected_state_keys`` (worst-case in-flight keys ≈ rate × (watermark +
+    band), or total turns for a finite sentinel-punctuated drain, since the
+    watermark only advances at the end). ``None`` keeps the session default.
+    The chosen provider is recorded on the returned sink (``.state_store``)
+    so benches can report it. Only valid for a FRESH checkpoint — Spark pins
+    the provider in checkpoint metadata on first start.
     """
+    from spanner_data_validator_spark.session import (
+        STATE_STORE_CLASSES,
+        select_state_store,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    chosen = state_store
+    if chosen == "auto":
+        chosen = select_state_store(projected_state_keys)
+    prev_provider = spark.conf.get(provider_key, None)
+    if chosen is not None:
+        spark.conf.set(provider_key, STATE_STORE_CLASSES[chosen])
     src = stream_transcripts(
         spark, src_path, watermark=watermark, max_files_per_trigger=max_files_per_trigger
     )
@@ -151,6 +174,10 @@ def run_streaming_validation(
     classified = classified.where(sentinel_filter())
 
     sink = TallyForeachBatch(out_dir, window_duration=window_duration)
+    sink.state_store = next(
+        (name for name, cls in STATE_STORE_CLASSES.items()
+         if cls == spark.conf.get(provider_key, "")), None)
+    sink.projected_state_keys = projected_state_keys
     writer = (
         classified.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -158,17 +185,27 @@ def run_streaming_validation(
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(timeout_s)
-        if q.isActive:
-            # an availableNow query still running at the deadline means the
-            # sink holds PARTIAL commits — surface it instead of returning
-            # silently-incomplete totals (callers would report undercounts)
-            q.stop()
-            raise TimeoutError(
-                f"availableNow streaming validation did not drain within "
-                f"{timeout_s}s; sink at {out_dir} holds partial commits")
+        try:
+            q.awaitTermination(timeout_s)
+            if q.isActive:
+                # an availableNow query still running at the deadline means
+                # the sink holds PARTIAL commits — surface it instead of
+                # returning silently-incomplete totals (callers would report
+                # undercounts)
+                q.stop()
+                raise TimeoutError(
+                    f"availableNow streaming validation did not drain within "
+                    f"{timeout_s}s; sink at {out_dir} holds partial commits")
+        finally:
+            # the provider is captured in the query's checkpoint metadata at
+            # first-batch start, so it is safe to restore the session default
+            # once the query has terminated
+            if chosen is not None and prev_provider is not None:
+                spark.conf.set(provider_key, prev_provider)
     else:
         writer.trigger(processingTime=trigger_interval).start()
+        # continuous path: the conf must stay set until the first batch plans
+        # its state stores — the caller owns the session default from here
     return sink
 
 

@@ -4847,3 +4847,39 @@ def q_stream_session_conv_digest(spark, sf_dir):
          .outputMode("append").trigger(processingTime="0 seconds").start())
     _pyds.drain_stream(q, convs * turns + 1)
     return spark.read.parquet(f"{work}/out")
+
+
+# ---------------------------------------------------------------------------
+# Byte-compatible reference fingerprint (VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+
+@register("reference_hash_parity", """
+SELECT event_id,
+       to_base64(unhex(sha256(
+           coalesce(event_type, '')
+        || coalesce(cast(user_id AS varchar), '')
+        || coalesce(cast(epoch_ms(ts) // 1000 AS varchar), '')
+        || coalesce(props, '')
+       ))) AS ref_hash
+FROM events
+WHERE event_id % 100 < 5
+""")
+def q_reference_hash_parity(spark, sf_dir):
+    """Reference-deployment hash parity: ``Base64(SHA-256(utf8(concat)))``
+    with the no-delimiter concat and per-type rendering of
+    dto/HashResult.java:77-171 + Helpers.java:348-360, recomputed
+    independently by DuckDB's sha256/to_base64 on the same rows. JSON
+    normalization (the one non-SQL-expressible rule) is byte-compat-tested
+    against hand-derived golden vectors in tests/test_fingerprint.py."""
+    from spanner_data_validator_spark.functions.fingerprint import (
+        reference_fingerprint,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("event_id") % 100 < 5)
+          .select("event_id", "event_type", "user_id",
+                  F.col("ts").cast("timestamp").alias("ts"), "props"))
+    return ev.select(
+        "event_id",
+        reference_fingerprint(
+            ev, ["event_type", "user_id", "ts", "props"]).alias("ref_hash"))

@@ -12,6 +12,57 @@ import os
 
 from pyspark.sql import SparkSession
 
+STATE_STORE_CLASSES = {
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+}
+
+# Conservative in-heap bytes per in-flight state key for the HDFS-backed
+# (heap) provider: the stored UnsafeRow for a fingerprint tuple is ~60 B
+# (conv_id string + 3 fixed-width cols), but the provider's HashMap + version
+# snapshots hold several copies — 500 B/key absorbs that with margin
+# (measured: 2.1 M keys ≈ 0.9 GB heap delta on this box).
+HEAP_BYTES_PER_KEY = 500
+
+
+def _parse_mem_bytes(s: str) -> int:
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    s = s.strip().lower()
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def select_state_store(
+    projected_keys: int | None,
+    *,
+    heap_mem: str | None = None,
+    heap_fraction: float = 0.25,
+) -> str:
+    """Pick the streaming state-store provider for a FRESH checkpoint.
+
+    ``SDV_STATE_STORE=rocksdb|hdfs`` still wins (explicit operator choice).
+    Otherwise: the heap-backed (HDFS) provider is ~2x faster per row
+    (BENCH.md) but OOMs when state outgrows the heap, so choose it only when
+    ``projected_keys * HEAP_BYTES_PER_KEY`` fits ``heap_fraction`` of the
+    driver/executor heap; RocksDB (off-heap + disk, scale-safe at 10^9+
+    in-flight keys) otherwise — including when the projection is unknown.
+
+    Callers must NOT flip providers on an existing checkpoint (Spark pins the
+    provider in the checkpoint metadata); this is for new query starts.
+    """
+    forced = os.environ.get("SDV_STATE_STORE")
+    if forced:
+        if forced not in STATE_STORE_CLASSES:
+            raise ValueError(f"SDV_STATE_STORE must be one of {sorted(STATE_STORE_CLASSES)}")
+        return forced
+    if projected_keys is None:
+        return "rocksdb"
+    heap = _parse_mem_bytes(heap_mem or os.environ.get("SDV_DRIVER_MEM", "48g"))
+    if projected_keys * HEAP_BYTES_PER_KEY <= heap * heap_fraction:
+        return "hdfs"
+    return "rocksdb"
+
 
 def get_spark(
     app_name: str = "spanner_data_validator_spark",
@@ -45,10 +96,7 @@ def get_spark(
         # at ~10^6 keys/partition.
         .config(
             "spark.sql.streaming.stateStore.providerClass",
-            {
-                "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-                "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-            }[os.environ.get("SDV_STATE_STORE", "rocksdb")],
+            STATE_STORE_CLASSES[os.environ.get("SDV_STATE_STORE", "rocksdb")],
         )
         .config(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
