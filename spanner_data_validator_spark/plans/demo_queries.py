@@ -1354,56 +1354,145 @@ def q_doc_fingerprint_prefix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _media_from_documents(spark, sf_dir):
-    """Deterministic media table: doc text bytes as the opaque payload."""
+    """Deterministic media table. Image rows (doc_id % 3 = 0) carry REAL
+    binary-PPM payloads synthesized from the closed-form pixel law
+    ``v(x,y,c) = (id + 3x + 5y + 11c) % 256`` at ``w = 16 + id % 8``,
+    ``h = 12 + id % 5`` (operators/multimodal.synth_ppm); audio/video rows
+    keep the doc text bytes as an opaque payload."""
+    import pandas as pd
+
+    from spanner_data_validator_spark.operators.multimodal import (
+        PPM_MIME,
+        synth_ppm,
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                         (F.col("doc_id") % 3 + 1).cast("int"))
+
+    ppm_payload = F.pandas_udf(
+        lambda ids: ids.map(lambda i: synth_ppm(int(i), 16 + int(i) % 8,
+                                                12 + int(i) % 5)),
+        "binary")
+
+    is_img = F.col("doc_id") % 3 == 0
+    w = (F.lit(16) + F.col("doc_id") % 8).cast("int")
+    h = (F.lit(12) + F.col("doc_id") % 5).cast("int")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(is_img, F.lit(PPM_MIME))
+         .otherwise(F.lit("application/octet-stream")).alias("mime"),
+        F.when(is_img, ppm_payload(F.col("doc_id")))
+         .otherwise(F.encode(F.col("text"), "UTF-8")).alias("payload"),
         F.struct(
-            F.lit(64).cast("int").alias("width"),
-            F.lit(64).cast("int").alias("height"),
+            F.when(is_img, w).otherwise(F.lit(64)).cast("int").alias("width"),
+            F.when(is_img, h).otherwise(F.lit(64)).cast("int").alias("height"),
             ((F.col("doc_id") % 5) * 1000 + 500).cast("long").alias("duration_ms"),
             F.lit(16000).cast("int").alias("sample_rate"),
         ).alias("meta"))
 
 
+# shared oracle CTE: per-image dims + the pixel law, recomputed in SQL
+_PPM_IMG_CTE = """
+WITH img AS (
+  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 3 = 0
+)"""
+
+
 @register("media_feature_extract", """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       CAST(CASE WHEN doc_id % 3 = 0
+                 THEN 9 + length(CAST(16 + doc_id % 8 AS VARCHAR))
+                        + length(CAST(12 + doc_id % 5 AS VARCHAR))
+                        + 3 * (16 + doc_id % 8) * (12 + doc_id % 5)
+                 ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes
 FROM documents
 """)
 def q_media_feature_extract(spark, sf_dir):
-    """mapInPandas decode/feature stage over binary payloads (stub kernel);
-    the oracle checks the Arrow round-trip (ids, kinds, byte counts) while
-    pytest checks feature-vector shape/determinism."""
+    """mapInPandas decode/feature stage over binary payloads (REAL PPM decode
+    for images since r4); the oracle recomputes each PPM's exact encoded size
+    (header '|P6\\n| |w h\\n| |255\\n|' = 9 + digits, + 3wh raster) and the
+    opaque byte counts; pixel-law parity is media_pixel_stats."""
     from spanner_data_validator_spark.operators.multimodal import extract_features
 
     media = _media_from_documents(spark, sf_dir)
     return extract_features(media, dim=8).select("media_id", "kind", "n_bytes")
 
 
-@register("media_resize", """
+@register("media_pixel_stats", _PPM_IMG_CTE + """,
+px AS (
+  SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+  FROM img, LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+            LATERAL (SELECT unnest(range(0, h)) AS y) ys
+),
+vals AS (
+  SELECT doc_id, w * h AS n,
+         (doc_id + 3 * x + 5 * y) % 256 AS v0,
+         (doc_id + 3 * x + 5 * y + 11) % 256 AS v1,
+         (doc_id + 3 * x + 5 * y + 22) % 256 AS v2
+  FROM px)
+SELECT doc_id AS media_id,
+       sum(v0) / any_value(n) AS mean_r,
+       sum(v1) / any_value(n) AS mean_g,
+       sum(v2) / any_value(n) AS mean_b,
+       sum(v0 * v0) / any_value(n) - (sum(v0) / any_value(n)) * (sum(v0) / any_value(n)) AS var_r,
+       sum(v1 * v1) / any_value(n) - (sum(v1) / any_value(n)) * (sum(v1) / any_value(n)) AS var_g,
+       sum(v2 * v2) / any_value(n) - (sum(v2) / any_value(n)) * (sum(v2) / any_value(n)) AS var_b
+FROM vals GROUP BY doc_id
+""")
+def q_media_pixel_stats(spark, sf_dir):
+    """REAL pixel math end-to-end: synthesize PPM payloads, decode them in
+    the Arrow kernel, compute per-channel mean/variance — DuckDB re-derives
+    the same moments directly from the closed-form pixel law over an
+    unnested (x, y) grid. Integer-exact float64 sums make the doubles
+    bit-identical across engines."""
+    from spanner_data_validator_spark.operators.multimodal import extract_features
+
+    media = _media_from_documents(spark, sf_dir).where(F.col("kind") == "image")
+    feats = extract_features(media, dim=8)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f[0].cast("double").alias("mean_r"),
+        f[1].cast("double").alias("mean_g"),
+        f[2].cast("double").alias("mean_b"),
+        f[3].cast("double").alias("var_r"),
+        f[4].cast("double").alias("var_g"),
+        f[5].cast("double").alias("var_b"))
+
+
+@register("media_resize", _PPM_IMG_CTE + """,
+px AS (
+  SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+  FROM img, LATERAL (SELECT unnest(range(0, 32)) AS x) xs,
+            LATERAL (SELECT unnest(range(0, 32)) AS y) ys
+),
+src AS (
+  SELECT doc_id, (x * w) // 32 AS sx, (y * h) // 32 AS sy FROM px)
 SELECT doc_id AS media_id,
        CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
-       CAST(32 * 32 AS BIGINT) AS n_bytes
-FROM documents WHERE doc_id % 3 = 0
+       CAST(sum((doc_id + 3 * sx + 5 * sy) % 256
+              + (doc_id + 3 * sx + 5 * sy + 11) % 256
+              + (doc_id + 3 * sx + 5 * sy + 22) % 256) AS BIGINT) AS pixel_sum
+FROM src GROUP BY doc_id
 """)
 def q_media_resize(spark, sf_dir):
-    """mapInPandas image-resize stage (stub kernel, real Arrow plumbing):
-    every image payload comes back exactly width*height bytes with meta
-    updated; the oracle checks ids, dimensions, and output byte counts."""
-    from spanner_data_validator_spark.operators.multimodal import resize_media
+    """mapInPandas image-resize stage — REAL nearest-neighbor resize since
+    r4: the oracle maps every output pixel back to its floor-law source
+    coordinate and recomputes the resized raster's exact pixel sum."""
+    from spanner_data_validator_spark.operators.multimodal import (
+        ppm_pixel_sum_udf,
+        resize_media,
+    )
 
     media = _media_from_documents(spark, sf_dir)
     out = resize_media(media, 32, 32)
     return (out.where(F.col("kind") == "image")
                .select("media_id", "width", "height",
-                       F.octet_length(F.col("payload")).cast("long").alias("n_bytes")))
+                       ppm_pixel_sum_udf(F.col("payload")).alias("pixel_sum")))
 
 
 @register("media_frame_sample", """
