@@ -34,29 +34,50 @@ from pyspark.sql import functions as F
 from spanner_data_validator_spark.functions.hashing import portable_hash60
 
 
-def _deletion_variants(key: Column) -> Column:
+def _del1(s: Column) -> Column:
     """Array of the string plus every single-character deletion.
 
     j in [0, length]: keep the first j chars, skip char j+1 — j = length
     yields the identity variant. Empty/one-char strings still produce the
     identity (and '' for one-char keys), so distance-1 pairs among short
-    keys are covered too.
+    keys are covered too. Works on lambda variables, so it nests.
     """
     return F.transform(
-        F.sequence(F.lit(0), F.length(key)),
+        F.sequence(F.lit(0), F.length(s)),
         lambda j: F.concat(
-            key.substr(F.lit(1), j),
-            key.substr(j + F.lit(2), F.length(key))))
+            s.substr(F.lit(1), j),
+            s.substr(j + F.lit(2), F.length(s))))
 
 
-def deletion_variants_sql(expr: str) -> str:
+def _deletion_variants(key: Column, d: int = 1) -> Column:
+    """The ≤d-fold deletion neighborhood (identity included).
+
+    d=2 applies the single-deletion map to every d=1 variant (each of which
+    contains its own identity, so the union covers 0, 1, and 2 deletions)
+    and dedups — ~C(len,2) variants per key, the documented SymSpell cost.
+    """
+    if d not in (1, 2):
+        raise ValueError("deletion blocking supports d in {1, 2}")
+    vs = _del1(key)
+    if d == 2:
+        vs = F.array_distinct(F.flatten(F.transform(vs, _del1)))
+    return vs
+
+
+def deletion_variants_sql(expr: str, d: int = 1) -> str:
     """DuckDB rendering of the same deletion neighborhood (for oracles)."""
-    return (f"list_transform(range(0, length({expr}) + 1), "
-            f"j -> substr({expr}, 1, j) || substr({expr}, j + 2))")
+    def del1(e: str, var: str) -> str:
+        return (f"list_transform(range(0, length({e}) + 1), "
+                f"{var} -> substr({e}, 1, {var}) || substr({e}, {var} + 2))")
+
+    if d == 2:
+        return (f"list_distinct(flatten(list_transform({del1(expr, 'j')}, "
+                f"v -> {del1('v', 'i')})))")
+    return del1(expr, "j")
 
 
 def _exploded(df: DataFrame, key_col: str, id_col: str, side: str,
-              hash_seed: int) -> DataFrame:
+              hash_seed: int, d: int = 1) -> DataFrame:
     """(variant hash, id, key) — one Generate, nothing else on the wire.
 
     The explode is also the evaluation barrier that keeps the variant
@@ -65,7 +86,7 @@ def _exploded(df: DataFrame, key_col: str, id_col: str, side: str,
     """
     return (df.select(F.col(id_col).alias(f"{side}_id"),
                       F.col(key_col).alias(f"{side}_key"),
-                      F.explode(_deletion_variants(F.col(key_col)))
+                      F.explode(_deletion_variants(F.col(key_col), d))
                        .alias("variant"))
             .select(f"{side}_id", f"{side}_key",
                     portable_hash60(F.col("variant"), hash_seed)
@@ -74,12 +95,15 @@ def _exploded(df: DataFrame, key_col: str, id_col: str, side: str,
 
 def fuzzy_candidates(src: DataFrame, tgt: DataFrame, key_col: str,
                      id_col: str, *, hash_seed: int = 11,
-                     max_block_size: int | None = None) -> DataFrame:
+                     max_block_size: int | None = None,
+                     d: int = 1) -> DataFrame:
     """Distinct candidate pairs (src_id, src_key, tgt_id, tgt_key) sharing
-    a deletion variant. Complete for levenshtein <= 1 by the pigeonhole
-    argument in the module docstring."""
-    s = _exploded(src, key_col, id_col, "src", hash_seed)
-    t = _exploded(tgt, key_col, id_col, "tgt", hash_seed)
+    a ≤d-fold deletion variant. Complete for levenshtein <= d (d in {1, 2}):
+    each edit operation between u and v maps to at most one deletion on each
+    side toward a common string, so lev(u,v) <= d implies the d-deletion
+    neighborhoods intersect (the SymSpell/FastSS invariant)."""
+    s = _exploded(src, key_col, id_col, "src", hash_seed, d)
+    t = _exploded(tgt, key_col, id_col, "tgt", hash_seed, d)
     if max_block_size is not None:
         # each side feeds TWO branches (the hot-bucket count and the
         # anti-join) — Catalyst recomputes the explode+hash per branch
@@ -107,12 +131,14 @@ def fuzzy_match_keys(src: DataFrame, tgt: DataFrame, key_col: str,
     """Best fuzzy match per source key: the candidate with the smallest
     edit distance, ties broken by target key then target id (deterministic).
 
-    Returns (src_id, src_key, tgt_id, tgt_key, dist). ``max_dist`` must be
-    1 for the deletion blocking to be provably complete; larger values
-    verify more leniently but candidates are still distance-1-blocked.
+    Returns (src_id, src_key, tgt_id, tgt_key, dist). Deletion blocking is
+    provably complete for ``max_dist`` in {1, 2} (the neighborhood depth
+    follows max_dist); larger values verify more leniently but candidates
+    are still distance-2-blocked.
     """
     cand = fuzzy_candidates(src, tgt, key_col, id_col, hash_seed=hash_seed,
-                            max_block_size=max_block_size)
+                            max_block_size=max_block_size,
+                            d=min(max_dist, 2))
     verified = (cand
                 .withColumn("dist", F.levenshtein("src_key", "tgt_key"))
                 .where(F.col("dist") <= max_dist))

@@ -4972,3 +4972,219 @@ def q_reference_hash_parity(spark, sf_dir):
         "event_id",
         reference_fingerprint(
             ev, ["event_type", "user_id", "ts", "props"]).alias("ref_hash"))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@k, oracle-checked (VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+
+def _ann_recall_oracle(k: int = 3, n_planes: int = 8, dim: int = 64,
+                       seed: int = 42) -> str:
+    """Composite oracle: exact cosine top-k, the multi-probe RHP-LSH
+    pipeline (literal hyperplanes), and the IVF pipeline (deterministic
+    data-sampled quantizer), then recall = |approx ∩ exact| / |exact| per
+    method — every stage is the same SQL the individual ann_* oracles use."""
+    from spanner_data_validator_spark.operators.ann import make_planes
+
+    planes = make_planes(dim, n_planes, seed)
+    bucket = " + ".join(
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ",".join(repr(float(x)) for x in p) + f"]) > 0 THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes))
+    probe_list = ", ".join(["0"] + [str(1 << j) for j in range(n_planes)])
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id % 100 = 0)
+  WHERE rank <= {k}
+),
+bkt AS (
+  SELECT vec_id, embedding, ({bucket}) AS b FROM embeddings
+),
+probes AS (
+  SELECT query_id, qv, xor(b, p) AS b FROM (
+    SELECT vec_id AS query_id, embedding AS qv, b
+    FROM bkt WHERE vec_id % 100 = 0), UNNEST([{probe_list}]) AS t(p)
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, i.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                             CAST(i.embedding AS DOUBLE[])) DESC,
+                      i.vec_id) AS rank
+    FROM probes p JOIN bkt i ON i.b = p.b AND i.vec_id <> p.query_id)
+  WHERE rank <= {k}
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 61 = 3 ORDER BY vec_id LIMIT 8)
+),
+it AS (
+  SELECT neighbor_id, iv, list_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS iv, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.cv AS DOUBLE[])), c.list_id) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1
+),
+qiv AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(c.cv AS DOUBLE[])), c.list_id) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 100 = 0)
+  WHERE rn <= 2
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, it.neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                             CAST(it.iv AS DOUBLE[])) DESC,
+                      it.neighbor_id) AS rank
+    FROM qiv q JOIN it USING (list_id) WHERE it.neighbor_id <> q.query_id)
+  WHERE rank <= {k}
+),
+pairs AS (
+  SELECT 'rhp_lsh' AS method, CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact e LEFT JOIN lsh l USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'ivf' AS method, CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact e LEFT JOIN ivf i USING (query_id, neighbor_id)
+)
+SELECT method, CAST(sum(hit) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+FROM pairs GROUP BY method
+"""
+
+
+@register("ann_recall_at_k", _ann_recall_oracle())
+def q_ann_recall_at_k(spark, sf_dir):
+    """recall@3 of the two approximate ANN paths (multi-probe RHP-LSH, IVF
+    nprobe=2) against exact brute-force cosine top-3 — DuckDB recomputes all
+    three pipelines and the recall arithmetic end-to-end. A deterministic
+    recall floor is asserted in tests/test_ann.py."""
+    from spanner_data_validator_spark.operators.ann import (
+        centroids_from_items,
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+        rhp_lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    qs = emb.where(F.col("vec_id") % 100 == 0)
+    # exact feeds one join branch per method — pin it (multi-branch rescan
+    # trap, CLAUDE.md) so brute force runs once, not once per method
+    exact = (cosine_topk(emb, qs, 3)
+             .select("query_id", "neighbor_id").localCheckpoint())
+    lsh = rhp_lsh_topk(emb, qs, 3, dim=64, n_planes=8, seed=42,
+                       multi_probe=True).select("query_id", "neighbor_id")
+    cached = _IVF_CENT_CACHE.get(sf_dir)
+    if cached is None:
+        cents = centroids_from_items(emb, modulus=61, residue=3, n_lists=8)
+        idx = ivf_index(emb, cents).persist()
+        idx.count()
+        cached = (cents, idx)
+        _ivf_cache_put(sf_dir, cached)
+    cents, idx = cached
+    ivf = ivf_topk(None, qs, 3, nprobe=2, centroids=cents,
+                   index=idx).select("query_id", "neighbor_id")
+
+    def tally(method: str, approx: DataFrame) -> DataFrame:
+        hit = approx.withColumn("hit", F.lit(1))
+        joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
+        return (joined.agg(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+                    F.count(F.lit(1)).alias("total"))
+                .select(F.lit(method).alias("method"), "hits", "total",
+                        (F.col("hits").cast("double") / F.col("total"))
+                        .alias("recall")))
+
+    return tally("rhp_lsh", lsh).unionByName(tally("ivf", ivf))
+
+
+# d=2 linkage (VERDICT r3 item 7): two-character drift, SymSpell blocking at
+# depth 2 — complete for levenshtein <= 2 (property-tested vs brute force in
+# tests/test_linkage.py)
+_DRIFT2_POS1 = f"CAST(p_partkey % length({_LK_KEY}) AS INT)"
+_D2_K1 = (f"substr({_LK_KEY}, 1, {_DRIFT2_POS1}) "
+          f"|| substr({_LK_KEY}, {_DRIFT2_POS1} + 2)")
+_DRIFT2_SQL = f"""
+lk2_src AS (SELECT p_partkey AS id, {_LK_KEY} AS key FROM part),
+lk2_k1 AS (
+  SELECT p_partkey AS id, p_partkey AS pk, {_D2_K1} AS k1 FROM part),
+lk2_tgt AS (
+  SELECT id,
+         CASE WHEN pk % 7 = 0 THEN
+                substr(k1, 1, CAST(pk % length(k1) AS INT))
+                || substr(k1, CAST(pk % length(k1) AS INT) + 2)
+              WHEN pk % 5 = 0 THEN k1
+              ELSE (SELECT key FROM lk2_src s WHERE s.id = lk2_k1.id) END AS key
+  FROM lk2_k1)
+"""
+
+
+@register("fuzzy_key_match_d2", f"""
+WITH {_DRIFT2_SQL},
+sv AS (SELECT id, key, unnest({_del_variants_sql("key", 2)}) AS v
+       FROM lk2_src),
+tv AS (SELECT id, key, unnest({_del_variants_sql("key", 2)}) AS v
+       FROM lk2_tgt),
+cand AS (SELECT DISTINCT s.id AS src_id, s.key AS src_key,
+                         t.id AS tgt_id, t.key AS tgt_key
+         FROM sv s JOIN tv t ON s.v = t.v),
+ver AS (SELECT *, levenshtein(src_key, tgt_key) AS dist FROM cand
+        WHERE levenshtein(src_key, tgt_key) <= 2),
+best AS (SELECT *, row_number() OVER (
+           PARTITION BY src_id ORDER BY dist, tgt_key, tgt_id) AS rn
+         FROM ver)
+SELECT dist,
+       CAST(count(*) AS BIGINT) AS n,
+       bit_xor({portable_hash60_sql("src_key || '|' || tgt_key", 13)})
+         AS pair_xor
+FROM best WHERE rn = 1 GROUP BY dist
+""")
+def q_fuzzy_key_match_d2(spark, sf_dir):
+    """Distance-2 record linkage: keys divisible by 7 lose TWO characters,
+    by 5 one — depth-2 deletion blocking recovers every pair within
+    levenshtein 2 through the same variant-hash equi-join (variant count
+    ~C(len,2) per key, still no cross product). Oracle replays the whole
+    depth-2 pipeline with string-valued variants."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.linkage import fuzzy_match_keys
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .withColumn("lk_key", F.concat_ws("#", "p_name",
+                                          F.col("p_partkey").cast("string")))
+    src = part.select(F.col("p_partkey").alias("id"),
+                      F.col("lk_key").alias("key"))
+    pos1 = (F.col("p_partkey") % F.length("lk_key")).cast("int")
+    k1 = F.concat(F.col("lk_key").substr(F.lit(1), pos1),
+                  F.col("lk_key").substr(pos1 + F.lit(2),
+                                         F.length("lk_key")))
+    with_k1 = part.withColumn("k1", k1)
+    pos2 = (F.col("p_partkey") % F.length("k1")).cast("int")
+    k2 = F.concat(F.col("k1").substr(F.lit(1), pos2),
+                  F.col("k1").substr(pos2 + F.lit(2), F.length("k1")))
+    tgt = with_k1.select(
+        F.col("p_partkey").alias("id"),
+        F.when(F.col("p_partkey") % 7 == 0, k2)
+         .when(F.col("p_partkey") % 5 == 0, F.col("k1"))
+         .otherwise(F.col("lk_key")).alias("key"))
+    best = fuzzy_match_keys(src, tgt, "key", "id", max_dist=2)
+    return (best.groupBy("dist")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.bit_xor(portable_hash60(
+                     F.concat_ws("|", "src_key", "tgt_key"), 13))
+                  .alias("pair_xor")))

@@ -114,6 +114,33 @@ def build_merge_sql(table: str, view: str, key_cols: list[str]) -> str:
     )
 
 
+def merge_as_delete_insert_sql(table: str, view: str,
+                               key_cols: list[str]) -> list[str]:
+    """The MERGE's exact upsert semantics as two standard statements, for
+    engines without MERGE INTO (the DuckDB equivalence test, plain-JDBC
+    fallback sinks): UPDATE SET * on a matched key ≡ delete the matched row
+    and insert the source row, so
+
+        DELETE FROM t USING s WHERE <null-safe key equality>;
+        INSERT INTO t SELECT * FROM s;
+
+    converges to the same table state as :func:`build_merge_sql` whenever
+    the batch has unique keys — which the validation stream guarantees (the
+    append-mode outer join emits each key once). Replaying the pair is
+    idempotent for the same reason the MERGE is: the second DELETE removes
+    exactly what the first INSERT added. Proven against DuckDB in
+    tests/test_streaming.py::test_merge_semantics_duckdb_convergence.
+    """
+    if not key_cols:
+        raise ValueError("MERGE requires at least one key column")
+    on = " AND ".join(f"{table}.{k} IS NOT DISTINCT FROM s.{k}"
+                      for k in key_cols)
+    return [
+        f"DELETE FROM {table} USING {view} s WHERE {on}",
+        f"INSERT INTO {table} SELECT * FROM {view}",
+    ]
+
+
 def merge_into_iceberg(
     batch_df: DataFrame,
     table: str,

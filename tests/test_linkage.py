@@ -86,3 +86,74 @@ def test_capped_candidates_no_explode_rescans(spark):
     cand.collect()  # AQE finalizes the plan only after an action
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan
+
+
+def test_deletion_variants_d2_law(spark):
+    got = (spark.createDataFrame([("abcd",)], "s string")
+           .select(_deletion_variants(F.col("s"), 2).alias("v")).first().v)
+    # all 0-, 1-, and 2-deletion results, deduplicated
+    want = {"abcd",
+            "bcd", "acd", "abd", "abc",
+            "cd", "bd", "bc", "ad", "ac", "ab"}
+    assert set(got) == want
+
+
+def test_d2_completeness_vs_bruteforce(spark):
+    """d=2 blocking finds EVERY levenshtein<=2 pair — exhaustive check over
+    a corpus of planted 1- and 2-edit mutations (substitute / insert /
+    delete / transpose-as-two-subs, including combinations and short keys).
+    """
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefg"
+    bases = ["alpha", "bravoo", "charlie", "dx", "e", "", "golfing",
+             "hotelier", "indiaa", "julietx"]
+
+    def mutate(s: str) -> str:
+        ops = rng.sample(["sub", "ins", "del"], k=rng.randint(1, 2))
+        for op in ops:
+            if op == "sub" and s:
+                i = rng.randrange(len(s))
+                s = s[:i] + rng.choice(alphabet) + s[i + 1:]
+            elif op == "ins":
+                i = rng.randrange(len(s) + 1)
+                s = s[:i] + rng.choice(alphabet) + s[i:]
+            elif op == "del" and s:
+                i = rng.randrange(len(s))
+                s = s[:i] + s[i + 1:]
+        return s
+
+    keys = list(dict.fromkeys(
+        bases + [mutate(b) for b in bases for _ in range(4)]))
+    src = _df(spark, "src", [(i, k) for i, k in enumerate(keys)])
+    tgt = _df(spark, "tgt", [(100 + i, k) for i, k in enumerate(keys)])
+
+    brute = (src.alias("s").crossJoin(tgt.alias("t"))
+             .withColumn("dist", F.levenshtein(F.col("s.key"), F.col("t.key")))
+             .where(F.col("dist") <= 2)
+             .select(F.col("s.id").alias("src_id"),
+                     F.col("t.id").alias("tgt_id")))
+    cand = fuzzy_candidates(src, tgt, "key", "id", d=2)
+    want = {(r.src_id, r.tgt_id) for r in brute.collect()}
+    got = {(r.src_id, r.tgt_id) for r in cand.collect()}
+    assert want <= got
+
+    verified = (cand.withColumn("dist", F.levenshtein("src_key", "tgt_key"))
+                .where(F.col("dist") <= 2).select("src_id", "tgt_id"))
+    assert {(r.src_id, r.tgt_id) for r in verified.collect()} == want
+
+
+def test_fuzzy_match_keys_d2_end_to_end(spark):
+    src = _df(spark, "src", [(1, "abcdef")])
+    tgt = _df(spark, "tgt", [(2, "abef"), (3, "abcdef"), (4, "zzzzzz")])
+    rows = {r.tgt_id: r for r in
+            fuzzy_match_keys(src, tgt, "key", "id", max_dist=2).collect()}
+    # best match is the exact twin at dist 0; the dist-2 candidate exists
+    # in the candidate set but loses the min
+    assert list(rows) == [3] and rows[3].dist == 0
+    # remove the twin: the two-deletion key must now be found (d=2 blocking)
+    tgt2 = _df(spark, "tgt", [(2, "abef"), (4, "zzzzzz")])
+    row = fuzzy_match_keys(src, tgt2, "key", "id", max_dist=2).first()
+    assert (row.tgt_id, row.dist) == (2, 2)
