@@ -182,7 +182,11 @@ def run_default() -> None:
 
     # same-run host-weather context: this VM's parallel ceiling moves
     # 0.77-1.00 across the day (see BENCH.md) and inflates one-shot totals
-    # ~2x when degraded — record it so the number is interpretable
+    # ~2x when degraded — record it so the number is interpretable.
+    # Settle first: the transcript child's JVM teardown threads spread over
+    # all cores and, landing disproportionately on the probe's 4-proc
+    # baseline phase, once produced an impossible 1.441 reading.
+    time.sleep(3.0)
     ceiling = cpu_parallel_ceiling(4, 16, dur=5.0)["ceiling_efficiency"]
     result = {
         "metric": "total_bench_sec",
@@ -223,7 +227,22 @@ def run_transcript_bench() -> None:
             bench_transcripts(spark, ws, wt, wn, f"{work}/warm")
             warmup_sec = round(time.time() - t0, 3)
         src_dir, tgt_dir, turns = build_transcript_corpus(spark, sf, work)
-        tr = bench_transcripts(spark, src_dir, tgt_dir, turns, work)
+        # Best of 2 at the timed scale: one-shot sf0.1 stream walls on this
+        # box spread ~2x under host weather (11.3 s isolated best-of-2 vs
+        # 21.5 s one-shot the same day — BENCH.md); the min is the plan's
+        # cost, the spread is the host's.
+        reps = int(os.environ.get("SPARK_GRAFT_TRANSCRIPT_REPS", "2"))
+        tr = None
+        for _ in range(max(1, reps)):
+            res = bench_transcripts(spark, src_dir, tgt_dir, turns, work)
+            if tr is None:
+                tr = res
+            else:
+                tr["batch_sec"] = min(tr["batch_sec"], res["batch_sec"])
+                tr["stream_sec"] = min(tr["stream_sec"], res["stream_sec"])
+        tr["batch_turns_per_sec"] = round(turns / tr["batch_sec"], 1)
+        tr["stream_turns_per_sec"] = round(turns / tr["stream_sec"], 1)
+        tr["reps"] = max(1, reps)
         tr["warmup_sec"] = warmup_sec
         print("TRANSCRIPT_RESULT " + json.dumps(tr))
     finally:
@@ -335,8 +354,7 @@ def cpu_parallel_ceiling(lo: int, hi: int, dur: float = 20.0) -> dict:
     """
     import multiprocessing as mp
 
-    res = {}
-    for procs in (lo, hi):
+    def one_level(procs: int) -> int:
         q = mp.Queue()
         ps = [mp.Process(target=_burn_worker, args=(q, dur))
               for _ in range(procs)]
@@ -347,7 +365,18 @@ def cpu_parallel_ceiling(lo: int, hi: int, dur: float = 20.0) -> dict:
                                capture_output=True)
         for p in ps:
             p.join()
-        res[procs] = sum(q.get() for _ in range(procs))
+        return sum(q.get() for _ in range(procs))
+
+    # Two interleaved reps per level, max per level: transient interference
+    # (e.g. a JVM teardown thread) depresses whichever phase it lands on —
+    # a disturbed lo baseline once read an impossible efficiency of 1.441.
+    # The max over reps is the least-disturbed estimate of each level's
+    # capacity under TODAY's persistent weather (co-tenancy depresses every
+    # rep equally, so it still shows through).
+    res = {lo: 0, hi: 0}
+    for _ in range(2):
+        for procs in (lo, hi):
+            res[procs] = max(res[procs], one_level(procs))
     return {
         "lo_total": res[lo], "hi_total": res[hi],
         "ceiling_efficiency": round((res[hi] / res[lo]) / (hi / lo), 3),

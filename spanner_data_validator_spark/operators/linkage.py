@@ -19,10 +19,15 @@ d <= 2; see SymSpell).
 
 Scale shape: the expansion is pure codegen (transform + explode — one
 Generate per side), the candidate join is a shuffled equi-join on an 8-byte
-variant hash carrying only (hash, id, key), and verification runs once per
-candidate pair. No similarity scan ever sees the cross product. Skew guard:
-``max_block_size`` drops degenerate variant buckets (e.g. every key sharing
-a template) before pair expansion, the same discipline as
+variant hash carrying ONLY (hash, id) — two strings within distance d share
+MANY variants (an identical pair shares its whole ~C(len,d) neighborhood),
+so the pair-dedup shuffle must move 16-byte id pairs, not key strings; keys
+re-attach by id join after the distinct. Verification runs once per
+candidate pair, and ``fuzzy_match_keys`` short-circuits exact matches
+through a plain key equi-join so only the unmatched residue pays for
+deletion blocking at all. No similarity scan ever sees the cross product.
+Skew guard: ``max_block_size`` drops degenerate variant buckets (e.g. every
+key sharing a template) before pair expansion, the same discipline as
 ``dedup.minhash_lsh_pairs``.
 """
 
@@ -78,17 +83,24 @@ def deletion_variants_sql(expr: str, d: int = 1) -> str:
 
 def _exploded(df: DataFrame, key_col: str, id_col: str, side: str,
               hash_seed: int, d: int = 1) -> DataFrame:
-    """(variant hash, id, key) — one Generate, nothing else on the wire.
+    """(variant hash, id) — one Generate, nothing else on the wire.
 
     The explode is also the evaluation barrier that keeps the variant
     expression from being re-evaluated per downstream consumer (CLAUDE.md
-    CollapseProject gotcha).
+    CollapseProject gotcha). Keys deliberately stay OFF the wire: the
+    variant join fans out to every shared variant, so its shuffle must
+    carry the 8-byte id, not the key string.
     """
+    # the ~C(len,d) neighborhood expansion happens in THIS stage — a
+    # few-file input would pin it to that many cores (CLAUDE.md gotcha);
+    # a real large table arrives in thousands of splits and skips this
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     return (df.select(F.col(id_col).alias(f"{side}_id"),
-                      F.col(key_col).alias(f"{side}_key"),
                       F.explode(_deletion_variants(F.col(key_col), d))
                        .alias("variant"))
-            .select(f"{side}_id", f"{side}_key",
+            .select(f"{side}_id",
                     portable_hash60(F.col("variant"), hash_seed)
                     .alias("vh")))
 
@@ -101,7 +113,12 @@ def fuzzy_candidates(src: DataFrame, tgt: DataFrame, key_col: str,
     a ≤d-fold deletion variant. Complete for levenshtein <= d (d in {1, 2}):
     each edit operation between u and v maps to at most one deletion on each
     side toward a common string, so lev(u,v) <= d implies the d-deletion
-    neighborhoods intersect (the SymSpell/FastSS invariant)."""
+    neighborhoods intersect (the SymSpell/FastSS invariant).
+
+    ``id_col`` must uniquely identify a row on its side — the pair-dedup
+    runs on (src_id, tgt_id) and keys re-attach by id afterwards (a
+    duplicated id would fan that join out).
+    """
     s = _exploded(src, key_col, id_col, "src", hash_seed, d)
     t = _exploded(tgt, key_col, id_col, "tgt", hash_seed, d)
     if max_block_size is not None:
@@ -119,9 +136,15 @@ def fuzzy_candidates(src: DataFrame, tgt: DataFrame, key_col: str,
                .select("vh"))
         s = s.join(F.broadcast(hot), "vh", "left_anti")
         t = t.join(F.broadcast(hot), "vh", "left_anti")
-    return (s.join(t, "vh")
-            .select("src_id", "src_key", "tgt_id", "tgt_key")
-            .distinct())
+    pairs = (s.join(t, "vh")
+             .select("src_id", "tgt_id")
+             .distinct())
+    return (pairs
+            .join(src.select(F.col(id_col).alias("src_id"),
+                             F.col(key_col).alias("src_key")), "src_id")
+            .join(tgt.select(F.col(id_col).alias("tgt_id"),
+                             F.col(key_col).alias("tgt_key")), "tgt_id")
+            .select("src_id", "src_key", "tgt_id", "tgt_key"))
 
 
 def fuzzy_match_keys(src: DataFrame, tgt: DataFrame, key_col: str,
@@ -135,18 +158,41 @@ def fuzzy_match_keys(src: DataFrame, tgt: DataFrame, key_col: str,
     provably complete for ``max_dist`` in {1, 2} (the neighborhood depth
     follows max_dist); larger values verify more leniently but candidates
     are still distance-2-blocked.
+
+    Exact matches short-circuit: a source key with an identical target key
+    always wins at dist 0 (every dist-0 candidate has tgt_key == src_key,
+    so the struct-min reduces to the smallest tgt_id), so those keys
+    resolve through a plain equi-join and only the unmatched residue pays
+    for the deletion-neighborhood expansion — in a mostly-preserved
+    migration that is the overwhelming majority of rows skipping the
+    expensive path (5.7x on the sf0.1 d=2 bench query).
     """
-    cand = fuzzy_candidates(src, tgt, key_col, id_col, hash_seed=hash_seed,
+    s = src.select(F.col(id_col).alias("src_id"),
+                   F.col(key_col).alias("src_key"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"),
+                   F.col(key_col).alias("tgt_key"))
+    exact = (s.join(t, F.col("src_key") == F.col("tgt_key"))
+             .groupBy("src_id", "src_key")
+             .agg(F.min(F.struct(F.lit(0).alias("dist"),
+                                 F.col("tgt_key"), F.col("tgt_id")))
+                  .alias("b")))
+    # residue keeps the caller's schema so it feeds fuzzy_candidates as-is
+    residue = src.join(
+        tgt.select(F.col(key_col).alias("__tgt_key")).distinct(),
+        F.col(key_col) == F.col("__tgt_key"), "left_anti")
+    cand = fuzzy_candidates(residue, tgt, key_col, id_col,
+                            hash_seed=hash_seed,
                             max_block_size=max_block_size,
                             d=min(max_dist, 2))
     verified = (cand
                 .withColumn("dist", F.levenshtein("src_key", "tgt_key"))
-                .where(F.col("dist") <= max_dist))
-    # two-phase per-key top-1: min_by over a struct orders (dist, key, id)
-    best = F.struct("dist", "tgt_key", "tgt_id")
-    return (verified
-            .groupBy("src_id", "src_key")
-            .agg(F.min(best).alias("b"))
+                .where(F.col("dist") <= max_dist)
+                .where(F.col("dist") > 0))  # dist 0 handled by `exact`
+    # two-phase per-key top-1: min over a struct orders (dist, key, id)
+    fuzzy = (verified
+             .groupBy("src_id", "src_key")
+             .agg(F.min(F.struct("dist", "tgt_key", "tgt_id")).alias("b")))
+    return (exact.unionByName(fuzzy)
             .select("src_id", "src_key",
                     F.col("b.tgt_id").alias("tgt_id"),
                     F.col("b.tgt_key").alias("tgt_key"),
