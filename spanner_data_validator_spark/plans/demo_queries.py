@@ -5188,3 +5188,163 @@ def q_fuzzy_key_match_d2(spark, sf_dir):
                  F.bit_xor(portable_hash60(
                      F.concat_ws("|", "src_key", "tgt_key"), 13))
                   .alias("pair_xor")))
+
+
+# ---------------------------------------------------------------------------
+# CEP: sequence-pattern + absence detection (operators/cep.py)
+# ---------------------------------------------------------------------------
+
+@register("cep_funnel_pattern", """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'v'
+              WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym
+  FROM events
+),
+g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         string_agg(sym, '' ORDER BY ts, event_id) AS syms
+  FROM s GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(syms, 'vc+p')) AS BIGINT) AS n_matches,
+       CAST(CASE WHEN regexp_matches(syms, 'vc+p')
+                 THEN position(regexp_extract(syms, 'vc+p') IN syms)
+                 ELSE 0 END AS BIGINT) AS first_match
+FROM g
+""")
+def q_cep_funnel_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE-style CEP: per user, count non-overlapping
+    view→click+→purchase sequences (pattern ``vc+p`` over the per-user
+    event-ordered symbol string) and locate the first match. Shuffle carries
+    (user_id, ts, event_id, 1-char symbol); pattern evaluation is one JVM
+    regexp over a per-key string — no join, no Python."""
+    from spanner_data_validator_spark.operators.cep import (
+        match_recognize,
+        symbolize,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    sym = symbolize([
+        ("v", F.col("event_type") == "view"),
+        ("c", F.col("event_type") == "click"),
+        ("p", F.col("event_type") == "purchase"),
+    ])
+    return match_recognize(ev, key="user_id", order=["ts", "event_id"],
+                           symbol=sym, pattern="vc+p")
+
+
+@register("cep_absence_alerts", """
+WITH c AS (
+  SELECT user_id, event_id, ts, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p_us
+  FROM events
+)
+SELECT user_id, event_id, epoch_us(ts) AS click_us,
+       epoch_us(ts) + 1800000000 AS deadline_us
+FROM c
+WHERE event_type = 'click'
+  AND (next_p_us IS NULL OR next_p_us > epoch_us(ts) + 1800000000)
+""")
+def q_cep_absence_alerts(spark, sf_dir):
+    """Timeout CEP: clicks NOT followed by a purchase from the same user
+    within 30 minutes. Join-free — conditional min over the following window
+    frame replaces the naive events×events time-band self-join (which would
+    be quadratic in hot users at 10^12 events)."""
+    from spanner_data_validator_spark.operators.cep import absence_alerts
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp"))
+          .select("user_id", "event_id", "ts", "event_type"))
+    alerts = absence_alerts(
+        ev, key="user_id", ts="ts", order_tiebreak="event_id",
+        start=F.col("event_type") == "click",
+        end=F.col("event_type") == "purchase",
+        timeout_ms=30 * 60 * 1000)
+    return alerts.select("user_id", "event_id",
+                         F.unix_micros("ts").alias("click_us"),
+                         "deadline_us")
+
+
+@register("stream_cep_session_alerts", """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'v'
+              WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+g AS (
+  SELECT user_id, ts, event_id, sym,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(string_agg(sym, '' ORDER BY ts, event_id),
+                                   'vc+p')) AS BIGINT) AS n_matches
+FROM g GROUP BY user_id, session_id
+""")
+def q_stream_cep_session_alerts(spark, sf_dir):
+    """Streaming CEP: per-user session windows (gap 30 min) over a
+    watermarked event stream, each closed session scanned for the
+    view→click+→purchase pattern — sequence detection with watermark-bounded
+    state (one open session per active user; the symbol array is the only
+    per-session payload). A far-future sentinel advances the watermark so
+    every real session closes; its own session can never close, so it never
+    reaches the append sink (CLAUDE.md: never filter between source and
+    aggregation)."""
+    import tempfile
+
+    from spanner_data_validator_spark.operators.cep import symbolize
+
+    sym = symbolize([
+        ("v", F.col("event_type") == "view"),
+        ("c", F.col("event_type") == "click"),
+        ("p", F.col("event_type") == "purchase"),
+    ])
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.col("user_id"), F.col("ts").cast("timestamp").alias("ts"),
+                  F.col("event_id"), sym.alias("sym")))
+    work = tempfile.mkdtemp(prefix="sdv_q_stream_cep_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+    (spark.range(1).select(F.lit(-1).cast("long").alias("user_id"),
+                           F.lit("2100-01-01").cast("timestamp").alias("ts"),
+                           F.lit(-1).cast("long").alias("event_id"),
+                           F.lit("-").alias("sym"))
+          .write.mode("append").parquet(in_dir))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 3).parquet(in_dir)
+              .withWatermark("ts", "10 minutes"))
+    sess = (stream.groupBy(F.col("user_id"),
+                           F.session_window("ts", "30 minutes").alias("w"))
+                  .agg(F.array_sort(F.collect_list(
+                           F.struct("ts", "event_id", "sym"))).alias("evs")))
+    out = sess.select(
+        "user_id", F.col("w.start").alias("ws"),
+        F.size("evs").cast("long").alias("n_events"),
+        F.regexp_count(F.array_join(F.expr("transform(evs, e -> e.sym)"), ""),
+                       F.lit("vc+p")).cast("long").alias("n_matches"))
+    q = (out.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    return (spark.read.parquet(f"{work}/out")
+            .where(F.col("ws") < F.lit("2090-01-01").cast("timestamp"))
+            .select("user_id", F.unix_millis("ws").alias("session_start_ms"),
+                    "n_events", "n_matches"))
