@@ -5348,3 +5348,88 @@ def q_stream_cep_session_alerts(spark, sf_dir):
             .where(F.col("ws") < F.lit("2090-01-01").cast("timestamp"))
             .select("user_id", F.unix_millis("ws").alias("session_start_ms"),
                     "n_events", "n_matches"))
+
+
+# ---------------------------------------------------------------------------
+# anti-entropy repair: classification -> changeset -> provable convergence
+# ---------------------------------------------------------------------------
+
+_PAIR_CTE = _CLS_CTE.rstrip().rstrip(")") + """
+), pair AS (
+  SELECT s.key AS s_key, t.key AS t_key,
+         s.payload AS s_payload, t.payload AS t_payload
+  FROM src s FULL OUTER JOIN tgt t ON s.key = t.key
+)
+"""
+
+
+def _events_pair_classified(spark, sf_dir):
+    """Fingerprint both event streams carrying the raw payload (the repair
+    needs the source bytes, not just the hash)."""
+    from spanner_data_validator_spark.operators.comparator import classify_pair
+
+    src = events_source(spark, sf_dir)
+    tgt = events_target(events_source(spark, sf_dir))
+
+    def prep(df):
+        return df.select(
+            "key", fingerprint_expr(F.col("payload")).alias("fingerprint"),
+            "payload")
+
+    cls = classify_pair(prep(src), prep(tgt), ["key"], carry_cols=["payload"])
+    return src, tgt, cls
+
+
+@register("validation_repair_plan", _PAIR_CTE + """
+SELECT coalesce(s_key, t_key) AS key,
+       CASE WHEN t_payload IS NULL THEN 'INSERT'
+            WHEN s_payload IS NULL THEN 'DELETE'
+            ELSE 'UPDATE' END AS action,
+       CASE WHEN s_payload IS NOT NULL THEN s_payload END AS new_payload
+FROM pair
+WHERE s_payload IS NULL OR t_payload IS NULL OR s_payload <> t_payload
+""")
+def q_validation_repair_plan(spark, sf_dir):
+    """Anti-entropy changeset from the validator's classification: INSERT the
+    SOURCE_ONLY keys, DELETE the TARGET_ONLY keys, UPDATE the MISMATCH keys
+    with the source payload (operators/repair.py). Filter + projection over
+    the classify join — no exchange the validation didn't already pay; at
+    real divergence rates the changeset is <<1% of the keyspace. The
+    reference stops at reporting (JDBCToSpannerDVTWithHash.java:191-246);
+    this is the step an operator runs next."""
+    from spanner_data_validator_spark.operators.repair import repair_actions
+
+    _, _, cls = _events_pair_classified(spark, sf_dir)
+    return repair_actions(cls, ["key"]).select("key", "action", "new_payload")
+
+
+@register("repair_convergence", """
+WITH src AS (
+  SELECT event_id AS key FROM events
+)
+SELECT 'MATCH' AS status, CAST(count(*) AS BIGINT) AS n FROM src
+""")
+def q_repair_convergence(spark, sf_dir):
+    """Convergence proof executed in-engine: apply the repair changeset to
+    the divergent target snapshot, re-run the full classification, and
+    return the status tally — which must be exactly one row,
+    (MATCH, n_source_keys). The oracle is the trivial identity (repaired
+    target == source by construction), so any repair bug — missed DELETE,
+    wrong UPDATE payload, dropped INSERT — breaks the hash match."""
+    from spanner_data_validator_spark.operators.comparator import classify_pair
+    from spanner_data_validator_spark.operators.repair import (
+        apply_repairs,
+        repair_actions,
+    )
+
+    src, tgt, cls = _events_pair_classified(spark, sf_dir)
+    actions = repair_actions(cls, ["key"])
+    repaired = apply_repairs(
+        tgt.select("key", "payload"), actions, ["key"])
+
+    def prep(df):
+        return df.select(
+            "key", fingerprint_expr(F.col("payload")).alias("fingerprint"))
+
+    recls = classify_pair(prep(src), prep(repaired), ["key"])
+    return recls.groupBy("status").agg(F.count("*").cast("bigint").alias("n"))
