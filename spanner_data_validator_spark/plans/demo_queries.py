@@ -5433,3 +5433,108 @@ def q_repair_convergence(spark, sf_dir):
 
     recls = classify_pair(prep(src), prep(repaired), ["key"])
     return recls.groupBy("status").agg(F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter semi-join pre-filter (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+_BLOOM_POS = ("(('0x' || substr(md5({seed} || ':' || user_id), 1, 15))::BIGINT"
+              " % {m})")
+
+
+@register("bloom_prefilter_stats", f"""
+WITH seeds(s) AS (VALUES (0), (1)),
+build AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 280 AND user_id IS NOT NULL
+),
+bits AS (
+  SELECT DISTINCT {_BLOOM_POS.format(seed="s::VARCHAR", m=64)} AS p
+  FROM build CROSS JOIN seeds
+),
+probe AS (
+  SELECT e.event_id,
+         count(b.p) = 2 AS pass,
+         bool_or(e.user_id IN (SELECT user_id FROM build)) AS hit
+  FROM events e
+  CROSS JOIN seeds s
+  LEFT JOIN bits b
+    ON b.p = {_BLOOM_POS.format(seed="s.s::VARCHAR", m=64)}
+  WHERE e.user_id IS NOT NULL
+  GROUP BY e.event_id, e.user_id
+)
+SELECT b.n AS build_keys,
+       p.bp AS bloom_pass_rows,
+       p.xm AS exact_match_rows,
+       p.bp - p.xm AS false_positive_rows
+FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM build) b
+CROSS JOIN (SELECT CAST(count(*) FILTER (WHERE pass) AS BIGINT) AS bp,
+                   CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS xm
+            FROM probe) p
+""")
+def q_bloom_prefilter_stats(spark, sf_dir):
+    """False-positive accounting of the bloom pre-filter (operators/bloom.py):
+    build over the high-value-purchaser cohort, probe every event, count
+    bloom survivors vs exact matches. m=64/k=2 is DELIBERATELY undersized so
+    false positives are visible and the oracle proves the engine's bitmap
+    probe is bit-exact (a bitmap is the set of set positions, so membership
+    == "all k positions appear in the build side's position set" — which
+    DuckDB recomputes from the same seeded md5-prefix hash family). The
+    production path auto-sizes via bloom_parameters (see
+    bloom_semi_join_counts)."""
+    from spanner_data_validator_spark.operators.bloom import (
+        bloom_member,
+        build_bloom,
+    )
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    build = (src.where((F.col("event_type") == "purchase")
+                       & (F.col("value") > 280)
+                       & F.col("user_id").isNotNull())
+                .select("user_id").distinct())
+    bloom = build_bloom(build, "user_id", 64, 2)
+    probe = src.where(F.col("user_id").isNotNull())
+    # survivors are small by design — pin them once so the exact-verify join
+    # and the tally don't each rescan the probe (multi-branch rescan trap)
+    passed = probe.where(bloom_member("user_id", bloom)) \
+                  .select("event_id", "user_id").localCheckpoint(eager=False)
+    exact_n = (passed.join(build, "user_id", "left_semi")
+                     .agg(F.count("*").cast("bigint").alias("exact_match_rows")))
+    pass_n = passed.agg(F.count("*").cast("bigint").alias("bloom_pass_rows"))
+    return (pass_n.crossJoin(exact_n)
+            .select(F.lit(bloom.n_build_rows).cast("bigint").alias("build_keys"),
+                    "bloom_pass_rows", "exact_match_rows",
+                    (F.col("bloom_pass_rows") - F.col("exact_match_rows"))
+                    .cast("bigint").alias("false_positive_rows")))
+
+
+@register("bloom_semi_join_counts", """
+WITH build AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 280 AND user_id IS NOT NULL
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(e.event_id) AS BIGINT) AS max_event_id
+FROM events e
+JOIN build b ON e.user_id = b.user_id
+GROUP BY e.event_type
+""")
+def q_bloom_semi_join_counts(spark, sf_dir):
+    """End-to-end bloom_semi_join (auto-sized filter, exact verify): the
+    oracle is a PLAIN semi-join — false positives may enlarge the verify
+    join's input but can never change the answer, which is the operator's
+    contract. Plan shape at 100 TB: probe scan -> narrow codegen'd bitmap
+    filter (no exchange) -> semi-join of the shrunken survivor set."""
+    from spanner_data_validator_spark.operators.bloom import bloom_semi_join
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    build = (src.where((F.col("event_type") == "purchase")
+                       & (F.col("value") > 280))
+                .select("user_id"))
+    probe = src.where(F.col("user_id").isNotNull())
+    return (bloom_semi_join(probe, build, "user_id", fpp=0.01)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.max("event_id").cast("bigint").alias("max_event_id")))
