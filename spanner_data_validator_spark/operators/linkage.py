@@ -93,22 +93,31 @@ def _exploded(df: DataFrame, key_col: str, id_col: str, side: str,
     """
     # the ~C(len,d) neighborhood expansion happens in THIS stage — a
     # few-file input would pin it to that many cores (CLAUDE.md gotcha);
-    # a real large table arrives in thousands of splits and skips this
+    # a real large table arrives in thousands of splits and skips this.
+    # NOTE: `.rdd.getNumPartitions()` is only cheap on scans and
+    # checkpointed frames — on a join output it compiles (and on reuse
+    # re-executes) the whole upstream plan, which is why fuzzy_match_keys
+    # checkpoints the residue before it reaches this guard (measured 8.1 s
+    # -> ~1 s for the residue explode at sf0.1 d=2).
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
+    # vh is INTERNAL blocking state: oracles replay the join on the variant
+    # *strings* and the levenshtein verify prunes any hash collision, so the
+    # fast JVM xxhash64 is safe here (portable_hash60's md5 measured 12x
+    # slower on the sf0.1 d=2 expansion for zero oracle benefit)
     return (df.select(F.col(id_col).alias(f"{side}_id"),
                       F.explode(_deletion_variants(F.col(key_col), d))
                        .alias("variant"))
             .select(f"{side}_id",
-                    portable_hash60(F.col("variant"), hash_seed)
+                    F.xxhash64(F.col("variant"), F.lit(hash_seed))
                     .alias("vh")))
 
 
 def fuzzy_candidates(src: DataFrame, tgt: DataFrame, key_col: str,
                      id_col: str, *, hash_seed: int = 11,
                      max_block_size: int | None = None,
-                     d: int = 1) -> DataFrame:
+                     d: int = 1, broadcast_src: bool = False) -> DataFrame:
     """Distinct candidate pairs (src_id, src_key, tgt_id, tgt_key) sharing
     a ≤d-fold deletion variant. Complete for levenshtein <= d (d in {1, 2}):
     each edit operation between u and v maps to at most one deletion on each
@@ -118,6 +127,14 @@ def fuzzy_candidates(src: DataFrame, tgt: DataFrame, key_col: str,
     ``id_col`` must uniquely identify a row on its side — the pair-dedup
     runs on (src_id, tgt_id) and keys re-attach by id afterwards (a
     duplicated id would fan that join out).
+
+    ``broadcast_src=True`` ships the src-side exploded (vh, id) table to
+    every executor so the (much larger) target expansion streams through a
+    broadcast-hash join with no shuffle or sort — the right plan when src
+    is the small residue of an exact-match short-circuit (Catalyst cannot
+    see through the explode to estimate this itself). The exploded wire
+    rows are 16 bytes, so even a million-key residue broadcasts in ~10s of
+    MB; ``fuzzy_match_keys`` decides from measured residue stats.
     """
     s = _exploded(src, key_col, id_col, "src", hash_seed, d)
     t = _exploded(tgt, key_col, id_col, "tgt", hash_seed, d)
@@ -136,7 +153,7 @@ def fuzzy_candidates(src: DataFrame, tgt: DataFrame, key_col: str,
                .select("vh"))
         s = s.join(F.broadcast(hot), "vh", "left_anti")
         t = t.join(F.broadcast(hot), "vh", "left_anti")
-    pairs = (s.join(t, "vh")
+    pairs = ((F.broadcast(s) if broadcast_src else s).join(t, "vh")
              .select("src_id", "tgt_id")
              .distinct())
     return (pairs
@@ -176,14 +193,33 @@ def fuzzy_match_keys(src: DataFrame, tgt: DataFrame, key_col: str,
              .agg(F.min(F.struct(F.lit(0).alias("dist"),
                                  F.col("tgt_key"), F.col("tgt_id")))
                   .alias("b")))
-    # residue keeps the caller's schema so it feeds fuzzy_candidates as-is
-    residue = src.join(
-        tgt.select(F.col(key_col).alias("__tgt_key")).distinct(),
-        F.col(key_col) == F.col("__tgt_key"), "left_anti")
+    # Residue = the drifted minority (sources with no exact target). It
+    # feeds FOUR downstream branches inside fuzzy_candidates (repartition
+    # guard, explode, key re-attach) and Catalyst re-executes the anti-join
+    # per branch (CLAUDE.md multi-branch rescan trap) — and `.rdd` on the
+    # un-checkpointed join plan alone costs a full plan compile. Trim to
+    # (id, key) and pin it once; by construction it is the small unmatched
+    # slice, so the checkpoint is bounded even when the inputs are not.
+    residue = (src.select(F.col(id_col).alias(id_col),
+                          F.col(key_col).alias(key_col))
+               .join(tgt.select(F.col(key_col).alias("__tgt_key")).distinct(),
+                     F.col(key_col) == F.col("__tgt_key"), "left_anti")
+               .localCheckpoint())
+    # the checkpoint makes residue stats one cheap local scan; estimate the
+    # exploded wire size (~C(len+1, d) 16-byte rows per key) and broadcast
+    # the residue expansion under ~128 MB so the full-target expansion
+    # streams through a shuffle-free broadcast-hash join
+    d = min(max_dist, 2)
+    n_res, avg_len = residue.agg(
+        F.count(F.lit(1)), F.coalesce(F.avg(F.length(key_col)), F.lit(0.0))
+    ).first()
+    variants_per_key = 1 + avg_len + (avg_len * (avg_len - 1) / 2 if d == 2
+                                      else 0)
+    bcast = n_res * variants_per_key * 16 < 128 * 1024 * 1024
     cand = fuzzy_candidates(residue, tgt, key_col, id_col,
                             hash_seed=hash_seed,
                             max_block_size=max_block_size,
-                            d=min(max_dist, 2))
+                            d=d, broadcast_src=bcast)
     verified = (cand
                 .withColumn("dist", F.levenshtein("src_key", "tgt_key"))
                 .where(F.col("dist") <= max_dist)
