@@ -41,7 +41,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str,
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3,
-                  *, max_shingle_df: int | None = None) -> DataFrame:
+                  *, max_shingle_df: int | None = None,
+                  materialize: bool = False) -> DataFrame:
     """Distinct (id, shingle) pairs; optionally prune ultra-common shingles.
 
     Requires unique ``id_col`` values (one row per doc). Within-doc dedup is
@@ -50,13 +51,29 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     against the HOT set (df > max_shingle_df), which is tiny by definition, so
     it broadcasts; the r01 inner-join against the huge keep-set shuffled the
     whole shingle table.
+
+    ``materialize=True`` pins the (pruned) table with a localCheckpoint.
+    Every downstream dedup pipeline consumes the shingle table through
+    SEVERAL plan branches (sizes + both join sides + signatures), and
+    Catalyst re-runs the whole scan→explode→prune per branch (the CLAUDE.md
+    multi-branch rescan trap — measured 3x on the sf0.1 MinHash query).
+    The table is the pipeline's shared working set: linear in corpus size,
+    bounded by the hot-shingle prune, so materializing once is the right
+    trade at any scale (on a cluster the same role is played by
+    persist(MEMORY_AND_DISK) / a reliable checkpoint).
     """
     sh = df.select(F.col(id_col),
                    F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"))
     if max_shingle_df is not None:
+        # the hot-set derivation + the anti-join are already two consumers
+        # of the exploded table — pin it before branching
+        if materialize:
+            sh = sh.localCheckpoint()
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
                  .where(F.col("__df") > max_shingle_df).select("shingle"))
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if materialize:
+        sh = sh.localCheckpoint()
     return sh
 
 
@@ -68,8 +85,12 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     inverted-index plan: explode shingles → self-join on shingle (equi-join,
     hash-partitioned by shingle) → per-pair intersection counts → join two
     broadcastable size tables → filter. Output: (a, b, jaccard).
+
+    The shingle table feeds three branches (sizes, both self-join sides) —
+    materialized once, see ``shingle_table``.
     """
-    sh = shingle_table(df, id_col, text_col, n, max_shingle_df=max_shingle_df)
+    sh = shingle_table(df, id_col, text_col, n, max_shingle_df=max_shingle_df,
+                       materialize=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -188,11 +209,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """MinHash+LSH near-dup pipeline: candidates from banded signatures, then
     exact-Jaccard verification of ONLY the candidates.
 
-    One shingle scan feeds both the signatures and the verification; the
+    One MATERIALIZED shingle scan feeds both the signatures and the
+    verification (four plan branches total — see ``shingle_table``); the
     expensive per-pair groupBy runs over candidate pairs only (see
     ``verify_candidate_pairs``), never the whole corpus.
     """
-    sh = shingle_table(df, id_col, text_col, n, max_shingle_df=max_shingle_df)
+    sh = shingle_table(df, id_col, text_col, n, max_shingle_df=max_shingle_df,
+                       materialize=True)
     cands = lsh_candidates(_signatures_from_shingles(sh, id_col, num_perm),
                            id_col, num_perm, bands=bands,
                            max_bucket_size=max_bucket_size)
