@@ -267,3 +267,135 @@ SELECT g, k_used, kth_hash,
        END AS est_distinct
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with an engine-portable register layout
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct is HLL++ with a private register encoding, so
+# its answer cannot be recomputed by another engine. This is the same
+# Flajolet et al. 2007 estimator over a layout every ANSI-ish engine can
+# derive: h = portable_hash60(v); register = h & (m-1); rank = leading-zero
+# count of the next W=50 bits + 1, computed EXACTLY via length(bin(x)) (no
+# float log2 — both engines agree on binary string length, while
+# floor(log2(2^k - 1)) can round up in IEEE double).
+#
+# Determinism across engines (the oracle contract):
+#   * register/rank math is pure integer ops (mask, shift, bin-length);
+#   * the harmonic sum  S = sum_j 2^(-M_j)  is accumulated as the SCALED
+#     INTEGER sum_j 2^(W+1 - M_j) (<= m * 2^51 < 2^63, exact in BIGINT,
+#     order-independent) and divided by 2^51 once at the end — a float sum
+#     of powers of two would round differently under Spark's vs DuckDB's
+#     aggregation order;
+#   * alpha * m^2 is computed ONCE in Python and injected as the same
+#     literal into both plans;
+#   * the only libm call is ln() in the small-range correction; the final
+#     estimate is rounded to 2 decimals to absorb a last-ulp divergence.
+#
+# Scale shape: a sketch is m registers regardless of cardinality; groupBy
+# (keys, register) max(rank) is a partial-aggregating shuffle of <= m rows
+# per key, and sketches MERGE by per-register max — per-partition / per-day
+# rollups combine without touching raw data (demonstrated by the __ALL__ row
+# of the registered query, which merges the per-type sketches instead of
+# rescanning the input).
+
+HLL_W = 50
+_HLL_SCALE = 1 << (HLL_W + 1)  # 2^51
+
+
+def hll_alpha_mm(m: int) -> float:
+    """alpha_m * m^2 (Flajolet et al. 2007, m >= 64) — computed once in
+    Python and injected as an identical literal into Spark AND the oracle."""
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value: Column,
+                  *, m: int = 256, seed: int = 7) -> DataFrame:
+    """(group_cols..., reg, mj): the HLL register table, <= m rows per group.
+
+    ``m`` must be a power of two (register index = low bits of the hash).
+    The groupBy is partial-agg friendly (max), i.e. the map side already
+    collapses to <= m rows per group per partition — this IS sketch
+    mergeability, executed by Spark's two-phase aggregate.
+    """
+    if m & (m - 1) or m < 64:
+        raise ValueError("m must be a power of two >= 64")
+    b = m.bit_length() - 1
+    h = portable_hash60(value, seed)
+    reg = h.bitwiseAND(F.lit(m - 1))
+    rest = F.shiftright(h, b).bitwiseAND(F.lit((1 << HLL_W) - 1))
+    bitlen = F.when(rest > 0, F.length(F.bin(rest))).otherwise(F.lit(0))
+    rho = (F.lit(HLL_W + 1) - bitlen).alias("rho")
+    return (df.select(*group_cols, reg.alias("reg"), rho)
+            .groupBy(*group_cols, "reg").agg(F.max("rho").alias("mj")))
+
+
+def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables down to ``group_cols`` by per-register max —
+    the raw-data-free rollup (union of HLL sketches)."""
+    return (regs.groupBy(*group_cols, "reg")
+            .agg(F.max("mj").alias("mj")))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str],
+                 *, m: int = 256) -> DataFrame:
+    """(group_cols..., nonempty, hll_estimate) from a register table.
+
+    Small-range correction (linear counting m*ln(m/V)) applies below
+    2.5*m with empty registers, exactly as published; no large-range
+    correction is needed in a 60-bit hash space.
+    """
+    amm = hll_alpha_mm(m)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nonempty"),
+        F.sum(F.pow(F.lit(2.0),
+                    (F.lit(HLL_W + 1) - F.col("mj")).cast("double"))
+              .cast("long")).alias("s_num"))
+    v = (F.lit(m) - F.col("nonempty")).cast("long")
+    s_int = F.col("s_num") + v * F.lit(_HLL_SCALE)
+    s = s_int.cast("double") / F.lit(float(_HLL_SCALE))
+    raw = F.lit(amm) / s
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+                 ).otherwise(raw)
+    return agg.select(*group_cols,
+                      F.col("nonempty").cast("long").alias("nonempty"),
+                      F.round(est, 2).alias("hll_estimate"))
+
+
+def hll_registers_sql(source_sql: str, group_exprs: str, expr: str,
+                      *, m: int = 256, seed: int = 7) -> str:
+    """DuckDB rendering of :func:`hll_registers` (identical integer math)."""
+    b = m.bit_length() - 1
+    h = portable_hash60_sql(expr, seed)
+    mask = (1 << HLL_W) - 1
+    g = f"{group_exprs}, " if group_exprs else ""
+    gb = f" GROUP BY {group_exprs}, reg" if group_exprs else " GROUP BY reg"
+    return f"""
+SELECT {g}reg, max({HLL_W + 1} - CASE WHEN rest > 0 THEN length(bin(rest)) ELSE 0 END) AS mj
+FROM (
+  SELECT {g}h & {m - 1} AS reg, (h >> {b}) & {mask} AS rest
+  FROM (SELECT {g}{h} AS h FROM ({source_sql}))
+){gb}
+"""
+
+
+def hll_estimate_sql(regs_sql: str, group_exprs: str, *, m: int = 256) -> str:
+    """DuckDB rendering of :func:`hll_estimate` over a register-table SQL."""
+    amm = hll_alpha_mm(m)
+    g = f"{group_exprs}, " if group_exprs else ""
+    gb = f" GROUP BY {group_exprs}" if group_exprs else ""
+    return f"""
+SELECT {g}CAST(nonempty AS BIGINT) AS nonempty,
+       round(CASE WHEN {amm!r} / (CAST(s_num + ({m} - nonempty) * {_HLL_SCALE} AS DOUBLE) / {float(_HLL_SCALE)!r}) <= {2.5 * m!r}
+                   AND nonempty < {m}
+             THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - nonempty AS DOUBLE))
+             ELSE {amm!r} / (CAST(s_num + ({m} - nonempty) * {_HLL_SCALE} AS DOUBLE) / {float(_HLL_SCALE)!r})
+             END, 2) AS hll_estimate
+FROM (
+  SELECT {g}count(*) AS nonempty,
+         SUM(CAST(power(2.0, CAST({HLL_W + 1} - mj AS DOUBLE)) AS BIGINT)) AS s_num
+  FROM ({regs_sql}){gb}
+)
+"""

@@ -2763,6 +2763,68 @@ def q_kmv_distinct_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog with an engine-portable register layout (operators/sketch.py):
+# per-group sketches + a raw-data-free merged rollup
+# ---------------------------------------------------------------------------
+
+def _hll_oracle() -> str:
+    from spanner_data_validator_spark.operators.sketch import (
+        hll_estimate_sql,
+        hll_registers_sql,
+    )
+
+    src = "SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events"
+    regs = hll_registers_sql(src, "event_type", "u")
+    merged = f"SELECT reg, max(mj) AS mj FROM ({regs}) GROUP BY reg"
+    return f"""
+WITH per_t AS ({hll_estimate_sql(regs, "event_type")}),
+mrg AS ({hll_estimate_sql(merged, "")}),
+ex_t AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         FROM events GROUP BY event_type),
+ex_all AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM events)
+SELECT p.event_type AS event_type, p.nonempty, p.hll_estimate, e.exact_distinct
+FROM per_t p JOIN ex_t e USING (event_type)
+UNION ALL
+SELECT '__ALL__' AS event_type, m.nonempty, m.hll_estimate, a.exact_distinct
+FROM mrg m, ex_all a
+"""
+
+
+@register("hll_distinct_by_type", _hll_oracle())
+def q_hll_distinct_by_type(spark, sf_dir):
+    """HyperLogLog distinct users per event_type (m=256 registers,
+    engine-portable layout: bin-length ranks, scaled-integer harmonic sum —
+    operators/sketch.py). The '__ALL__' row is the MERGED sketch (per-register
+    max over the per-type register tables), i.e. the rollup a 10^12-row
+    pipeline does without rescanning raw data — overlapping users across
+    types make it differ from the sum, which is the point. Exact
+    COUNT(DISTINCT) rides along per group as the demo-scale verification
+    column. DuckDB replays registers, merge, and estimator identically."""
+    from spanner_data_validator_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("u"))
+    # the register table feeds two branches (per-type estimate + merged
+    # rollup) and is <= types*m rows — pin it (multi-branch rescan trap)
+    regs = hll_registers(ev, ["event_type"], F.col("u")).localCheckpoint()
+    per_t = hll_estimate(regs, ["event_type"])
+    merged = (hll_estimate(hll_merge(regs, []), [])
+              .select(F.lit("__ALL__").alias("event_type"),
+                      "nonempty", "hll_estimate"))
+    ex_t = (ev.groupBy("event_type")
+            .agg(F.count_distinct("u").alias("exact_distinct")))
+    ex_all = ev.agg(F.count_distinct("u").alias("exact_distinct"))
+    return (per_t.join(ex_t, "event_type")
+            .unionByName(merged.crossJoin(ex_all))
+            .select("event_type", "nonempty", "hll_estimate",
+                    "exact_distinct"))
+
+
+# ---------------------------------------------------------------------------
 # aggregate (column-level) validation with tolerance: the cheapest tier of
 # the validation funnel — two hash aggregates, no row join
 # ---------------------------------------------------------------------------

@@ -255,3 +255,69 @@ class TestCountMinSketch:
             assert est == {"p": 4, "q": 2}
         else:
             assert est["p"] >= 4 and est["q"] >= 2
+
+
+class TestHLL:
+    """HyperLogLog (operators/sketch.py): portable registers, mergeability,
+    accuracy, and partitioning invariance."""
+
+    def _est(self, df):
+        from spanner_data_validator_spark.operators.sketch import (
+            hll_estimate, hll_registers)
+        regs = hll_registers(df, [], F.col("v"))
+        return hll_estimate(regs, []).first()["hll_estimate"]
+
+    def test_small_range_is_near_exact(self, spark):
+        # 100 distinct values, m=256 -> linear-counting regime: the
+        # correction keeps relative error small even far below m
+        df = spark.range(100).select(F.concat(F.lit("u"), "id").alias("v"))
+        est = self._est(df)
+        assert abs(est - 100) / 100 < 0.15
+
+    def test_accuracy_at_10k(self, spark):
+        # sigma ~ 1.04/sqrt(256) = 6.5%; 3 sigma bound
+        df = spark.range(10_000).select(F.concat(F.lit("x"), "id").alias("v"))
+        est = self._est(df)
+        assert abs(est - 10_000) / 10_000 < 0.20
+
+    def test_duplicates_ignored(self, spark):
+        from spanner_data_validator_spark.operators.sketch import (
+            hll_estimate, hll_registers)
+        base = spark.range(500).select(F.concat(F.lit("d"), "id").alias("v"))
+        dup = base.union(base).union(base)
+        a = hll_estimate(hll_registers(base, [], F.col("v")), []).first()
+        b = hll_estimate(hll_registers(dup, [], F.col("v")), []).first()
+        assert a == b
+
+    def test_partitioning_invariant(self, spark):
+        from spanner_data_validator_spark.operators.sketch import (
+            hll_estimate, hll_registers)
+        df = spark.range(3_000).select(F.concat(F.lit("p"), "id").alias("v"))
+        a = hll_estimate(hll_registers(df.coalesce(1), [], F.col("v")), []).first()
+        b = hll_estimate(hll_registers(df.repartition(16), [], F.col("v")), []).first()
+        assert a == b
+
+    def test_merge_equals_union_sketch(self, spark):
+        # sketch(A) merged with sketch(B) == sketch(A union B), including
+        # overlap — the raw-data-free rollup property
+        from spanner_data_validator_spark.operators.sketch import (
+            hll_estimate, hll_merge, hll_registers)
+        a = spark.range(0, 2_000).select(F.concat(F.lit("m"), "id").alias("v"),
+                                         F.lit("a").alias("g"))
+        b = spark.range(1_000, 3_000).select(
+            F.concat(F.lit("m"), "id").alias("v"), F.lit("b").alias("g"))
+        parts = a.union(b)
+        merged = hll_estimate(
+            hll_merge(hll_registers(parts, ["g"], F.col("v")), []), []).first()
+        direct = hll_estimate(
+            hll_registers(parts.select("v"), [], F.col("v")), []).first()
+        assert merged == direct
+
+    def test_m_validation(self, spark):
+        import pytest
+        from spanner_data_validator_spark.operators.sketch import hll_registers
+        df = spark.range(1).select(F.col("id").cast("string").alias("v"))
+        with pytest.raises(ValueError):
+            hll_registers(df, [], F.col("v"), m=100)
+        with pytest.raises(ValueError):
+            hll_registers(df, [], F.col("v"), m=32)
