@@ -399,3 +399,81 @@ FROM (
   FROM ({regs_sql}){gb}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: union / intersection / Jaccard estimates from two
+# constant-size sketches (Beyer et al. 2007)
+# ---------------------------------------------------------------------------
+#
+# The KMV union sketch of A and B is the k smallest hashes of
+# K(A) ∪ K(B) — computable from the two sketches alone. With
+# M = that union sketch:
+#   union_est  = standard KMV estimate on M (exact below k),
+#   jaccard    = |{h in M : h in K(A) and h in K(B)}| / |M|,
+#   inter_est  = jaccard * union_est.
+# Everything is a pure function of the deterministic hash values, so a
+# DuckDB oracle reproduces all three numbers from the same data. At scale
+# this answers "how many users overlap between these two 10^12-row
+# streams" from two k-long arrays instead of a distinct-join.
+
+
+def kmv_set_ops(a: DataFrame, a_col: Column, b: DataFrame, b_col: Column,
+                k: int) -> DataFrame:
+    """One-row union/intersection/Jaccard estimate from two KMV sketches.
+
+    Output: (k_used, union_est, jaccard_est, inter_est). Exact when both
+    sides' distinct counts are below k (the sketches are then the full hash
+    sets). The only exchange is the two bounded sketch folds — the sides
+    are never joined row-for-row.
+    """
+    ka = kmv_min_hashes(a, a_col, k).select(F.col("hs").alias("ha"))
+    kb = kmv_min_hashes(b, b_col, k).select(F.col("hs").alias("hb"))
+    both = ka.crossJoin(kb)  # 1 row x 1 row
+    m = F.slice(F.array_sort(F.array_union("ha", "hb")), 1, k)
+    with_m = both.select("ha", "hb", m.alias("m"))
+    k_used = F.size("m")
+    kth = F.element_at("m", -1)
+    union_est = F.when(
+        k_used < F.lit(k), k_used.cast("double")
+    ).otherwise(
+        F.floor((F.lit(k - 1) * F.lit(HASH_SPACE)) / kth.cast("double"))
+        .cast("double"))
+    inter_in_m = F.size(F.filter(
+        "m", lambda h: F.array_contains("ha", h) & F.array_contains("hb", h)))
+    jac = inter_in_m.cast("double") / k_used.cast("double")
+    return with_m.select(
+        k_used.cast("int").alias("k_used"),
+        union_est.alias("union_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * union_est, 2).alias("inter_est"))
+
+
+def kmv_set_ops_sql(source_a: str, expr_a: str, source_b: str, expr_b: str,
+                    k: int) -> str:
+    """DuckDB rendering of :func:`kmv_set_ops` (relational form of the same
+    sketch math — identical hashes, identical estimates)."""
+    ha = portable_hash60_sql(expr_a)
+    hb = portable_hash60_sql(expr_b)
+    return f"""
+WITH ka AS (SELECT DISTINCT {ha} AS h FROM ({source_a}) ORDER BY h LIMIT {k}),
+kb AS (SELECT DISTINCT {hb} AS h FROM ({source_b}) ORDER BY h LIMIT {k}),
+m AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT {k}),
+st AS (
+  SELECT CAST(count(*) AS INT) AS k_used, max(h) AS kth,
+         CAST(sum(CASE WHEN h IN (SELECT h FROM ka)
+                        AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END) AS INT)
+           AS inter_in_m
+  FROM m
+)
+SELECT k_used,
+       CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+            ELSE CAST(floor(({k} - 1) * {HASH_SPACE!r} / CAST(kth AS DOUBLE)) AS DOUBLE)
+       END AS union_est,
+       round(CAST(inter_in_m AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
+       round((CAST(inter_in_m AS DOUBLE) / CAST(k_used AS DOUBLE)) *
+             CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                  ELSE CAST(floor(({k} - 1) * {HASH_SPACE!r} / CAST(kth AS DOUBLE)) AS DOUBLE)
+             END, 2) AS inter_est
+FROM st
+"""

@@ -2763,6 +2763,57 @@ def q_kmv_distinct_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# KMV set operations (operators/sketch.py): union / intersection / Jaccard
+# of two user populations from two constant-size sketches
+# ---------------------------------------------------------------------------
+
+def _kmv_set_ops_oracle(k: int) -> str:
+    from spanner_data_validator_spark.operators.sketch import kmv_set_ops_sql
+
+    src_a = ("SELECT CAST(user_id AS VARCHAR) AS u FROM events "
+             "WHERE event_type = 'click'")
+    src_b = ("SELECT CAST(user_id AS VARCHAR) AS u FROM events "
+             "WHERE event_type = 'purchase'")
+    est = kmv_set_ops_sql(src_a, "u", src_b, "u", k)
+    return f"""
+WITH est AS ({est}),
+exu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+        FROM events WHERE event_type IN ('click', 'purchase')),
+exi AS (SELECT CAST(count(DISTINCT e1.user_id) AS BIGINT) AS exact_inter
+        FROM events e1
+        WHERE e1.event_type = 'click' AND e1.user_id IN (
+          SELECT e2.user_id FROM events e2 WHERE e2.event_type = 'purchase'))
+SELECT k_used, union_est, jaccard_est, inter_est, exact_union, exact_inter
+FROM est, exu, exi
+"""
+
+
+@register("kmv_set_ops", _kmv_set_ops_oracle(128))
+def q_kmv_set_ops(spark, sf_dir):
+    """Set-operation estimates between two user populations (clickers vs
+    purchasers) from two k=128 KMV sketches: union size, Jaccard, and
+    intersection size — computed from the sketches ALONE (no distinct-join
+    of the sides; operators/sketch.kmv_set_ops). Exact union/intersection
+    ride along as demo-scale verification columns; DuckDB replays the
+    sketch math in relational form."""
+    from spanner_data_validator_spark.operators.sketch import kmv_set_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("u"))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("u"))
+    est = kmv_set_ops(clicks, F.col("u"), buys, F.col("u"), 128)
+    exact = (clicks.select("u").distinct()
+             .join(buys.select("u").distinct(), "u", "full_outer")
+             .agg(F.count(F.lit(1)).alias("exact_union")))
+    exact_i = (clicks.select("u").distinct()
+               .join(buys.select("u").distinct(), "u")
+               .agg(F.count(F.lit(1)).alias("exact_inter")))
+    return est.crossJoin(exact).crossJoin(exact_i)
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog with an engine-portable register layout (operators/sketch.py):
 # per-group sketches + a raw-data-free merged rollup
 # ---------------------------------------------------------------------------

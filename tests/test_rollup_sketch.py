@@ -321,3 +321,34 @@ class TestHLL:
             hll_registers(df, [], F.col("v"), m=100)
         with pytest.raises(ValueError):
             hll_registers(df, [], F.col("v"), m=32)
+
+
+class TestKMVSetOps:
+    """KMV union/intersection/Jaccard estimates (operators/sketch.py)."""
+
+    def _ops(self, spark, a_ids, b_ids, k=64):
+        from spanner_data_validator_spark.operators.sketch import kmv_set_ops
+        a = spark.createDataFrame([(f"u{i}",) for i in a_ids], "v string")
+        b = spark.createDataFrame([(f"u{i}",) for i in b_ids], "v string")
+        return kmv_set_ops(a, F.col("v"), b, F.col("v"), k).first()
+
+    def test_exact_below_k(self, spark):
+        r = self._ops(spark, range(30), range(20, 50), k=64)
+        assert r["k_used"] == 50
+        assert r["union_est"] == 50.0
+        assert r["inter_est"] == 10.0
+        assert abs(r["jaccard_est"] - 10 / 50) < 1e-9
+
+    def test_disjoint(self, spark):
+        r = self._ops(spark, range(0, 40), range(100, 140), k=64)
+        assert r["jaccard_est"] == 0.0 and r["inter_est"] == 0.0
+
+    def test_identical(self, spark):
+        r = self._ops(spark, range(40), range(40), k=64)
+        assert r["jaccard_est"] == 1.0 and r["inter_est"] == r["union_est"]
+
+    def test_estimate_above_k_within_bound(self, spark):
+        # 4000 union, 1000 overlap, k=256: sigma ~ 1/sqrt(k) ~ 6%
+        r = self._ops(spark, range(0, 2500), range(1500, 4000), k=256)
+        assert abs(r["union_est"] - 4000) / 4000 < 0.25
+        assert abs(r["inter_est"] - 1000) / 1000 < 0.5
