@@ -81,3 +81,35 @@ def write_zordered(df: DataFrame, path: str, cols: Sequence[Column],
        .sortWithinPartitions("__zkey")
        .drop("__zkey")
        .write.mode("overwrite").parquet(path))
+
+
+def file_manifest(df: DataFrame, file_id: Column,
+                  stats: Sequence[str]) -> DataFrame:
+    """Per-file min/max/count manifest — the data-skipping index an
+    Iceberg manifest file (or a parquet footer) maintains per data file.
+
+    ``file_id`` assigns each row to its file (here derived arithmetically
+    so tests and oracles are deterministic; a real table gets it from
+    ``input_file_name()`` or the catalog). One partial-aggregating groupBy
+    per layout: the manifest is O(files), never O(rows), downstream.
+    Output: (file_id, n_rows, min_<c>, max_<c> per stat column).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stats:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(file_id.alias("file_id")).agg(*aggs)
+
+
+def skip_scan_summary(manifest: DataFrame, stat: str,
+                      lo: int, hi: int) -> DataFrame:
+    """One-row skip summary for predicate ``stat BETWEEN lo AND hi``: a
+    file is pruned iff its [min, max] range misses [lo, hi] entirely —
+    exactly the footer-stats / manifest pruning rule. Runs over the
+    manifest only (O(files))."""
+    scanned = ~((F.col(f"max_{stat}") < F.lit(lo))
+                | (F.col(f"min_{stat}") > F.lit(hi)))
+    return manifest.agg(
+        F.count(F.lit(1)).cast("long").alias("files_total"),
+        F.sum(scanned.cast("long")).alias("files_scanned"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0)))
+         .cast("long").alias("rows_scanned"))

@@ -3661,6 +3661,111 @@ def q_zorder_layout_buckets(spark, sf_dir):
                   F.countDistinct("user_id").alias("n_users")))
 
 
+# Manifest-based data skipping (layout.file_manifest / skip_scan_summary):
+# the min/max pruning an Iceberg manifest or parquet footer gives a scan,
+# measured for two layouts x two predicates. Layouts: 'append' (files in
+# ingest order -> time clusters, user_id doesn't) and 'zorder' (files by
+# Morton(user, day) -> both dimensions keep ~half their pruning power).
+_MANIFEST_ZEXPR = zorder_sql_expr(
+    ["(user_id % 256)", "EXTRACT(day FROM ts)"], bits=8)
+
+def _manifest_summary_sql(man: str, stat: str, lo: int, hi: int,
+                          layout: str, pred: str) -> str:
+    scanned = f"NOT (max_{stat} < {lo} OR min_{stat} > {hi})"
+    return f"""
+SELECT '{layout}' AS layout, '{pred}' AS predicate,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN {scanned} THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN {scanned} THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+FROM {man}"""
+
+
+@register("manifest_skip_ratio", f"""
+WITH base AS (
+  SELECT event_id, user_id, EXTRACT(day FROM ts) AS day,
+         {_MANIFEST_ZEXPR} AS zkey
+  FROM events),
+wf AS (SELECT *, CAST(floor(event_id / 128) AS BIGINT) AS f_append,
+              (zkey >> 7) AS f_z
+       FROM base),
+man_a AS (SELECT f_append AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+                 min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+                 min(day) AS min_day, max(day) AS max_day
+          FROM wf GROUP BY f_append),
+man_z AS (SELECT f_z AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+                 min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+                 min(day) AS min_day, max(day) AS max_day
+          FROM wf GROUP BY f_z),
+mt AS (SELECT CAST(sum(CASE WHEN day BETWEEN 5 AND 7 THEN 1 ELSE 0 END) AS BIGINT) AS m_day,
+              CAST(sum(CASE WHEN user_id BETWEEN 40 AND 55 THEN 1 ELSE 0 END) AS BIGINT) AS m_user
+       FROM base),
+sums AS (
+  {_manifest_summary_sql('man_a', 'day', 5, 7, 'append', 'day_5_7')}
+  UNION ALL
+  {_manifest_summary_sql('man_a', 'user_id', 40, 55, 'append', 'user_40_55')}
+  UNION ALL
+  {_manifest_summary_sql('man_z', 'day', 5, 7, 'zorder', 'day_5_7')}
+  UNION ALL
+  {_manifest_summary_sql('man_z', 'user_id', 40, 55, 'zorder', 'user_40_55')}
+)
+SELECT layout, predicate, files_total, files_scanned, rows_scanned,
+       CASE WHEN predicate = 'day_5_7' THEN m_day ELSE m_user END AS rows_matched,
+       round(1.0 - CAST(files_scanned AS DOUBLE) / CAST(files_total AS DOUBLE), 4)
+         AS skip_ratio,
+       round(CAST(rows_scanned AS DOUBLE) /
+             CAST(greatest(CASE WHEN predicate = 'day_5_7' THEN m_day ELSE m_user END, 1) AS DOUBLE), 2)
+         AS read_amp
+FROM sums, mt
+""")
+def q_manifest_skip_ratio(spark, sf_dir):
+    """File-level data skipping from a min/max manifest (layout.
+    file_manifest + skip_scan_summary — the Iceberg-manifest/parquet-footer
+    pruning rule), measured for append vs Z-order layouts under a time
+    predicate and a user predicate. Append files prune the day window hard
+    and the user window not at all; Morton(user, day) files keep both
+    dimensions prunable — the quantified version of why write_zordered
+    exists. Manifests are O(files) and each feeds two summaries, so they
+    are pinned once (multi-branch rescan trap)."""
+    from spanner_data_validator_spark.operators.layout import (
+        file_manifest,
+        skip_scan_summary,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.dayofmonth("ts").alias("day"),
+        zorder_key([F.pmod(F.col("user_id"), F.lit(256)),
+                    F.dayofmonth("ts").cast("long")], bits=8).alias("zkey"))
+    man_a = file_manifest(
+        ev, F.floor(F.col("event_id") / F.lit(128)).cast("long"),
+        ["user_id", "day"]).localCheckpoint()
+    man_z = file_manifest(
+        ev, F.shiftright(F.col("zkey"), 7).cast("long"),
+        ["user_id", "day"]).localCheckpoint()
+
+    def lay(layout, man, pred, stat, lo, hi):
+        return skip_scan_summary(man, stat, lo, hi).select(
+            F.lit(layout).alias("layout"), F.lit(pred).alias("predicate"),
+            "files_total", "files_scanned", "rows_scanned")
+
+    sums = (lay("append", man_a, "day_5_7", "day", 5, 7)
+            .unionByName(lay("append", man_a, "user_40_55", "user_id", 40, 55))
+            .unionByName(lay("zorder", man_z, "day_5_7", "day", 5, 7))
+            .unionByName(lay("zorder", man_z, "user_40_55", "user_id", 40, 55)))
+    mt = ev.agg(
+        F.sum(F.col("day").between(5, 7).cast("long")).alias("m_day"),
+        F.sum(F.col("user_id").between(40, 55).cast("long")).alias("m_user"))
+    matched = F.when(F.col("predicate") == "day_5_7",
+                     F.col("m_day")).otherwise(F.col("m_user"))
+    return sums.crossJoin(mt).select(
+        "layout", "predicate", "files_total", "files_scanned", "rows_scanned",
+        matched.alias("rows_matched"),
+        F.round(F.lit(1.0) - F.col("files_scanned").cast("double")
+                / F.col("files_total").cast("double"), 4).alias("skip_ratio"),
+        F.round(F.col("rows_scanned").cast("double")
+                / F.greatest(matched, F.lit(1)).cast("double"), 2)
+         .alias("read_amp"))
+
+
 @register("join_skew_profile", """
 WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
            FROM events GROUP BY user_id),

@@ -90,3 +90,46 @@ def test_key_skew_profile_plan_uses_top_n_reduce(spark):
     plan = key_skew_profile(df, "k", top_n=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+class TestManifestSkipping:
+    """file_manifest + skip_scan_summary (layout.py): footer-stats pruning."""
+
+    def _df(self, spark):
+        # 4 files of 25 rows each, value clustered by file: file f holds
+        # values [f*25, f*25+25)
+        return spark.range(100).select(
+            (F.col("id") / 25).cast("long").alias("f"),
+            F.col("id").alias("v"))
+
+    def test_manifest_stats(self, spark):
+        from spanner_data_validator_spark.operators.layout import file_manifest
+        man = file_manifest(self._df(spark), F.col("f"), ["v"])
+        rows = {r["file_id"]: r for r in man.collect()}
+        assert len(rows) == 4
+        assert rows[1]["min_v"] == 25 and rows[1]["max_v"] == 49
+        assert all(r["n_rows"] == 25 for r in rows.values())
+
+    def test_prune_rule_boundaries(self, spark):
+        from spanner_data_validator_spark.operators.layout import (
+            file_manifest, skip_scan_summary)
+        man = file_manifest(self._df(spark), F.col("f"), ["v"])
+        # [30, 60] overlaps files 1 and 2 only — inclusive boundary both ends
+        r = skip_scan_summary(man, "v", 30, 60).first()
+        assert (r["files_total"], r["files_scanned"], r["rows_scanned"]) == (4, 2, 50)
+        # touch exactly one file's max (24): still scanned
+        r = skip_scan_summary(man, "v", 24, 24).first()
+        assert r["files_scanned"] == 1
+        # disjoint above all data: nothing scanned
+        r = skip_scan_summary(man, "v", 1000, 2000).first()
+        assert r["files_scanned"] == 0 and r["rows_scanned"] == 0
+
+    def test_unclustered_layout_scans_everything(self, spark):
+        from spanner_data_validator_spark.operators.layout import (
+            file_manifest, skip_scan_summary)
+        # round-robin files: every file spans the whole value range
+        df = spark.range(100).select(
+            (F.col("id") % 4).alias("f"), F.col("id").alias("v"))
+        man = file_manifest(df, F.col("f"), ["v"])
+        r = skip_scan_summary(man, "v", 10, 20).first()
+        assert r["files_scanned"] == r["files_total"] == 4
