@@ -3997,6 +3997,44 @@ def q_jsonl_ingest_parity(spark, sf_dir):
                                .alias("n_quarantined"))))
 
 
+@register("orc_roundtrip_parity", """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+GROUP BY l_returnflag
+""")
+def q_orc_roundtrip_parity(spark, sf_dir):
+    """Columnar-format breadth: lineitem re-materialized as ORC (Spark's
+    second native columnar format), read back with a shipdate-range filter
+    + 4-column projection, and aggregate parity proved against the parquet
+    original. Spark's native ORC reader pushes the predicate and prunes
+    columns exactly like parquet (vectorized reader, footer stats), so a
+    validator can sit on either lake format; sums stay integer (cents) for
+    cross-engine exactness."""
+    import os
+    import tempfile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")
+    work = tempfile.mkdtemp(prefix="sdv_q_orc_")
+    odir = os.path.join(work, "lineitem_orc")
+    li.write.mode("overwrite").orc(odir)
+    orc = spark.read.orc(odir)
+    return (orc
+            .where((F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+                   & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date")))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.col("l_quantity").cast("long")).cast("long")
+                  .alias("sum_qty"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                  .cast("long").alias("sum_price_cents")))
+
+
 @register("header_detail_reconcile", """
 WITH d AS (SELECT l_orderkey AS orderkey,
                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
