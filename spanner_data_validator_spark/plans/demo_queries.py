@@ -3997,6 +3997,56 @@ def q_jsonl_ingest_parity(spark, sf_dir):
                                .alias("n_quarantined"))))
 
 
+@register("stream_observed_quality", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(max(event_id) AS BIGINT) AS max_event_id,
+       CAST(4 AS BIGINT) AS n_batches_with_data,
+       CAST(count(*) AS BIGINT) AS sink_rows
+FROM events
+""")
+def q_stream_observed_quality(spark, sf_dir):
+    """Dataset.observe on a REAL stream (streaming/observe.py): quality
+    counters (row count, error-event count, integer value cents, max id)
+    ride the micro-batches of an events file-stream on the SAME pass that
+    feeds the append sink — no second aggregation, no state, no extra
+    shuffle. Per-batch rows land on progress events; sums-of-sums and
+    maxes-of-maxes are micro-batch-boundary-invariant, which is what the
+    oracle recomputes. The sink row count proves the observed stream and
+    the delivered stream are the same pass."""
+    import tempfile
+
+    from spanner_data_validator_spark.streaming.observe import fold_observed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="sdv_q_observe_")
+    ev.repartition(4).write.parquet(f"{work}/in")
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{work}/in"))
+    obs = stream.observe(
+        "quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.max("event_id").alias("max_event_id"))
+    q = (obs.select("event_id", "event_type")
+         .writeStream.format("parquet").option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    m = fold_observed(q, "quality",
+                      sum_cols=["n_rows", "n_error", "value_cents"],
+                      max_cols=["max_event_id"])
+    sink_rows = spark.read.parquet(f"{work}/out").count()
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_error"], m["value_cents"], m["max_event_id"],
+          m["n_batches_with_data"], sink_rows)],
+        "n_rows long, n_error long, value_cents long, max_event_id long, "
+        "n_batches_with_data long, sink_rows long")
+
+
 @register("orc_roundtrip_parity", """
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n_rows,
