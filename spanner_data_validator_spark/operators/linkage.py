@@ -167,7 +167,8 @@ def fuzzy_candidates(src: DataFrame, tgt: DataFrame, key_col: str,
 def fuzzy_match_keys(src: DataFrame, tgt: DataFrame, key_col: str,
                      id_col: str, *, max_dist: int = 1,
                      hash_seed: int = 11,
-                     max_block_size: int | None = None) -> DataFrame:
+                     max_block_size: int | None = None,
+                     algo: str = "deletion") -> DataFrame:
     """Best fuzzy match per source key: the candidate with the smallest
     edit distance, ties broken by target key then target id (deterministic).
 
@@ -216,10 +217,16 @@ def fuzzy_match_keys(src: DataFrame, tgt: DataFrame, key_col: str,
     variants_per_key = 1 + avg_len + (avg_len * (avg_len - 1) / 2 if d == 2
                                       else 0)
     bcast = n_res * variants_per_key * 16 < 128 * 1024 * 1024
-    cand = fuzzy_candidates(residue, tgt, key_col, id_col,
-                            hash_seed=hash_seed,
-                            max_block_size=max_block_size,
-                            d=d, broadcast_src=bcast)
+    if algo == "passjoin":
+        cand = passjoin_candidates(residue, tgt, key_col, id_col,
+                                   d=d, broadcast_src=bcast)
+    elif algo == "deletion":
+        cand = fuzzy_candidates(residue, tgt, key_col, id_col,
+                                hash_seed=hash_seed,
+                                max_block_size=max_block_size,
+                                d=d, broadcast_src=bcast)
+    else:
+        raise ValueError(f"unknown candidate algo {algo!r}")
     verified = (cand
                 .withColumn("dist", F.levenshtein("src_key", "tgt_key"))
                 .where(F.col("dist") <= max_dist)
@@ -233,3 +240,120 @@ def fuzzy_match_keys(src: DataFrame, tgt: DataFrame, key_col: str,
                     F.col("b.tgt_id").alias("tgt_id"),
                     F.col("b.tgt_key").alias("tgt_key"),
                     F.col("b.dist").alias("dist")))
+
+
+# ---------------------------------------------------------------------------
+# PassJoin: partition-based blocking for edit-distance joins
+# ---------------------------------------------------------------------------
+#
+# Second exact candidate generator (Li, Deng, Feng, ICDE 2012 "PassJoin"),
+# complementary to deletion blocking: instead of exploding ~C(len, d)
+# deletion variants per key on BOTH sides, the indexed side partitions each
+# key into q = d+1 segments (pigeonhole: d edits cannot touch all q
+# segments, so some segment of v survives VERBATIM in any u within distance
+# d, displaced by at most d positions). The probe side enumerates, for each
+# candidate target length n within ±d and each segment of the length-n
+# scheme, the <= 2d+1 aligned substrings of u — ~q*(2d+1)^2 short probes
+# per key versus ~C(len,d) variants, and only q rows per key on the index
+# side. Everything is flat post-explode column arithmetic (explode a
+# literal id sequence, then pure codegen decode — no nested lambdas, which
+# fall off the codegen path; measured on the deletion expansion).
+#
+# Completeness holds when the INDEXED key has length >= q (every segment
+# nonempty); shorter target keys are exploded into their (tiny) deletion
+# neighborhoods instead, so the candidate set stays complete for
+# levenshtein <= d over arbitrary inputs (property-tested vs brute force).
+#
+# WHICH ALGORITHM WHEN (measured, sf0.1 drifted part-name corpus): the
+# blocking key here is a length-~len/q SUBSTRING, so its selectivity is the
+# key's local entropy. On vocabulary-built keys (TPC-H p_name: 5 words from
+# a 92-word list) segments collide catastrophically — 20k keys produced
+# hot blocks of ~900 members and 88M candidate pairs where deletion
+# blocking (near-full-length variants, selective by construction) produced
+# 190k. On high-entropy identifiers (UUIDs, hashes, serials) the segment
+# blocks are near-unique and PassJoin's ~q*(2d+1)^2 probes beat the
+# ~C(len,d) variant explosion badly. The engine ships both as
+# ``fuzzy_match_keys(algo=...)``; ``deletion`` is the default because
+# drifted business keys are usually vocabulary-like.
+
+
+def _passjoin_index(tgt: DataFrame, key_col: str, id_col: str,
+                    d: int) -> DataFrame:
+    """(bh, tgt_id): one row per segment of each target key (q = d+1)."""
+    q = d + 1
+    df = (tgt.select(F.col(id_col).alias("tgt_id"), F.col(key_col).alias("k"))
+          .where(F.length("k") >= q)
+          .select("tgt_id", "k", F.explode(F.sequence(F.lit(0), F.lit(q - 1)))
+                  .alias("i")))
+    n = F.length("k")
+    m = (n / q).cast("int")
+    r = n - m * q
+    length = m + F.when(F.col("i") >= q - r, F.lit(1)).otherwise(F.lit(0))
+    start = F.lit(1) + F.col("i") * m + F.greatest(F.lit(0),
+                                                   F.col("i") - (q - r))
+    seg = F.substring(F.col("k"), start, length)
+    bh = F.xxhash64(F.concat_ws("\x1f", n.cast("string"),
+                                F.col("i").cast("string"), seg))
+    return df.select("tgt_id", bh.alias("bh"))
+
+
+def _passjoin_probes(src: DataFrame, key_col: str, id_col: str,
+                     d: int) -> DataFrame:
+    """(bh, src_id): the aligned-substring probes of each source key — for
+    each target length n in [l-d, l+d] (n >= q), each segment i of the
+    length-n scheme, each start shift in [-d, d]."""
+    q = d + 1
+    w = 2 * d + 1
+    total = w * q * w  # (n offsets) x (segments) x (shifts)
+    df = (src.select(F.col(id_col).alias("src_id"),
+                     F.col(key_col).alias("k"),
+                     F.explode(F.sequence(F.lit(0), F.lit(total - 1)))
+                     .alias("pid")))
+    l = F.length("k")
+    n = l + (F.col("pid") / (q * w)).cast("int") - F.lit(d)
+    i = ((F.col("pid") / w).cast("int") % q)
+    shift = F.col("pid") % w - F.lit(d)
+    m = (n / q).cast("int")
+    r = n - m * q
+    length = m + F.when(i >= q - r, F.lit(1)).otherwise(F.lit(0))
+    p = F.lit(1) + i * m + F.greatest(F.lit(0), i - (q - r))
+    start = p + shift
+    valid = ((n >= q) & (length >= 1) & (start >= 1)
+             & (start + length - 1 <= l))
+    sub = F.substring(F.col("k"), start, length)
+    bh = F.xxhash64(F.concat_ws("\x1f", n.cast("string"),
+                                i.cast("string"), sub))
+    return df.where(valid).select("src_id", bh.alias("bh"))
+
+
+def passjoin_candidates(src: DataFrame, tgt: DataFrame, key_col: str,
+                        id_col: str, *, d: int = 2,
+                        broadcast_src: bool = False) -> DataFrame:
+    """Distinct candidate pairs (src_id, src_key, tgt_id, tgt_key) whose
+    keys can be within levenshtein ``d`` — PassJoin segment blocking.
+
+    Complete for lev <= d over arbitrary inputs: targets shorter than
+    q = d+1 (where a segment would be empty and pigeonhole fails) fall
+    back to deletion blocking, which is cheap exactly there (C(len, d) is
+    tiny for len < q). Like ``fuzzy_candidates``, the wire carries only
+    (hash, id); keys re-attach by id after pair dedup.
+    """
+    q = d + 1
+    s = _passjoin_probes(src, key_col, id_col, d)
+    t = _passjoin_index(tgt, key_col, id_col, d)
+    pairs = ((F.broadcast(s) if broadcast_src else s).join(t, "bh")
+             .select("src_id", "tgt_id").distinct())
+    short_tgt = tgt.where(F.length(key_col) < q)
+    # the fallback would explode src's full deletion neighborhood even for
+    # ZERO short targets — gate it on a cheap count of the (tiny) short set
+    if short_tgt.limit(1).count() > 0:
+        short_pairs = (fuzzy_candidates(src, short_tgt, key_col, id_col, d=d,
+                                        broadcast_src=broadcast_src)
+                       .select("src_id", "tgt_id"))
+        pairs = pairs.unionByName(short_pairs).distinct()
+    return (pairs
+            .join(src.select(F.col(id_col).alias("src_id"),
+                             F.col(key_col).alias("src_key")), "src_id")
+            .join(tgt.select(F.col(id_col).alias("tgt_id"),
+                             F.col(key_col).alias("tgt_key")), "tgt_id")
+            .select("src_id", "src_key", "tgt_id", "tgt_key"))

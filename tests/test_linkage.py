@@ -157,3 +157,70 @@ def test_fuzzy_match_keys_d2_end_to_end(spark):
     tgt2 = _df(spark, "tgt", [(2, "abef"), (4, "zzzzzz")])
     row = fuzzy_match_keys(src, tgt2, "key", "id", max_dist=2).first()
     assert (row.tgt_id, row.dist) == (2, 2)
+
+
+class TestPassJoin:
+    """PassJoin segment blocking (linkage.passjoin_candidates)."""
+
+    def test_complete_vs_brute_force_d2(self, spark):
+        # adversarial: tiny alphabet, lengths 1..9 (exercises the short-key
+        # deletion fallback and every segment-scheme boundary)
+        import random
+
+        from spanner_data_validator_spark.operators.linkage import (
+            passjoin_candidates)
+        random.seed(11)
+        src_keys = ["".join(random.choice("ab")
+                            for _ in range(random.randint(1, 9)))
+                    for _ in range(70)]
+        tgt_keys = ["".join(random.choice("ab")
+                            for _ in range(random.randint(1, 9)))
+                    for _ in range(70)]
+        src = spark.createDataFrame(list(enumerate(src_keys)),
+                                    "id long, key string")
+        tgt = spark.createDataFrame(list(enumerate(tgt_keys)),
+                                    "id long, key string")
+        got = {(r.src_id, r.tgt_id) for r in
+               passjoin_candidates(src, tgt, "key", "id", d=2).collect()}
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        want = {(i, j) for i, a in enumerate(src_keys)
+                for j, b in enumerate(tgt_keys) if lev(a, b) <= 2}
+        assert want <= got  # complete: every true pair is a candidate
+
+    def test_agrees_with_deletion_blocking(self, spark):
+        from spanner_data_validator_spark.operators.linkage import (
+            fuzzy_match_keys)
+        src = spark.createDataFrame(
+            [(1, "alpha-key-17"), (2, "beta-key-23"), (3, "gamma-key-99")],
+            "id long, key string")
+        tgt = spark.createDataFrame(
+            [(1, "alpha-ky-17"), (2, "beta-key-23"), (3, "gmma-ke-99"),
+             (4, "unrelated-zz")],
+            "id long, key string")
+        a = sorted(map(tuple, fuzzy_match_keys(
+            src, tgt, "key", "id", max_dist=2, algo="deletion").collect()))
+        b = sorted(map(tuple, fuzzy_match_keys(
+            src, tgt, "key", "id", max_dist=2, algo="passjoin").collect()))
+        assert a == b
+        assert [r[4] for r in a] == [1, 0, 2]  # dists per src id 1,2,3
+
+    def test_unknown_algo_raises(self, spark):
+        import pytest
+
+        from spanner_data_validator_spark.operators.linkage import (
+            fuzzy_match_keys)
+        df = spark.createDataFrame([(1, "x")], "id long, key string")
+        with pytest.raises(ValueError):
+            fuzzy_match_keys(df, df, "key", "id", algo="nope")
