@@ -171,6 +171,43 @@ def quantiles_by_rank(df: DataFrame, group: str, value: Column,
     return hit.select(F.col(group), F.col("p"), F.col("__v").alias("q_value"))
 
 
+def hist_quantiles(df: DataFrame, group: str, value: Column,
+                   *, lo: int, hi: int, n_bins: int,
+                   ps: Sequence[float]) -> DataFrame:
+    """Approximate per-group quantiles from an equi-width histogram — the
+    MERGEABLE alternative to rank quantiles.
+
+    ``quantiles_by_rank`` is exact but needs a per-group sort of every row;
+    at 10^12 rows the histogram is the production shape: per-partition bin
+    counts merge by addition (a partial-aggregating groupBy of <= n_bins
+    rows per group), daily histograms roll up without raw data, and the
+    quantile reads off the cumulative counts with linear interpolation
+    inside the target bin. Error is bounded by the bin width. Determinism
+    across engines: bins via ``bin_expr`` (explicit floor), the estimate is
+    a fixed chain of IEEE ops on exact integers and shared literals, so
+    DuckDB reproduces it to the last bit (rounded to 4 decimals for the
+    final ulp).
+    """
+    h = (df.where(value.isNotNull())
+         .groupBy(F.col(group), bin_expr(value, lo, hi, n_bins).alias("bin"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    c = (h.withColumn("cum", F.sum("cnt").over(
+            Window.partitionBy(group).orderBy("bin")))
+         .withColumn("n", F.sum("cnt").over(Window.partitionBy(group))))
+    picks = F.array(*[F.lit(float(p)) for p in ps])
+    e = c.select(group, "bin", "cnt", "cum", "n",
+                 F.explode(picks).alias("p"))
+    target = F.ceil(F.col("p") * F.col("n")).cast("long")
+    hit = e.where((F.col("cum") >= target)
+                  & (F.col("cum") - F.col("cnt") < target))
+    width = (hi - lo) / n_bins
+    est = (F.lit(float(lo)) + F.lit(width)
+           * (F.col("bin").cast("double")
+              + (target - (F.col("cum") - F.col("cnt"))).cast("double")
+              / F.col("cnt").cast("double")))
+    return hit.select(F.col(group), "p", F.round(est, 4).alias("est_value"))
+
+
 def schema_drift(src: DataFrame, tgt: DataFrame) -> list[dict]:
     """Driver-side schema diff between two DataFrames — run BEFORE any data
     validation tier (a renamed/retyped column makes row comparison noise).

@@ -3283,6 +3283,79 @@ def q_lang_token_quantiles(spark, sf_dir):
                              ps=[0.5, 0.9, 0.99], tiebreak=F.col("doc_id"))
 
 
+_HQ_LO, _HQ_HI, _HQ_BINS = 0, 2048, 64
+_HQ_WIDTH = (_HQ_HI - _HQ_LO) / _HQ_BINS
+
+
+@register("hist_token_quantiles", f"""
+WITH h AS (
+  SELECT lang,
+         CAST(least(greatest(floor((n_chars - {_HQ_LO}) * {_HQ_BINS}
+                                   / ({_HQ_HI} - {_HQ_LO})), 0),
+                    {_HQ_BINS - 1}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY lang, bin
+),
+c AS (SELECT *, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM h),
+e AS (SELECT c.*, p, CAST(ceil(p * n) AS BIGINT) AS target
+      FROM c CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+                                        CAST(0.9 AS DOUBLE),
+                                        CAST(0.99 AS DOUBLE)]) AS p)),
+hit AS (SELECT lang, p, bin, cnt, cum, target FROM e
+        WHERE cum >= target AND cum - cnt < target),
+approx AS (
+  SELECT lang, p,
+         round(CAST({_HQ_LO} AS DOUBLE) + {_HQ_WIDTH!r}
+               * (CAST(bin AS DOUBLE)
+                  + CAST(target - (cum - cnt) AS DOUBLE)
+                    / CAST(cnt AS DOUBLE)), 4) AS est_value
+  FROM hit),
+d AS (
+  SELECT lang, n_chars, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents),
+exact AS (
+  SELECT lang, p, n_chars AS exact_value
+  FROM d CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+                                    CAST(0.9 AS DOUBLE),
+                                    CAST(0.99 AS DOUBLE)]) AS p)
+  WHERE rn = CAST(ceil(p * n) AS BIGINT))
+SELECT a.lang AS lang, a.p AS p, a.est_value,
+       CAST(x.exact_value AS BIGINT) AS exact_value,
+       round(a.est_value - CAST(x.exact_value AS DOUBLE), 4) AS err
+FROM approx a JOIN exact x ON a.lang = x.lang AND a.p = x.p
+""")
+def q_hist_token_quantiles(spark, sf_dir):
+    """Approximate per-language length quantiles from a 64-bin MERGEABLE
+    histogram (profile.hist_quantiles) next to the exact rank quantile —
+    the production shape at 10^12 rows: per-partition bin counts merge by
+    addition, daily histograms roll up without raw data, error bounded by
+    the 32-char bin width. The oracle replays binning, cumulative pick,
+    and interpolation bit-for-bit (shared width literal, explicit floor
+    per the CLAUDE.md cast-rounding trap)."""
+    from spanner_data_validator_spark.operators.profile import (
+        hist_quantiles,
+        quantiles_by_rank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    approx = hist_quantiles(docs, "lang", F.col("n_chars"),
+                            lo=_HQ_LO, hi=_HQ_HI, n_bins=_HQ_BINS,
+                            ps=[0.5, 0.9, 0.99])
+    exact = quantiles_by_rank(docs, "lang", F.col("n_chars"),
+                              ps=[0.5, 0.9, 0.99], tiebreak=F.col("doc_id"))
+    return (approx.join(exact, ["lang", "p"])
+            .select("lang", "p", "est_value",
+                    F.col("q_value").cast("long").alias("exact_value"),
+                    F.round(F.col("est_value")
+                            - F.col("q_value").cast("double"), 4)
+                     .alias("err")))
+
+
 # ---------------------------------------------------------------------------
 # gap sessionization + bucketed interval (range) join (operators/sessionize.py)
 # ---------------------------------------------------------------------------
@@ -3995,6 +4068,55 @@ def q_jsonl_ingest_parity(spark, sf_dir):
                      F.sum("event_id").cast("long").alias("sum_event_id"))
             .crossJoin(bad.agg(F.count(F.lit(1)).cast("long")
                                .alias("n_quarantined"))))
+
+
+@register("json_props_extract", """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0 THEN substr(props, 1, 3) ELSE props END
+           AS props
+  FROM events
+),
+x AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(props->>'k' AS BIGINT) END AS k
+  FROM p
+)
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_valid,
+       CAST(count(*) - count(k) AS BIGINT) AS n_invalid,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE), 4) AS avg_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x GROUP BY event_type
+""")
+def q_json_props_extract(spark, sf_dir):
+    """Semi-structured extraction with a quarantine-grade null path: the
+    props JSON column (with planted truncation for every 13th event) is
+    parsed per row — get_json_object returns NULL on malformed input, the
+    DuckDB oracle guards with json_valid — and typed k values aggregate per
+    event_type. avg is computed as exact integer sum / count (both engines
+    divide the same two integers; a native avg() could accumulate partial
+    doubles in engine-specific order)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0,
+               F.substring("props", 1, 3)).otherwise(F.col("props"))
+         .alias("props"))
+    k = F.get_json_object("props", "$.k").cast("long")
+    x = p.select("event_type", k.alias("k"))
+    return (x.groupBy("event_type")
+            .agg(F.count("k").cast("long").alias("n_valid"),
+                 (F.count(F.lit(1)) - F.count("k")).cast("long")
+                 .alias("n_invalid"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.round(F.sum("k").cast("double")
+                         / F.count("k").cast("double"), 4).alias("avg_k"),
+                 F.min("k").cast("long").alias("min_k"),
+                 F.max("k").cast("long").alias("max_k")))
 
 
 @register("stream_observed_quality", """

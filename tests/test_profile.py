@@ -157,3 +157,47 @@ class TestPsiTerms:
         out = psi_terms(src_pq, tgt, F.col("v"), 0, 100, 10)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Scan parquet" not in plan
+
+
+class TestHistQuantiles:
+    """profile.hist_quantiles: mergeable histogram quantile estimates."""
+
+    def test_error_bounded_by_bin_width(self, spark):
+        from spanner_data_validator_spark.operators.profile import (
+            hist_quantiles, quantiles_by_rank)
+        df = spark.range(2000).select(
+            F.lit("g").alias("g"), (F.col("id") % 997).alias("v"),
+            F.col("id").alias("tb"))
+        a = {r["p"]: r["est_value"] for r in hist_quantiles(
+            df, "g", F.col("v"), lo=0, hi=1000, n_bins=50,
+            ps=[0.5, 0.9]).collect()}
+        x = {r["p"]: r["q_value"] for r in quantiles_by_rank(
+            df, "g", F.col("v"), ps=[0.5, 0.9],
+            tiebreak=F.col("tb")).collect()}
+        for p in (0.5, 0.9):
+            assert abs(a[p] - x[p]) <= 20  # one bin width
+
+    def test_merge_property(self, spark):
+        # the histogram of a union equals the summed histograms, so the
+        # quantile of the whole equals the quantile computed from merged
+        # per-shard bin counts — demonstrated by partitioning invariance
+        from spanner_data_validator_spark.operators.profile import (
+            hist_quantiles)
+        df = spark.range(5000).select(
+            F.lit("g").alias("g"), (F.col("id") * 7 % 1511).alias("v"))
+        a = hist_quantiles(df.coalesce(1), "g", F.col("v"),
+                           lo=0, hi=1600, n_bins=64, ps=[0.5]).first()
+        b = hist_quantiles(df.repartition(16), "g", F.col("v"),
+                           lo=0, hi=1600, n_bins=64, ps=[0.5]).first()
+        assert a == b
+
+    def test_clamped_tail(self, spark):
+        # values beyond hi land in the last bin; the estimate stays <= hi
+        from spanner_data_validator_spark.operators.profile import (
+            hist_quantiles)
+        df = spark.range(100).select(
+            F.lit("g").alias("g"), (F.col("id") * 100).alias("v"))
+        r = {x["p"]: x["est_value"] for x in hist_quantiles(
+            df, "g", F.col("v"), lo=0, hi=1000, n_bins=10,
+            ps=[0.99]).collect()}
+        assert r[0.99] <= 1000.0
