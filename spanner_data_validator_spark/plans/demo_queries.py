@@ -2173,6 +2173,81 @@ def q_group_sample_exact(spark, sf_dir):
                               hash_fn=portable_hash60, rank_col="rank")
 
 
+@register("stream_scd2_enrich", """
+WITH dim AS (
+  SELECT c_custkey AS k, c_mktsegment AS segment,
+         TIMESTAMP '2024-01-01' AS valid_from,
+         CASE WHEN c_custkey % 4 = 0 THEN TIMESTAMP '2024-01-15'
+              ELSE TIMESTAMP '2100-01-01' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey AS k, c_mktsegment || '+V2' AS segment,
+         TIMESTAMP '2024-01-15' AS valid_from,
+         TIMESTAMP '2100-01-01' AS valid_to
+  FROM customer WHERE c_custkey % 4 = 0
+),
+ev AS (SELECT ts, user_id * 7 AS k FROM events),
+j AS (
+  SELECT d.segment, ev.k
+  FROM ev JOIN dim d
+    ON ev.k = d.k AND ev.ts >= d.valid_from AND ev.ts < d.valid_to
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_users
+FROM j GROUP BY segment
+""")
+def q_stream_scd2_enrich(spark, sf_dir):
+    """Temporal (as-of) stream enrichment against an SCD2 dimension: every
+    micro-batch probes the broadcast dimension with a NON-EQUI range
+    condition (key equality + ts within [valid_from, valid_to)), so each
+    event picks the dimension VERSION that was current at its event time —
+    customers divisible by 4 switch segment mid-month and their events
+    split across versions. The join is stateless (static side broadcast,
+    no watermark, no state store), the streaming form of scd2_dimension's
+    point-in-time semantics; rows land in an append sink and aggregate
+    after."""
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        (F.col("user_id") * 7).alias("k"))
+    work = tempfile.mkdtemp(prefix="sdv_q_scd2_stream_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    v1 = cust.select(
+        F.col("c_custkey").alias("dk"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.lit("2024-01-15").cast("timestamp"))
+         .otherwise(F.lit("2100-01-01").cast("timestamp")).alias("valid_to"))
+    v2 = (cust.where(F.col("c_custkey") % 4 == 0)
+          .select(F.col("c_custkey").alias("dk"),
+                  F.concat(F.col("c_mktsegment"), F.lit("+V2"))
+                   .alias("segment"),
+                  F.lit("2024-01-15").cast("timestamp").alias("valid_from"),
+                  F.lit("2100-01-01").cast("timestamp").alias("valid_to")))
+    dim = v1.unionByName(v2)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir))
+    joined = stream.join(
+        F.broadcast(dim),
+        (F.col("k") == F.col("dk")) & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("ts") < F.col("valid_to")))
+    q = (joined.select("segment", "k")
+         .writeStream.format("parquet").option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{work}/out")
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("k").alias("n_users")))
+
+
 @register("stream_static_enrich", """
 WITH ev AS (SELECT ts, user_id % 25 AS k FROM events),
 j AS (
