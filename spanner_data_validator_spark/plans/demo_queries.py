@@ -3358,6 +3358,55 @@ def q_lang_token_quantiles(spark, sf_dir):
                              ps=[0.5, 0.9, 0.99], tiebreak=F.col("doc_id"))
 
 
+# ---------------------------------------------------------------------------
+# iterative graph algorithm: fixed-point PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle() -> str:
+    from spanner_data_validator_spark.operators.graph import pagerank_sql
+
+    edges = """
+SELECT o_custkey AS src, 2000000 + l_suppkey AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 2000000 + l_suppkey AS src, o_custkey AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+    pr = pagerank_sql(edges, iterations=3)
+    return "WITH " + pr.replace(
+        "SELECT node, rank FROM pr_r3",
+        "SELECT node, rank FROM pr_r3 ORDER BY rank DESC, node LIMIT 20")
+
+
+@register("pagerank_3iter", _pagerank_oracle())
+def q_pagerank_3iter(spark, sf_dir):
+    """Iterative algorithm as a DataFrame loop: 3 PageRank rounds over the
+    symmetrized customer-supplier trade multigraph (edges = lineitems),
+    top-20 hubs. Fixed-point integer ranks make every sum an exact BIGINT
+    fold — bit-identical across partitionings AND engines (naive double
+    PageRank is aggregation-order-dependent) — and each round's rank table
+    is localCheckpointed so the plan does not double per iteration (the
+    classic iterative-Spark failure; operators/graph.py). The oracle
+    unrolls the identical iterations as CTEs."""
+    from spanner_data_validator_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey")
+    trade = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        (F.lit(2_000_000) + F.col("l_suppkey")).alias("supp"))
+    edges = (trade.select(F.col("cust").alias("src"),
+                          F.col("supp").alias("dst"))
+             .unionByName(trade.select(F.col("supp").alias("src"),
+                                       F.col("cust").alias("dst"))))
+    ranks = pagerank_fixed_point(edges, iterations=3)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
 _HQ_LO, _HQ_HI, _HQ_BINS = 0, 2048, 64
 _HQ_WIDTH = (_HQ_HI - _HQ_LO) / _HQ_BINS
 

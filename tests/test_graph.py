@@ -1,0 +1,48 @@
+"""Fixed-point PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.operators.graph import pagerank_fixed_point
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_hand_computed_two_node_cycle(spark):
+    # a <-> b: symmetric, deg 1 each. r0 = S = 1e6.
+    # iter: contrib = floor(1e6/1) = 1e6; r' = 150000 + floor(.85e6) = 1e6
+    # — the fixpoint, stable across all iterations.
+    r = {x["node"]: x["rank"] for x in pagerank_fixed_point(
+        _edges(spark, [(1, 2), (2, 1)]), iterations=3).collect()}
+    assert r == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_star_hub_dominates(spark):
+    # leaves 2..5 <-> hub 1: hub collects 4 contributions
+    pairs = [(1, i) for i in range(2, 6)] + [(i, 1) for i in range(2, 6)]
+    rows = pagerank_fixed_point(_edges(spark, pairs), iterations=3).collect()
+    r = {x["node"]: x["rank"] for x in rows}
+    assert r[1] > r[2] and len({r[i] for i in range(2, 6)}) == 1
+
+
+def test_partitioning_invariant_bit_exact(spark):
+    import random
+    random.seed(3)
+    pairs = [(random.randint(0, 40), random.randint(0, 40))
+             for _ in range(300)]
+    e = _edges(spark, pairs)
+    a = sorted(map(tuple, pagerank_fixed_point(
+        e.coalesce(1), iterations=3).collect()))
+    b = sorted(map(tuple, pagerank_fixed_point(
+        e.repartition(16), iterations=3).collect()))
+    assert a == b
+
+
+def test_rank_mass_bounded(spark):
+    # floor() only ever discards mass, so total rank never exceeds N*S
+    pairs = [(i, (i + 1) % 7) for i in range(7)]
+    rows = pagerank_fixed_point(_edges(spark, pairs), iterations=4).collect()
+    assert sum(r["rank"] for r in rows) <= 7 * 1_000_000
