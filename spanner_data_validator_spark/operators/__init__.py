@@ -46,14 +46,18 @@ from spanner_data_validator_spark.operators.quantize import (  # noqa: F401
 from spanner_data_validator_spark.operators.linkage import (  # noqa: F401
     fuzzy_candidates,
     fuzzy_match_keys,
+    passjoin_candidates,
 )
 from spanner_data_validator_spark.operators.layout import (  # noqa: F401
+    file_manifest,
+    skip_scan_summary,
     write_zordered,
     zorder_key,
     zorder_sql_expr,
 )
 from spanner_data_validator_spark.operators.profile import (  # noqa: F401
     column_profile,
+    hist_quantiles,
     histogram_drift,
     psi_terms,
     quantiles_by_rank,
@@ -73,8 +77,15 @@ from spanner_data_validator_spark.operators.skew import (  # noqa: F401
 from spanner_data_validator_spark.operators.sketch import (  # noqa: F401
     cms_build,
     cms_lookup,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
     kmv_distinct,
     kmv_distinct_by_group,
+    kmv_set_ops,
+)
+from spanner_data_validator_spark.operators.graph import (  # noqa: F401
+    pagerank_fixed_point,
 )
 from spanner_data_validator_spark.operators.sampling import (  # noqa: F401
     priority_sample,

@@ -2173,6 +2173,76 @@ def q_group_sample_exact(spark, sf_dir):
                               hash_fn=portable_hash60, rank_col="rank")
 
 
+@register("session_windows_dynamic", """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS t, event_id,
+         CASE WHEN event_type = 'error' THEN 1800000 ELSE 7200000 END AS gap
+  FROM events
+),
+o AS (
+  SELECT *, max(t + gap) OVER (
+      PARTITION BY user_id ORDER BY t, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM e
+),
+b AS (SELECT *, CASE WHEN prev_end IS NULL OR t >= prev_end
+                     THEN 1 ELSE 0 END AS brk
+      FROM o),
+s AS (SELECT *, sum(brk) OVER (
+          PARTITION BY user_id ORDER BY t, event_id) AS sid
+      FROM b)
+SELECT user_id,
+       CAST(min(t) AS BIGINT) AS session_start_ms,
+       CAST(max(t + gap) AS BIGINT) AS session_end_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap = 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM s GROUP BY user_id, sid
+""")
+def q_session_windows_dynamic(spark, sf_dir):
+    """REAL streaming session windows with a DYNAMIC per-event gap:
+    ``session_window(ts, CASE event_type)`` — error events extend their
+    session only 30 minutes, everything else 2 hours, so a session's
+    horizon depends on its members (the adaptive-timeout semantics fixed
+    gaps cannot express). Spark merges overlapping [ts, ts+gap) intervals
+    in the state store; the oracle replays the merge relationally (running
+    max of interval ends, break when a gap opens). Far-future sentinel
+    flushes all real sessions; its own session can never close, so it
+    never reaches the append sink."""
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    work = tempfile.mkdtemp(prefix="sdv_q_sess_dyn_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+    (spark.range(1).select(F.lit(-1).cast("long").alias("user_id"),
+                           F.lit("2100-01-01").cast("timestamp").alias("ts"),
+                           F.lit("view").alias("event_type"))
+          .write.mode("append").parquet(in_dir))
+
+    gap = (F.when(F.col("event_type") == "error", F.lit("30 minutes"))
+           .otherwise(F.lit("2 hours")))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir)
+              .withWatermark("ts", "10 minutes"))
+    agg = (stream
+           .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum((F.col("event_type") == "error").cast("long"))
+                 .alias("n_errors"))
+           .select("user_id",
+                   F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+                   F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+                   "n_events", "n_errors"))
+    q = (agg.writeStream.format("parquet").option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{work}/out")
+            .where(F.col("user_id") >= 0))
+
+
 @register("stream_scd2_enrich", """
 WITH dim AS (
   SELECT c_custkey AS k, c_mktsegment AS segment,
