@@ -2173,6 +2173,60 @@ def q_group_sample_exact(spark, sf_dir):
                               hash_fn=portable_hash60, rank_col="rank")
 
 
+@register("stream_salted_conv_counts", """
+WITH e AS (
+  SELECT ts,
+         CASE WHEN event_id % 2 = 0 THEN 'hot'
+              ELSE 'c' || CAST(user_id AS VARCHAR) END AS conv
+  FROM events
+)
+SELECT epoch_ms(date_trunc('hour', ts)) AS ws_ms, conv,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2
+""")
+def q_stream_salted_conv_counts(spark, sf_dir):
+    """Hot-key-salted TWO-PHASE streaming aggregation — the
+    conv_id-salting pattern for 10^12-turn hot conversations: phase 1
+    groups by (window, conv, salt=16) so the 'hot' conversation (half of
+    all events) spreads its state and shuffle across 16 keys; phase 2 is a
+    CHAINED stateful aggregation (window-on-window, Spark's multiple
+    stateful operators support) summing the partials per (window, conv).
+    Emitted counts equal the unsalted batch aggregate exactly — the oracle
+    is the plain per-conv hourly count."""
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_id") % 2 == 0, "hot")
+         .otherwise(F.concat(F.lit("c"), F.col("user_id"))).alias("conv"),
+        (F.col("event_id") % 16).alias("salt"))
+    work = tempfile.mkdtemp(prefix="sdv_q_salted_stream_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+    (spark.range(1)
+     .select(F.lit("2100-01-01").cast("timestamp").alias("ts"),
+             F.lit("zz").alias("conv"), F.lit(0).cast("long").alias("salt"))
+     .write.mode("append").parquet(in_dir))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir)
+              .withWatermark("ts", "10 minutes"))
+    partial = (stream
+               .groupBy(F.window("ts", "1 hour").alias("w"), "conv", "salt")
+               .agg(F.count(F.lit(1)).alias("pc")))
+    final = (partial
+             .groupBy(F.window(F.col("w"), "1 hour").alias("w2"), "conv")
+             .agg(F.sum("pc").alias("n")))
+    q = (final.select(F.unix_millis(F.col("w2.start")).alias("ws_ms"),
+                      "conv", "n")
+         .writeStream.format("parquet").option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{work}/out")
+            .where(F.col("conv") != "zz"))
+
+
 @register("session_windows_dynamic", """
 WITH e AS (
   SELECT user_id, epoch_ms(ts) AS t, event_id,
