@@ -2173,6 +2173,65 @@ def q_group_sample_exact(spark, sf_dir):
                               hash_fn=portable_hash60, rank_col="rank")
 
 
+def _snapshot_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import (
+        portable_hash60_sql,
+    )
+
+    x = portable_hash60_sql("CAST(k AS VARCHAR)", 5)
+    return f"""
+WITH s1 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0),
+s2 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 1),
+s3 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 2),
+modes AS (
+  SELECT 'time_travel_v1' AS mode, CAST(count(*) AS BIGINT) AS n_rows,
+         bit_xor({x}) AS key_xor
+  FROM s1
+  UNION ALL
+  SELECT 'current_v3', CAST(count(*) AS BIGINT), bit_xor({x})
+  FROM (SELECT k FROM s1 UNION ALL SELECT k FROM s2 UNION ALL SELECT k FROM s3)
+  UNION ALL
+  SELECT 'incremental_1_to_3', CAST(count(*) AS BIGINT), bit_xor({x})
+  FROM (SELECT k FROM s2 UNION ALL SELECT k FROM s3)
+)
+SELECT mode, n_rows, key_xor FROM modes
+"""
+
+
+@register("snapshot_incremental_scan", _snapshot_oracle())
+def q_snapshot_incremental_scan(spark, sf_dir):
+    """Snapshot-versioned table primitives (sources/snapshots.py — the
+    Iceberg shapes the north-star pipeline consumes, runnable without the
+    runtime jar): three append commits, then (a) time travel to v1, (b)
+    the current table, and (c) the INCREMENTAL scan v1->v3 — a pure
+    file-set difference between two manifests that reads none of the older
+    data (the property that makes continuous validation affordable: each
+    round touches only new files). Counts + key checksums per mode,
+    oracle-reconstructed from the same slices."""
+    import tempfile
+
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.sources import snapshots as snap
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_orderkey").alias("k"))
+    table = tempfile.mkdtemp(prefix="sdv_q_snap_") + "/orders_t"
+    for m in (0, 1, 2):
+        snap.commit(orders.where(F.col("k") % 3 == m), table)
+
+    def digest(df, mode):
+        return (df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                       F.bit_xor(portable_hash60(F.col("k").cast("string"), 5))
+                        .alias("key_xor"))
+                .select(F.lit(mode).alias("mode"), "n_rows", "key_xor"))
+
+    return (digest(snap.read_snapshot(spark, table, 1), "time_travel_v1")
+            .unionByName(digest(snap.read_snapshot(spark, table),
+                                "current_v3"))
+            .unionByName(digest(snap.read_incremental(spark, table, 1, 3),
+                                "incremental_1_to_3")))
+
+
 @register("stream_salted_conv_counts", """
 WITH e AS (
   SELECT ts,

@@ -1,0 +1,132 @@
+"""Snapshot-versioned parquet tables: time travel + incremental scans.
+
+The north-star pipeline consumes *Iceberg incremental-scan streams*; this
+sandbox has no Iceberg runtime jar, so this module implements the three
+table-format primitives the validator actually depends on, over plain
+parquet + JSON metadata — the same shapes Iceberg's spec defines
+(snapshots pointing at immutable data files; incremental reads = the file
+set difference between two snapshots):
+
+* ``commit``            — append an immutable set of data files, record a
+                          new snapshot whose manifest lists ALL live files
+                          (Iceberg: snapshot + manifest list).
+* ``read_snapshot``     — time travel: scan exactly the files of snapshot
+                          N (Iceberg: ``VERSION AS OF``).
+* ``read_incremental``  — the rows appended between two snapshots = scan
+                          of the file-set difference, never a data diff
+                          (Iceberg: incremental append scan). At 100 TB
+                          this is THE property that makes continuous
+                          validation affordable: each validation round
+                          reads only new files.
+
+Metadata is a tiny JSON document per snapshot (``metadata/v<N>.json``)
+plus a ``metadata/version-hint.txt`` pointing at the current version —
+deliberately the same layout trick as Iceberg's HadoopCatalog. Data files
+are immutable once committed; commits never rewrite them (append-only —
+upsert semantics live in streaming/sink.merge_into_iceberg, proven
+against DuckDB in test_repair.py).
+
+Reference analogue: the BigQuery/Spanner sinks and snapshot reads of the
+reference pipeline (JDBCToSpannerDVTWithHash.java) assume the warehouse
+tracks versions; here the engine carries its own version log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _meta_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "metadata")
+
+
+def _hint_path(table_dir: str) -> str:
+    return os.path.join(_meta_dir(table_dir), "version-hint.txt")
+
+
+def current_version(table_dir: str) -> int:
+    """Latest committed snapshot version (0 = empty table, no commits)."""
+    try:
+        with open(_hint_path(table_dir)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def _load_meta(table_dir: str, version: int) -> dict:
+    with open(os.path.join(_meta_dir(table_dir), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def commit(df: DataFrame, table_dir: str, *, files: int = 1) -> int:
+    """Write ``df`` as a new immutable file set and commit snapshot N+1.
+
+    Returns the new version. The new snapshot's manifest = parent's files
+    + this commit's files; data files are never modified or re-listed
+    individually by readers — every scan resolves through a manifest.
+    ``files`` controls the file count of the commit (real commits carry
+    many; tests use 1 for determinism).
+    """
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    parent = current_version(table_dir)
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table_dir, "data", f"commit-{commit_id}")
+    df.coalesce(files).write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet"))
+    prev = _load_meta(table_dir, parent)["files"] if parent else []
+    version = parent + 1
+    meta = {"version": version, "parent": parent,
+            "files": prev + new_files,
+            "added_files": new_files}
+    tmp = os.path.join(_meta_dir(table_dir), f".v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, os.path.join(_meta_dir(table_dir), f"v{version}.json"))
+    with open(_hint_path(table_dir), "w") as f:
+        f.write(str(version))
+    return version
+
+
+def snapshot_files(table_dir: str, version: int) -> list[str]:
+    """All live data files of snapshot ``version`` (empty for version 0)."""
+    return [] if version == 0 else _load_meta(table_dir, version)["files"]
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  version: int | None = None) -> DataFrame:
+    """Time travel: the table exactly as of snapshot ``version``
+    (default: current). Scans only that snapshot's manifest files."""
+    v = current_version(table_dir) if version is None else v_check(
+        table_dir, version)
+    files = snapshot_files(table_dir, v)
+    if not files:
+        raise ValueError(f"snapshot {v} of {table_dir} is empty")
+    return spark.read.parquet(*files)
+
+
+def read_incremental(spark: SparkSession, table_dir: str,
+                     from_version: int, to_version: int) -> DataFrame:
+    """Rows appended AFTER ``from_version`` up to ``to_version`` — the
+    incremental append scan: a pure file-set difference resolved from two
+    manifests, reading none of the older data."""
+    v_check(table_dir, to_version)
+    if not 0 <= from_version <= to_version:
+        raise ValueError(f"bad incremental range {from_version}..{to_version}")
+    old = set(snapshot_files(table_dir, from_version))
+    new = [f for f in snapshot_files(table_dir, to_version) if f not in old]
+    if not new:
+        return read_snapshot(spark, table_dir, to_version).limit(0)
+    return spark.read.parquet(*new)
+
+
+def v_check(table_dir: str, version: int) -> int:
+    cur = current_version(table_dir)
+    if not 1 <= version <= cur:
+        raise ValueError(f"snapshot {version} not in [1, {cur}]")
+    return version

@@ -1,0 +1,58 @@
+"""Snapshot-versioned parquet tables (sources/snapshots.py)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.sources import snapshots as snap
+
+
+def _table(spark):
+    d = tempfile.mkdtemp(prefix="sdv_t_snap_") + "/t"
+    for lo, hi in ((0, 10), (10, 25), (25, 30)):
+        snap.commit(spark.range(lo, hi).select(F.col("id").alias("k")), d)
+    return d
+
+
+def test_versions_and_time_travel(spark):
+    d = _table(spark)
+    assert snap.current_version(d) == 3
+    assert snap.read_snapshot(spark, d, 1).count() == 10
+    assert snap.read_snapshot(spark, d, 2).count() == 25
+    assert snap.read_snapshot(spark, d).count() == 30
+
+
+def test_incremental_is_file_set_difference(spark):
+    d = _table(spark)
+    inc = snap.read_incremental(spark, d, 1, 3)
+    got = sorted(r["k"] for r in inc.collect())
+    assert got == list(range(10, 30))
+    # the scan must touch ONLY the files added after v1 — no old data read
+    v1_files = set(snap.snapshot_files(d, 1))
+    assert v1_files and not (set(inc.inputFiles()) & v1_files)
+
+
+def test_incremental_empty_range(spark):
+    d = _table(spark)
+    assert snap.read_incremental(spark, d, 3, 3).count() == 0
+
+
+def test_bad_versions_raise(spark):
+    d = _table(spark)
+    with pytest.raises(ValueError):
+        snap.read_snapshot(spark, d, 4)
+    with pytest.raises(ValueError):
+        snap.read_snapshot(spark, d, 0)
+    with pytest.raises(ValueError):
+        snap.read_incremental(spark, d, -1, 2)
+
+
+def test_commits_are_immutable_appends(spark):
+    d = _table(spark)
+    f1 = snap.snapshot_files(d, 1)
+    f3 = snap.snapshot_files(d, 3)
+    assert set(f1) <= set(f3)  # old files still listed, never rewritten
+    assert len(f3) == 3
