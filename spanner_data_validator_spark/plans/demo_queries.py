@@ -1639,6 +1639,103 @@ def q_validate_stream_stateful_totals(spark, sf_dir):
                               user_mod=_STATEFUL_USER_MOD)
 
 
+@register("stream_snapshot_validate", _ev_transcript_cte(5))
+def q_stream_snapshot_validate(spark, sf_dir):
+    """THE north-star wiring end-to-end: source and migrated-target
+    transcripts live in two SNAPSHOT-VERSIONED tables (sources/
+    snapshots.py), each arriving in three commits plus a sentinel commit;
+    two incremental-scan STREAMS tail them by snapshot version (sources/
+    snapshot_stream.py — offsets are durable manifest versions, batches
+    are file-set differences), feed the vectorized fingerprint reduction,
+    and meet in the watermarked stateful full-outer join classifier.
+    Totals equal the batch full-outer oracle exactly — the same validation
+    the file-stream flagship runs, now over the table format the north
+    star names."""
+    import tempfile
+
+    from spanner_data_validator_spark.jobs.validate_transcripts import (
+        SENTINEL_CONV,
+        sentinel_filter,
+    )
+    from spanner_data_validator_spark.sources import snapshot_stream as st
+    from spanner_data_validator_spark.sources import snapshots as snap
+    from spanner_data_validator_spark.streaming.validate_stream import (
+        classify_stream,
+        fingerprint_stream,
+    )
+
+    src = transcripts_from_events(spark, sf_dir, user_mod=5).persist()
+    tgt = _events_transcript_target(src)
+    work = tempfile.mkdtemp(prefix="sdv_q_snapstream_")
+    src_t, tgt_t = f"{work}/src_t", f"{work}/tgt_t"
+    # commits must be EVENT-TIME-ordered (like real incremental ingest):
+    # conv-keyed waves each span the whole month, so the watermark races to
+    # month-end after commit 1 and the join drops later commits' rows as
+    # late (measured: exactly one wave of matches vanished) — day-ranged
+    # waves keep every commit ahead of the watermark the previous one set
+    wave = F.floor((F.dayofmonth("ts") - 1) / F.lit(10))
+    try:
+        for m in (0, 1, 2):
+            snap.commit(src.where(wave == m), src_t)
+            snap.commit(tgt.where(wave == m), tgt_t)
+    finally:
+        src.unpersist()
+    sent = spark.range(1).select(
+        F.lit(SENTINEL_CONV).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("system").alias("role"), F.lit("sentinel").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2100-01-01").cast("timestamp").alias("ts"))
+    snap.commit(sent, src_t)
+    snap.commit(sent, tgt_t)
+
+    st.register(spark)
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp")
+
+    def tail(table):
+        return (spark.readStream.format(st.SOURCE_NAME)
+                .option("table_dir", table).option("schema", ddl)
+                .option("versions_per_trigger", 1)
+                .option("cursor_file", f"{table}.cursor").load()
+                .withWatermark("ts", "10 minutes"))
+
+    out = (classify_stream(fingerprint_stream(tail(src_t)),
+                           fingerprint_stream(tail(tgt_t)),
+                           band="2 hours")
+           .where(sentinel_filter()))
+    q = (out.select("status")
+         .writeStream.format("parquet").option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append")
+         .trigger(processingTime="200 milliseconds").start())
+    # drain: BOTH sources at v4 and a no-data trigger after (so the
+    # sentinel-advanced watermark has emitted the outer-join timeouts)
+    import ast as _ast
+    import time as _time
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        if q.exception():
+            raise q.exception()
+        p = q.lastProgress
+        if p is not None and (p["numInputRows"] or 0) == 0:
+            ends = []
+            for s in p["sources"]:
+                e = s.get("endOffset")
+                ends.append(int(_ast.literal_eval(e)["v"])
+                            if isinstance(e, str) else
+                            (int(e["v"]) if e else 0))
+            if ends and min(ends) >= 4:
+                break
+        _time.sleep(0.25)
+    else:
+        q.stop()
+        raise TimeoutError("snapshot validate stream did not drain")
+    q.stop()
+    return (spark.read.parquet(f"{work}/out")
+            .groupBy("status").agg(F.count(F.lit(1)).alias("n")))
+
+
 @register("stream_dedup_lang_counts", """
 WITH corpus AS (
   SELECT doc_id, text, lang FROM documents
