@@ -310,6 +310,22 @@ def hll_alpha_mm(m: int) -> float:
     return (0.7213 / (1.0 + 1.079 / m)) * m * m
 
 
+def hll_reg_rho(value: Column, *, m: int = 256,
+                seed: int = 7) -> tuple[Column, Column]:
+    """The (register index, rank) column pair — exposed separately so
+    STREAMING pipelines can group them under a time window (the batch path
+    wraps them in :func:`hll_registers`)."""
+    if m & (m - 1) or m < 64:
+        raise ValueError("m must be a power of two >= 64")
+    b = m.bit_length() - 1
+    h = portable_hash60(value, seed)
+    reg = h.bitwiseAND(F.lit(m - 1))
+    rest = F.shiftright(h, b).bitwiseAND(F.lit((1 << HLL_W) - 1))
+    bitlen = F.when(rest > 0, F.length(F.bin(rest))).otherwise(F.lit(0))
+    rho = F.lit(HLL_W + 1) - bitlen
+    return reg, rho
+
+
 def hll_registers(df: DataFrame, group_cols: list[str], value: Column,
                   *, m: int = 256, seed: int = 7) -> DataFrame:
     """(group_cols..., reg, mj): the HLL register table, <= m rows per group.
@@ -319,16 +335,24 @@ def hll_registers(df: DataFrame, group_cols: list[str], value: Column,
     collapses to <= m rows per group per partition — this IS sketch
     mergeability, executed by Spark's two-phase aggregate.
     """
-    if m & (m - 1) or m < 64:
-        raise ValueError("m must be a power of two >= 64")
-    b = m.bit_length() - 1
-    h = portable_hash60(value, seed)
-    reg = h.bitwiseAND(F.lit(m - 1))
-    rest = F.shiftright(h, b).bitwiseAND(F.lit((1 << HLL_W) - 1))
-    bitlen = F.when(rest > 0, F.length(F.bin(rest))).otherwise(F.lit(0))
-    rho = (F.lit(HLL_W + 1) - bitlen).alias("rho")
-    return (df.select(*group_cols, reg.alias("reg"), rho)
+    reg, rho = hll_reg_rho(value, m=m, seed=seed)
+    return (df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
             .groupBy(*group_cols, "reg").agg(F.max("rho").alias("mj")))
+
+
+def hll_estimate_expr(nonempty: Column, s_num: Column,
+                      *, m: int = 256) -> Column:
+    """The estimator over (nonempty register count, scaled-integer harmonic
+    numerator) — shared by the batch and streaming paths."""
+    amm = hll_alpha_mm(m)
+    v = (F.lit(m) - nonempty).cast("long")
+    s_int = s_num + v * F.lit(_HLL_SCALE)
+    s = s_int.cast("double") / F.lit(float(_HLL_SCALE))
+    raw = F.lit(amm) / s
+    return F.round(
+        F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+               F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+               ).otherwise(raw), 2)
 
 
 def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -346,22 +370,15 @@ def hll_estimate(regs: DataFrame, group_cols: list[str],
     2.5*m with empty registers, exactly as published; no large-range
     correction is needed in a 60-bit hash space.
     """
-    amm = hll_alpha_mm(m)
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("nonempty"),
         F.sum(F.pow(F.lit(2.0),
                     (F.lit(HLL_W + 1) - F.col("mj")).cast("double"))
               .cast("long")).alias("s_num"))
-    v = (F.lit(m) - F.col("nonempty")).cast("long")
-    s_int = F.col("s_num") + v * F.lit(_HLL_SCALE)
-    s = s_int.cast("double") / F.lit(float(_HLL_SCALE))
-    raw = F.lit(amm) / s
-    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
-                 F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
-                 ).otherwise(raw)
     return agg.select(*group_cols,
                       F.col("nonempty").cast("long").alias("nonempty"),
-                      F.round(est, 2).alias("hll_estimate"))
+                      hll_estimate_expr(F.col("nonempty"), F.col("s_num"),
+                                        m=m).alias("hll_estimate"))
 
 
 def hll_registers_sql(source_sql: str, group_exprs: str, expr: str,

@@ -2329,6 +2329,78 @@ def q_snapshot_incremental_scan(spark, sf_dir):
                                 "incremental_1_to_3")))
 
 
+def _stream_hll_oracle() -> str:
+    from spanner_data_validator_spark.operators.sketch import (
+        hll_estimate_sql,
+        hll_registers_sql,
+    )
+
+    src = ("SELECT epoch_ms(date_trunc('hour', ts) "
+           "- INTERVAL (EXTRACT(hour FROM ts) % 6) HOUR) AS ws_ms, "
+           "CAST(user_id AS VARCHAR) AS u FROM events")
+    regs = hll_registers_sql(src, "ws_ms", "u")
+    return f"""
+WITH est AS ({hll_estimate_sql(regs, "ws_ms")})
+SELECT ws_ms, nonempty, hll_estimate FROM est
+"""
+
+
+@register("stream_hll_window_users", _stream_hll_oracle())
+def q_stream_hll_window_users(spark, sf_dir):
+    """BOUNDED-STATE streaming distinct counting: per-6h-window distinct
+    users estimated by an in-stream HyperLogLog — phase 1 is a stateful
+    (window, register) max-rank aggregation whose state is windows x m=256
+    rows REGARDLESS of user cardinality (exact streaming distinct is
+    unbounded state — the thing this replaces at 10^12 rows), phase 2
+    chains a second stateful window aggregation folding registers into the
+    estimate. The oracle recomputes the identical register math per window
+    in batch; estimator accuracy itself is characterized by
+    hll_distinct_by_type."""
+    import tempfile
+
+    from spanner_data_validator_spark.operators.sketch import (
+        hll_estimate_expr,
+        hll_reg_rho,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("string").alias("u"))
+    work = tempfile.mkdtemp(prefix="sdv_q_streamhll_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+    (spark.range(1)
+     .select(F.lit("2100-01-01").cast("timestamp").alias("ts"),
+             F.lit("sentinel").alias("u"))
+     .write.mode("append").parquet(in_dir))
+
+    reg, rho = hll_reg_rho(F.col("u"))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir)
+              .withWatermark("ts", "10 minutes")
+              .select("ts", reg.alias("reg"), rho.alias("rho")))
+    regs = (stream
+            .groupBy(F.window("ts", "6 hours").alias("w"), "reg")
+            .agg(F.max("rho").alias("mj")))
+    est = (regs
+           .groupBy(F.window(F.col("w"), "6 hours").alias("w2"))
+           .agg(F.count(F.lit(1)).alias("nonempty"),
+                F.sum(F.pow(F.lit(2.0),
+                            (F.lit(51) - F.col("mj")).cast("double"))
+                      .cast("long")).alias("s_num"))
+           .select(F.unix_millis(F.col("w2.start")).alias("ws_ms"),
+                   F.col("nonempty").cast("long").alias("nonempty"),
+                   hll_estimate_expr(F.col("nonempty"), F.col("s_num"))
+                    .alias("hll_estimate")))
+    q = (est.writeStream.format("parquet").option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # the sentinel's own far-future window never closes, so the sink holds
+    # exactly the real windows
+    return spark.read.parquet(f"{work}/out")
+
+
 @register("stream_salted_conv_counts", """
 WITH e AS (
   SELECT ts,
