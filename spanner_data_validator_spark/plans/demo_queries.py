@@ -1584,6 +1584,25 @@ SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY status
 _STATEFUL_USER_MOD = 10
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _shuffle_partitions(spark, n: int):
+    """Scope the state/shuffle partition count for small streaming demos:
+    every micro-batch commits one state store PER PARTITION per stateful
+    operator, so a 20k-row demo at 32 partitions pays 32x(ops) store
+    commits per trigger for empty partitions (measured: the snapshot
+    validate demo dropped 51.5 s -> much less at 8). Production sizes this
+    to rate x state, not to the session default."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _run_stream_totals(spark, sf_dir, engine, *, user_mod: int | None = None):
     import tempfile
 
@@ -1694,9 +1713,11 @@ def q_stream_snapshot_validate(spark, sf_dir):
            "tool string, ts timestamp")
 
     def tail(table):
+        # two snapshots per micro-batch: same incremental semantics, half
+        # the trigger/state-commit overhead on the demo corpus
         return (spark.readStream.format(st.SOURCE_NAME)
                 .option("table_dir", table).option("schema", ddl)
-                .option("versions_per_trigger", 1)
+                .option("versions_per_trigger", 2)
                 .option("cursor_file", f"{table}.cursor").load()
                 .withWatermark("ts", "10 minutes"))
 
@@ -1704,11 +1725,12 @@ def q_stream_snapshot_validate(spark, sf_dir):
                            fingerprint_stream(tail(tgt_t)),
                            band="2 hours")
            .where(sentinel_filter()))
-    q = (out.select("status")
-         .writeStream.format("parquet").option("path", f"{work}/out")
-         .option("checkpointLocation", f"{work}/ckpt")
-         .outputMode("append")
-         .trigger(processingTime="200 milliseconds").start())
+    with _shuffle_partitions(spark, 8):
+        q = (out.select("status")
+             .writeStream.format("parquet").option("path", f"{work}/out")
+             .option("checkpointLocation", f"{work}/ckpt")
+             .outputMode("append")
+             .trigger(processingTime="200 milliseconds").start())
     # drain: BOTH sources at v4 and a no-data trigger after (so the
     # sentinel-advanced watermark has emitted the outer-join timeouts)
     import ast as _ast
@@ -2270,6 +2292,66 @@ def q_group_sample_exact(spark, sf_dir):
                               hash_fn=portable_hash60, rank_col="rank")
 
 
+def _snapshot_writer_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import (
+        portable_hash60_sql,
+    )
+
+    x = portable_hash60_sql("CAST(k AS VARCHAR)", 5)
+    return f"""
+WITH s1 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0),
+s2 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 1),
+modes AS (
+  SELECT 'v1' AS mode, CAST(count(*) AS BIGINT) AS n_rows,
+         bit_xor({x}) AS key_xor
+  FROM s1
+  UNION ALL
+  SELECT 'v2', CAST(count(*) AS BIGINT), bit_xor({x})
+  FROM (SELECT k FROM s1 UNION ALL SELECT k FROM s2)
+  UNION ALL
+  SELECT 'incr_1_2', CAST(count(*) AS BIGINT), bit_xor({x}) FROM s2
+)
+SELECT mode, n_rows, key_xor FROM modes
+"""
+
+
+@register("snapshot_writer_roundtrip", _snapshot_writer_oracle())
+def q_snapshot_writer_roundtrip(spark, sf_dir):
+    """The table format's WRITE path through Spark's sink seam
+    (sources/snapshot_sink.py, DataSourceArrowWriter): each save() streams
+    every task's Arrow batches into its own pending parquet file, and the
+    driver's commit registers them as ONE atomic snapshot (two-phase
+    commit; aborted/zombie task files stay invisible because readers
+    resolve scans through manifests only). Two multi-partition writes,
+    then time-travel / current / incremental digests — the same numbers
+    the oracle reconstructs from the slices."""
+    import tempfile
+
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.sources import snapshot_sink as sk
+    from spanner_data_validator_spark.sources import snapshots as snap
+
+    sk.register(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_orderkey").alias("k"))
+    table = tempfile.mkdtemp(prefix="sdv_q_snapsink_") + "/t"
+    for m in (0, 1):
+        (orders.where(F.col("k") % 2 == m).repartition(4)
+         .write.format(sk.SINK_NAME).option("table_dir", table)
+         .mode("append").save())
+
+    def digest(df, mode):
+        return (df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                       F.bit_xor(portable_hash60(F.col("k").cast("string"), 5))
+                        .alias("key_xor"))
+                .select(F.lit(mode).alias("mode"), "n_rows", "key_xor"))
+
+    return (digest(snap.read_snapshot(spark, table, 1), "v1")
+            .unionByName(digest(snap.read_snapshot(spark, table), "v2"))
+            .unionByName(digest(snap.read_incremental(spark, table, 1, 2),
+                                "incr_1_2")))
+
+
 def _snapshot_oracle() -> str:
     from spanner_data_validator_spark.functions.hashing import (
         portable_hash60_sql,
@@ -2392,10 +2474,12 @@ def q_stream_hll_window_users(spark, sf_dir):
                    F.col("nonempty").cast("long").alias("nonempty"),
                    hll_estimate_expr(F.col("nonempty"), F.col("s_num"))
                     .alias("hll_estimate")))
-    q = (est.writeStream.format("parquet").option("path", f"{work}/out")
-         .option("checkpointLocation", f"{work}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _shuffle_partitions(spark, 8):
+        q = (est.writeStream.format("parquet")
+             .option("path", f"{work}/out")
+             .option("checkpointLocation", f"{work}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     # the sentinel's own far-future window never closes, so the sink holds
     # exactly the real windows
     return spark.read.parquet(f"{work}/out")
@@ -2445,12 +2529,13 @@ def q_stream_salted_conv_counts(spark, sf_dir):
     final = (partial
              .groupBy(F.window(F.col("w"), "1 hour").alias("w2"), "conv")
              .agg(F.sum("pc").alias("n")))
-    q = (final.select(F.unix_millis(F.col("w2.start")).alias("ws_ms"),
-                      "conv", "n")
-         .writeStream.format("parquet").option("path", f"{work}/out")
-         .option("checkpointLocation", f"{work}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _shuffle_partitions(spark, 8):
+        q = (final.select(F.unix_millis(F.col("w2.start")).alias("ws_ms"),
+                          "conv", "n")
+             .writeStream.format("parquet").option("path", f"{work}/out")
+             .option("checkpointLocation", f"{work}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.read.parquet(f"{work}/out")
             .where(F.col("conv") != "zz"))
 
@@ -2517,10 +2602,12 @@ def q_session_windows_dynamic(spark, sf_dir):
                    F.unix_millis(F.col("w.start")).alias("session_start_ms"),
                    F.unix_millis(F.col("w.end")).alias("session_end_ms"),
                    "n_events", "n_errors"))
-    q = (agg.writeStream.format("parquet").option("path", f"{work}/out")
-         .option("checkpointLocation", f"{work}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _shuffle_partitions(spark, 8):
+        q = (agg.writeStream.format("parquet")
+             .option("path", f"{work}/out")
+             .option("checkpointLocation", f"{work}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.read.parquet(f"{work}/out")
             .where(F.col("user_id") >= 0))
 

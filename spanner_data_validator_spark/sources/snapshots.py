@@ -62,6 +62,32 @@ def _load_meta(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def commit_files(table_dir: str, new_files: list[str]) -> int:
+    """Register an already-written immutable file set as snapshot N+1.
+
+    The atomic step of every commit path (the DataFrame writer below and
+    the Python DataSource sink in ``snapshot_sink.py`` both end here):
+    metadata is written to a temp file and renamed, then the version hint
+    flips — a reader either sees the whole snapshot or none of it, and
+    files never referenced by a manifest (e.g. from an aborted write) are
+    invisible to every reader.
+    """
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    parent = current_version(table_dir)
+    prev = _load_meta(table_dir, parent)["files"] if parent else []
+    version = parent + 1
+    meta = {"version": version, "parent": parent,
+            "files": prev + sorted(new_files),
+            "added_files": sorted(new_files)}
+    tmp = os.path.join(_meta_dir(table_dir), f".v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, os.path.join(_meta_dir(table_dir), f"v{version}.json"))
+    with open(_hint_path(table_dir), "w") as f:
+        f.write(str(version))
+    return version
+
+
 def commit(df: DataFrame, table_dir: str, *, files: int = 1) -> int:
     """Write ``df`` as a new immutable file set and commit snapshot N+1.
 
@@ -71,26 +97,13 @@ def commit(df: DataFrame, table_dir: str, *, files: int = 1) -> int:
     ``files`` controls the file count of the commit (real commits carry
     many; tests use 1 for determinism).
     """
-    os.makedirs(_meta_dir(table_dir), exist_ok=True)
-    parent = current_version(table_dir)
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", f"commit-{commit_id}")
     df.coalesce(files).write.parquet(data_dir)
     new_files = sorted(
         os.path.join(data_dir, f) for f in os.listdir(data_dir)
         if f.endswith(".parquet"))
-    prev = _load_meta(table_dir, parent)["files"] if parent else []
-    version = parent + 1
-    meta = {"version": version, "parent": parent,
-            "files": prev + new_files,
-            "added_files": new_files}
-    tmp = os.path.join(_meta_dir(table_dir), f".v{version}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.rename(tmp, os.path.join(_meta_dir(table_dir), f"v{version}.json"))
-    with open(_hint_path(table_dir), "w") as f:
-        f.write(str(version))
-    return version
+    return commit_files(table_dir, new_files)
 
 
 def snapshot_files(table_dir: str, version: int) -> list[str]:

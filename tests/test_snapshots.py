@@ -56,3 +56,67 @@ def test_commits_are_immutable_appends(spark):
     f3 = snap.snapshot_files(d, 3)
     assert set(f1) <= set(f3)  # old files still listed, never rewritten
     assert len(f3) == 3
+
+
+class TestSnapshotCommitWriter:
+    """Python DataSource sink with atomic snapshot commit
+    (sources/snapshot_sink.py)."""
+
+    def test_one_save_one_snapshot_many_task_files(self, spark):
+        import tempfile
+
+        from spanner_data_validator_spark.sources import snapshot_sink as sk
+        sk.register(spark)
+        d = tempfile.mkdtemp(prefix="sdv_t_sink_") + "/t"
+        (spark.range(900).select(F.col("id").alias("k")).repartition(6)
+         .write.format(sk.SINK_NAME).option("table_dir", d)
+         .mode("append").save())
+        assert snap.current_version(d) == 1
+        assert len(snap.snapshot_files(d, 1)) == 6
+        assert snap.read_snapshot(spark, d).count() == 900
+
+    def test_empty_partitions_write_no_files(self, spark):
+        import tempfile
+
+        from spanner_data_validator_spark.sources import snapshot_sink as sk
+        sk.register(spark)
+        d = tempfile.mkdtemp(prefix="sdv_t_sink_empty_") + "/t"
+        (spark.range(3).select(F.col("id").alias("k")).repartition(16)
+         .write.format(sk.SINK_NAME).option("table_dir", d)
+         .mode("append").save())
+        assert len(snap.snapshot_files(d, 1)) <= 3
+        assert snap.read_snapshot(spark, d).count() == 3
+
+    def test_orphan_pending_files_invisible(self, spark):
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from spanner_data_validator_spark.sources import snapshot_sink as sk
+        sk.register(spark)
+        d = tempfile.mkdtemp(prefix="sdv_t_sink_orphan_") + "/t"
+        (spark.range(10).select(F.col("id").alias("k"))
+         .write.format(sk.SINK_NAME).option("table_dir", d)
+         .mode("append").save())
+        # a zombie task's file that no commit ever referenced
+        orphan_dir = os.path.join(d, "data", "pending-zombie")
+        os.makedirs(orphan_dir)
+        pq.write_table(pa.table({"k": [999]}),
+                       os.path.join(orphan_dir, "part.parquet"))
+        assert snap.read_snapshot(spark, d).count() == 10  # orphan unseen
+
+    def test_overwrite_mode_rejected(self, spark):
+        import tempfile
+
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        from spanner_data_validator_spark.sources import snapshot_sink as sk
+        sk.register(spark)
+        d = tempfile.mkdtemp(prefix="sdv_t_sink_ow_") + "/t"
+        with pytest.raises((ValueError, Py4JJavaError, Exception)):
+            (spark.range(3).select(F.col("id").alias("k"))
+             .write.format(sk.SINK_NAME).option("table_dir", d)
+             .mode("overwrite").save())
