@@ -2352,6 +2352,57 @@ def q_snapshot_writer_roundtrip(spark, sf_dir):
                                 "incr_1_2")))
 
 
+def _stream_into_snapshot_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import (
+        portable_hash60_sql,
+    )
+
+    x = portable_hash60_sql("CAST(event_id AS VARCHAR)", 5)
+    return f"""
+SELECT CAST(2 AS BIGINT) AS n_versions,
+       CAST(count(*) AS BIGINT) AS total_rows,
+       bit_xor({x}) AS key_xor
+FROM events
+"""
+
+
+@register("stream_into_snapshot_table", _stream_into_snapshot_oracle())
+def q_stream_into_snapshot_table(spark, sf_dir):
+    """STREAMING writes into the table format: every micro-batch commits
+    as one atomic snapshot through the Python DataSource stream writer
+    (sources/snapshot_sink.py), exactly-once via the batch-id fence file —
+    a replayed micro-batch recognizes its own id and drops its fresh files
+    as invisible orphans. Two micro-batches (maxFilesPerTrigger=2 over 4
+    input files) -> snapshot versions 1 and 2; the digest of the final
+    table must equal the batch input exactly, and the version count proves
+    one-commit-per-batch."""
+    import tempfile
+
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.sources import snapshot_sink as sk
+    from spanner_data_validator_spark.sources import snapshots as snap
+
+    sk.register(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    work = tempfile.mkdtemp(prefix="sdv_q_streamsink_")
+    ev.repartition(4).write.parquet(f"{work}/in")
+    table = f"{work}/t"
+    stream = (spark.readStream.schema("event_id long")
+              .option("maxFilesPerTrigger", 2).parquet(f"{work}/in"))
+    q = (stream.writeStream.format(sk.SINK_NAME)
+         .option("table_dir", table)
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    t = snap.read_snapshot(spark, table)
+    return (t.agg(F.count(F.lit(1)).cast("long").alias("total_rows"),
+                  F.bit_xor(portable_hash60(
+                      F.col("event_id").cast("string"), 5)).alias("key_xor"))
+            .select(F.lit(snap.current_version(table)).cast("long")
+                     .alias("n_versions"),
+                    "total_rows", "key_xor"))
+
+
 def _snapshot_oracle() -> str:
     from spanner_data_validator_spark.functions.hashing import (
         portable_hash60_sql,

@@ -29,6 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -80,9 +81,60 @@ class _SnapshotCommitWriter(DataSourceArrowWriter):
                 shutil.rmtree(os.path.dirname(m.path), ignore_errors=True)
 
 
+class _SnapshotStreamCommitWriter(DataSourceStreamArrowWriter,
+                                  _SnapshotCommitWriter):
+    """Streaming sink: one micro-batch = one snapshot commit, EXACTLY ONCE.
+
+    The engine replays a logged-but-uncommitted micro-batch after recovery
+    under the SAME batch id; the fence file (``metadata/stream-commits.txt``,
+    appended only after the snapshot commit) lets the replayed commit
+    recognize itself and skip — the same batch-id fencing discipline as
+    ``streaming/sink.TallyForeachBatch``, implemented at the table-format
+    layer. The replay's fresh pending files become orphans, which readers
+    never see (manifest-resolved scans).
+    """
+
+    # the abstract streaming `write` precedes the batch implementation in
+    # the MRO — delegate explicitly (same per-task pending-file protocol)
+    def write(self, iterator):
+        return _SnapshotCommitWriter.write(self, iterator)
+
+    def _fence_path(self) -> str:
+        return os.path.join(self.table_dir, "metadata", "stream-commits.txt")
+
+    def _committed_batches(self) -> set[int]:
+        try:
+            with open(self._fence_path()) as f:
+                return {int(line.split("\t")[0])
+                        for line in f if line.strip()}
+        except FileNotFoundError:
+            return set()
+
+    def commit(self, messages, batchId: int) -> None:
+        from spanner_data_validator_spark.sources import snapshots as snap
+
+        if batchId in self._committed_batches():
+            self.abort(messages, batchId)  # replay: drop the fresh files
+            return
+        files = [m.path for m in messages if m is not None and m.path]
+        version = snap.commit_files(self.table_dir, files) if files else None
+        os.makedirs(os.path.dirname(self._fence_path()), exist_ok=True)
+        with open(self._fence_path(), "a") as f:
+            f.write(f"{batchId}\t{version}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        for m in messages:
+            if m is not None and m.path:
+                shutil.rmtree(os.path.dirname(m.path), ignore_errors=True)
+
+
 class SnapshotCommitDataSource(DataSource):
     """``df.write.format("sdv_snapshot_commit").option("table_dir", d)
-    .mode("append").save()`` — one save() call = one atomic snapshot."""
+    .mode("append").save()`` — one save() call = one atomic snapshot.
+    ``df.writeStream.format("sdv_snapshot_commit")`` — one micro-batch =
+    one batch-id-fenced snapshot commit."""
 
     @classmethod
     def name(cls) -> str:
@@ -94,6 +146,9 @@ class SnapshotCommitDataSource(DataSource):
                 "snapshot commits are append-only; use a fresh table_dir "
                 "instead of overwrite")
         return _SnapshotCommitWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _SnapshotStreamCommitWriter(self.options)
 
 
 def register(spark) -> None:

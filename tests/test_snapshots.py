@@ -120,3 +120,48 @@ class TestSnapshotCommitWriter:
             (spark.range(3).select(F.col("id").alias("k"))
              .write.format(sk.SINK_NAME).option("table_dir", d)
              .mode("overwrite").save())
+
+
+class TestSnapshotStreamWriter:
+    """Streaming micro-batch commits with batch-id fencing
+    (sources/snapshot_sink._SnapshotStreamCommitWriter)."""
+
+    def _stream_in(self, spark, n=400, files=4, per_trigger=2):
+        import tempfile
+
+        from spanner_data_validator_spark.sources import snapshot_sink as sk
+        sk.register(spark)
+        work = tempfile.mkdtemp(prefix="sdv_t_ssink_")
+        (spark.range(n).select(F.col("id").alias("k"))
+         .repartition(files).write.parquet(f"{work}/in"))
+        stream = (spark.readStream.schema("k long")
+                  .option("maxFilesPerTrigger", per_trigger)
+                  .parquet(f"{work}/in"))
+        q = (stream.writeStream.format(sk.SINK_NAME)
+             .option("table_dir", f"{work}/t")
+             .option("checkpointLocation", f"{work}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return f"{work}/t"
+
+    def test_one_snapshot_per_microbatch(self, spark):
+        t = self._stream_in(spark)
+        assert snap.current_version(t) == 2
+        out = snap.read_snapshot(spark, t)
+        assert out.count() == 400 and out.distinct().count() == 400
+
+    def test_fence_skips_replayed_batch(self, spark):
+        from spanner_data_validator_spark.sources.snapshot_sink import (
+            _SnapshotStreamCommitWriter)
+        t = self._stream_in(spark)
+        v = snap.current_version(t)
+        w = _SnapshotStreamCommitWriter({"table_dir": t})
+        w.commit([], 0)  # engine replaying batch 0 after recovery
+        assert snap.current_version(t) == v  # fenced: no new snapshot
+
+    def test_fence_records_batch_to_version(self, spark):
+        import os
+        t = self._stream_in(spark)
+        lines = open(os.path.join(t, "metadata",
+                                  "stream-commits.txt")).read().splitlines()
+        assert lines == ["0\t1", "1\t2"]
