@@ -48,3 +48,11 @@ from spanner_data_validator_spark.sources.tablespec import (  # noqa: F401
     specs_from_json_file,
     specs_to_json_file,
 )
+from spanner_data_validator_spark.sources import snapshots  # noqa: F401
+from spanner_data_validator_spark.sources.snapshot_sink import (  # noqa: F401
+    SnapshotCommitDataSource,
+)
+from spanner_data_validator_spark.sources.snapshot_stream import (  # noqa: F401
+    SnapshotTailDataSource,
+    drain_to_version,
+)
