@@ -2352,6 +2352,73 @@ def q_snapshot_writer_roundtrip(spark, sf_dir):
                                 "incr_1_2")))
 
 
+def _snapshot_compaction_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import (
+        portable_hash60_sql,
+    )
+
+    x = portable_hash60_sql("CAST(k AS VARCHAR)", 5)
+    return f"""
+WITH s1 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0),
+s2 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 1),
+s3 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 2),
+modes AS (
+  SELECT 'current_v4' AS mode, CAST(count(*) AS BIGINT) AS n_rows,
+         bit_xor({x}) AS key_xor
+  FROM (SELECT k FROM s1 UNION ALL SELECT k FROM s2 UNION ALL SELECT k FROM s3)
+  UNION ALL
+  SELECT 'incr_1_4', CAST(count(*) AS BIGINT), bit_xor({x})
+  FROM (SELECT k FROM s2 UNION ALL SELECT k FROM s3)
+  UNION ALL
+  SELECT 'files_before_compact', CAST(8 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'files_after_compact', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+)
+SELECT mode, n_rows, key_xor FROM modes
+"""
+
+
+@register("snapshot_compaction_scan", _snapshot_compaction_oracle())
+def q_snapshot_compaction_scan(spark, sf_dir):
+    """Table maintenance that consumers never see: two 4-file appends are
+    COMPACTED into one file (a REPLACE snapshot — snapshots.compact), then
+    a third append lands. Time travel sees the new layout (8 files -> 1,
+    +1 from the last append); the incremental scan across the whole range
+    emits ONLY the appended rows — the operation-aware walk skips the
+    rewrite, where a bare manifest set-difference would have re-emitted
+    all compacted rows (the bug class Iceberg's snapshot operations
+    exist to prevent)."""
+    import tempfile
+
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.sources import snapshots as snap
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_orderkey").alias("k"))
+    table = tempfile.mkdtemp(prefix="sdv_q_compact_") + "/t"
+    snap.commit(orders.where(F.col("k") % 3 == 0), table, files=4)
+    snap.commit(orders.where(F.col("k") % 3 == 1), table, files=4)
+    files_before = len(snap.snapshot_files(table, 2))
+    snap.compact(spark, table, files=1)
+    snap.commit(orders.where(F.col("k") % 3 == 2), table)
+    files_after = len(snap.snapshot_files(table, 3)) + 1  # + last append
+
+    def digest(df, mode):
+        return (df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                       F.bit_xor(portable_hash60(F.col("k").cast("string"), 5))
+                        .alias("key_xor"))
+                .select(F.lit(mode).alias("mode"), "n_rows", "key_xor"))
+
+    counts = spark.createDataFrame(
+        [("files_before_compact", files_before, 0),
+         ("files_after_compact", files_after, 0)],
+        "mode string, n_rows long, key_xor long")
+    return (digest(snap.read_snapshot(spark, table), "current_v4")
+            .unionByName(digest(snap.read_incremental(spark, table, 1, 4),
+                                "incr_1_4"))
+            .unionByName(counts))
+
+
 def _stream_into_snapshot_oracle() -> str:
     from spanner_data_validator_spark.functions.hashing import (
         portable_hash60_sql,

@@ -95,10 +95,10 @@ class _SnapshotTailReader(DataSourceStreamReader):
         s, e = int(start["v"]), int(end["v"])
         if e <= s:
             return []
-        old = set(snap.snapshot_files(self.table_dir, s))
-        new = [f for f in snap.snapshot_files(self.table_dir, e)
-               if f not in old]
-        return [_File(p) for p in new]
+        # operation-aware walk: REPLACE (compaction) snapshots are skipped,
+        # so table maintenance never re-emits rows into the stream
+        return [_File(p)
+                for p in snap.incremental_files(self.table_dir, s, e)]
 
     def read(self, part: _File):
         import pyarrow as pa

@@ -62,7 +62,9 @@ def _load_meta(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit_files(table_dir: str, new_files: list[str]) -> int:
+def commit_files(table_dir: str, new_files: list[str], *,
+                 operation: str = "append",
+                 removed: list[str] | None = None) -> int:
     """Register an already-written immutable file set as snapshot N+1.
 
     The atomic step of every commit path (the DataFrame writer below and
@@ -71,13 +73,30 @@ def commit_files(table_dir: str, new_files: list[str]) -> int:
     flips — a reader either sees the whole snapshot or none of it, and
     files never referenced by a manifest (e.g. from an aborted write) are
     invisible to every reader.
+
+    ``operation`` is the Iceberg snapshot-operation distinction that makes
+    table MAINTENANCE invisible to consumers: ``append`` adds rows (its
+    ``added_files`` feed incremental scans), ``replace`` rewrites existing
+    rows into new files (compaction — live file set changes, logical
+    content does not, and incremental scans SKIP it entirely).
     """
+    if operation not in ("append", "replace"):
+        raise ValueError(f"unknown snapshot operation {operation!r}")
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     parent = current_version(table_dir)
     prev = _load_meta(table_dir, parent)["files"] if parent else []
+    if operation == "replace":
+        gone = set(removed or [])
+        unknown = gone - set(prev)
+        if unknown:
+            raise ValueError(f"replace removes unknown files: {sorted(unknown)[:3]}")
+        live = [f for f in prev if f not in gone] + sorted(new_files)
+    else:
+        live = prev + sorted(new_files)
     version = parent + 1
     meta = {"version": version, "parent": parent,
-            "files": prev + sorted(new_files),
+            "operation": operation,
+            "files": live,
             "added_files": sorted(new_files)}
     tmp = os.path.join(_meta_dir(table_dir), f".v{version}.json.tmp")
     with open(tmp, "w") as f:
@@ -99,7 +118,9 @@ def commit(df: DataFrame, table_dir: str, *, files: int = 1) -> int:
     """
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", f"commit-{commit_id}")
-    df.coalesce(files).write.parquet(data_dir)
+    # repartition, not coalesce: coalesce cannot RAISE the partition count,
+    # so files > input-splits silently produced fewer files
+    df.repartition(files).write.parquet(data_dir)
     new_files = sorted(
         os.path.join(data_dir, f) for f in os.listdir(data_dir)
         if f.endswith(".parquet"))
@@ -123,23 +144,91 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     return spark.read.parquet(*files)
 
 
+def incremental_files(table_dir: str, from_version: int,
+                      to_version: int) -> list[str]:
+    """Data files carrying rows appended in (from_version, to_version]:
+    the union of APPEND snapshots' added_files — REPLACE (compaction)
+    snapshots are skipped, so maintenance rewrites are invisible to
+    incremental consumers (re-emitting compacted rows was the bug this
+    walk replaces: a bare manifest set-difference counts rewritten files
+    as new)."""
+    if not 0 <= from_version <= to_version:
+        raise ValueError(f"bad incremental range {from_version}..{to_version}")
+    out: list[str] = []
+    for v in range(from_version + 1, to_version + 1):
+        meta = _load_meta(table_dir, v)
+        if meta.get("operation", "append") == "append":
+            out.extend(meta["added_files"])
+    return out
+
+
 def read_incremental(spark: SparkSession, table_dir: str,
                      from_version: int, to_version: int) -> DataFrame:
     """Rows appended AFTER ``from_version`` up to ``to_version`` — the
-    incremental append scan: a pure file-set difference resolved from two
-    manifests, reading none of the older data."""
+    incremental append scan over :func:`incremental_files`, reading none
+    of the older data (and none of the compaction rewrites)."""
     v_check(table_dir, to_version)
-    if not 0 <= from_version <= to_version:
-        raise ValueError(f"bad incremental range {from_version}..{to_version}")
-    old = set(snapshot_files(table_dir, from_version))
-    new = [f for f in snapshot_files(table_dir, to_version) if f not in old]
+    new = incremental_files(table_dir, from_version, to_version)
     if not new:
         return read_snapshot(spark, table_dir, to_version).limit(0)
     return spark.read.parquet(*new)
+
+
+def compact(spark: SparkSession, table_dir: str, *, files: int = 1) -> int:
+    """Rewrite the current snapshot's data into ``files`` files and commit
+    it as a REPLACE snapshot — table maintenance (the small-files problem)
+    that time travel sees as a new layout and incremental scans do not see
+    at all. Returns the new version."""
+    cur = current_version(table_dir)
+    if cur == 0:
+        raise ValueError(f"{table_dir} has no snapshots to compact")
+    df = read_snapshot(spark, table_dir, cur)
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table_dir, "data", f"rewrite-{commit_id}")
+    df.coalesce(files).write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(".parquet"))
+    return commit_files(table_dir, new_files, operation="replace",
+                        removed=snapshot_files(table_dir, cur))
+
+
+def expire_snapshots(table_dir: str, *, keep_last: int = 1) -> list[str]:
+    """Drop snapshot metadata older than the last ``keep_last`` versions
+    and DELETE data files no retained manifest references. Returns the
+    deleted file paths.
+
+    The storage-reclaim side of immutable-file tables; the documented
+    trade (same as Iceberg): time travel and incremental reads from
+    expired versions stop working — including append files that a later
+    compaction rewrote, so tail consumers should be caught up past the
+    expired range first.
+    """
+    cur = current_version(table_dir)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cutoff = max(0, cur - keep_last)  # retain versions > cutoff
+    retained: set[str] = set()
+    for v in range(cutoff + 1, cur + 1):
+        retained.update(_load_meta(table_dir, v)["files"])
+    deleted: list[str] = []
+    for v in range(1, cutoff + 1):
+        meta_path = os.path.join(_meta_dir(table_dir), f"v{v}.json")
+        if not os.path.exists(meta_path):
+            continue  # already expired earlier
+        for f in _load_meta(table_dir, v)["files"]:
+            if f not in retained and os.path.exists(f):
+                os.remove(f)
+                deleted.append(f)
+        os.remove(meta_path)
+    return deleted
 
 
 def v_check(table_dir: str, version: int) -> int:
     cur = current_version(table_dir)
     if not 1 <= version <= cur:
         raise ValueError(f"snapshot {version} not in [1, {cur}]")
+    if not os.path.exists(os.path.join(_meta_dir(table_dir),
+                                       f"v{version}.json")):
+        raise ValueError(f"snapshot {version} of {table_dir} is expired")
     return version

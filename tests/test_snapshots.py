@@ -165,3 +165,79 @@ class TestSnapshotStreamWriter:
         lines = open(os.path.join(t, "metadata",
                                   "stream-commits.txt")).read().splitlines()
         assert lines == ["0\t1", "1\t2"]
+
+
+class TestCompactionAndExpiry:
+    """Replace snapshots (maintenance), incremental invisibility, expiry."""
+
+    def test_compaction_invisible_to_incremental(self, spark):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sdv_t_compact_") + "/t"
+        snap.commit(spark.range(0, 100).select(F.col("id").alias("k")), d,
+                    files=4)
+        snap.commit(spark.range(100, 150).select(F.col("id").alias("k")), d,
+                    files=4)
+        v_compact = snap.compact(spark, d, files=1)
+        assert v_compact == 3
+        snap.commit(spark.range(150, 180).select(F.col("id").alias("k")), d)
+        # time travel sees the rewrite: current layout is compact
+        assert len(snap.snapshot_files(d, 3)) == 1
+        assert snap.read_snapshot(spark, d).count() == 180
+        # incremental across the compaction: ONLY the appended rows, the
+        # rewrite re-emits nothing (a bare file-set difference would have
+        # re-counted all 150 rewritten rows)
+        inc = snap.read_incremental(spark, d, 1, 4)
+        got = sorted(r["k"] for r in inc.collect())
+        assert got == list(range(100, 180))
+
+    def test_tail_stream_skips_compaction(self, spark):
+        import tempfile
+
+        from spanner_data_validator_spark.sources import snapshot_stream as st
+        d = tempfile.mkdtemp(prefix="sdv_t_compact_tail_") + "/t"
+        snap.commit(spark.range(0, 60).select(F.col("id").alias("k")), d)
+        snap.compact(spark, d, files=1)
+        snap.commit(spark.range(60, 90).select(F.col("id").alias("k")), d)
+        st.register(spark)
+        work = tempfile.mkdtemp(prefix="sdv_t_compact_tail_run_")
+        stream = (spark.readStream.format(st.SOURCE_NAME)
+                  .option("table_dir", d).option("schema", "k long")
+                  .option("versions_per_trigger", 1)
+                  .option("cursor_file", f"{work}/cursor").load())
+        q = (stream.writeStream.format("parquet")
+             .option("path", f"{work}/out")
+             .option("checkpointLocation", f"{work}/ckpt")
+             .outputMode("append")
+             .trigger(processingTime="200 milliseconds").start())
+        st.drain_to_version(q, 3)
+        out = spark.read.parquet(f"{work}/out")
+        assert out.count() == 90 and out.distinct().count() == 90
+
+    def test_replace_rejects_unknown_removals(self, spark):
+        import tempfile
+
+        import pytest
+        d = tempfile.mkdtemp(prefix="sdv_t_replace_bad_") + "/t"
+        snap.commit(spark.range(5).select(F.col("id").alias("k")), d)
+        with pytest.raises(ValueError):
+            snap.commit_files(d, [], operation="replace",
+                              removed=["/nope.parquet"])
+
+    def test_expire_reclaims_only_unreferenced(self, spark):
+        import os
+        import tempfile
+
+        import pytest
+        d = tempfile.mkdtemp(prefix="sdv_t_expire_") + "/t"
+        snap.commit(spark.range(0, 40).select(F.col("id").alias("k")), d)
+        snap.commit(spark.range(40, 70).select(F.col("id").alias("k")), d)
+        snap.compact(spark, d, files=1)
+        deleted = snap.expire_snapshots(d, keep_last=1)
+        # v1/v2's original files are unreferenced by the compacted v3
+        assert len(deleted) == 2
+        assert all(not os.path.exists(f) for f in deleted)
+        # current snapshot fully readable after reclaim
+        assert snap.read_snapshot(spark, d).count() == 70
+        with pytest.raises(ValueError):
+            snap.read_snapshot(spark, d, 1)
