@@ -367,14 +367,16 @@ def cpu_parallel_ceiling(lo: int, hi: int, dur: float = 20.0) -> dict:
             p.join()
         return sum(q.get() for _ in range(procs))
 
-    # Two interleaved reps per level, max per level: transient interference
-    # (e.g. a JVM teardown thread) depresses whichever phase it lands on —
-    # a disturbed lo baseline once read an impossible efficiency of 1.441.
-    # The max over reps is the least-disturbed estimate of each level's
-    # capacity under TODAY's persistent weather (co-tenancy depresses every
-    # rep equally, so it still shows through).
+    # Three interleaved reps per level, max per level: transient
+    # interference (e.g. a JVM teardown thread) depresses whichever phase
+    # it lands on — a disturbed lo baseline read impossible efficiencies of
+    # 1.441 and 1.069 with two reps. The max over reps is the
+    # least-disturbed estimate of each level's capacity under TODAY's
+    # persistent weather (co-tenancy depresses every rep equally, so it
+    # still shows through); any residual >1 reading means the lo phase was
+    # disturbed in EVERY rep and should be re-probed, not believed.
     res = {lo: 0, hi: 0}
-    for _ in range(2):
+    for _ in range(3):
         for procs in (lo, hi):
             res[procs] = max(res[procs], one_level(procs))
     return {
