@@ -156,7 +156,14 @@ def incremental_files(table_dir: str, from_version: int,
         raise ValueError(f"bad incremental range {from_version}..{to_version}")
     out: list[str] = []
     for v in range(from_version + 1, to_version + 1):
-        meta = _load_meta(table_dir, v)
+        try:
+            meta = _load_meta(table_dir, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"incremental range {from_version}..{to_version} of "
+                f"{table_dir} crosses expired snapshot {v} — catch tail "
+                "consumers up before expiring, or restart them from a "
+                "retained version") from None
         if meta.get("operation", "append") == "append":
             out.extend(meta["added_files"])
     return out

@@ -241,3 +241,17 @@ class TestCompactionAndExpiry:
         assert snap.read_snapshot(spark, d).count() == 70
         with pytest.raises(ValueError):
             snap.read_snapshot(spark, d, 1)
+
+    def test_incremental_across_expired_range_raises_cleanly(self, spark):
+        import tempfile
+
+        import pytest
+        d = tempfile.mkdtemp(prefix="sdv_t_expire_inc_") + "/t"
+        snap.commit(spark.range(0, 10).select(F.col("id").alias("k")), d)
+        snap.commit(spark.range(10, 20).select(F.col("id").alias("k")), d)
+        snap.commit(spark.range(20, 30).select(F.col("id").alias("k")), d)
+        snap.expire_snapshots(d, keep_last=1)
+        with pytest.raises(ValueError, match="expired"):
+            snap.read_incremental(spark, d, 0, 3)
+        # within the retained range still fine (no metas crossed): 3..3
+        assert snap.read_incremental(spark, d, 3, 3).count() == 0
