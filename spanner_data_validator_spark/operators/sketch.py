@@ -372,9 +372,13 @@ def hll_estimate(regs: DataFrame, group_cols: list[str],
     """
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("nonempty"),
-        F.sum(F.pow(F.lit(2.0),
-                    (F.lit(HLL_W + 1) - F.col("mj")).cast("double"))
-              .cast("long")).alias("s_num"))
+        # coalesce: a GLOBAL aggregate over zero rows yields s_num NULL,
+        # which would poison the estimate to NULL — with 0 it flows into
+        # linear counting as m*ln(m/m) = 0, the right empty-set answer
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0),
+                        (F.lit(HLL_W + 1) - F.col("mj")).cast("double"))
+                  .cast("long")), F.lit(0).cast("long")).alias("s_num"))
     return agg.select(*group_cols,
                       F.col("nonempty").cast("long").alias("nonempty"),
                       hll_estimate_expr(F.col("nonempty"), F.col("s_num"),
@@ -412,7 +416,8 @@ SELECT {g}CAST(nonempty AS BIGINT) AS nonempty,
              END, 2) AS hll_estimate
 FROM (
   SELECT {g}count(*) AS nonempty,
-         SUM(CAST(power(2.0, CAST({HLL_W + 1} - mj AS DOUBLE)) AS BIGINT)) AS s_num
+         coalesce(SUM(CAST(power(2.0, CAST({HLL_W + 1} - mj AS DOUBLE))
+                           AS BIGINT)), 0) AS s_num
   FROM ({regs_sql}){gb}
 )
 """
@@ -458,7 +463,9 @@ def kmv_set_ops(a: DataFrame, a_col: Column, b: DataFrame, b_col: Column,
         .cast("double"))
     inter_in_m = F.size(F.filter(
         "m", lambda h: F.array_contains("ha", h) & F.array_contains("hb", h)))
-    jac = inter_in_m.cast("double") / k_used.cast("double")
+    # guard the empty-union edge (both sides empty): 0/0 would be NULL
+    jac = F.when(k_used > 0,
+                 inter_in_m.cast("double") / k_used.cast("double"))            .otherwise(F.lit(0.0))
     return with_m.select(
         k_used.cast("int").alias("k_used"),
         union_est.alias("union_est"),

@@ -70,8 +70,9 @@ class _SnapshotCommitWriter(DataSourceArrowWriter):
         from spanner_data_validator_spark.sources import snapshots as snap
 
         files = [m.path for m in messages if m is not None and m.path]
-        if files:
-            snap.commit_files(self.table_dir, files)
+        # an all-empty write still commits (an empty snapshot), so save()
+        # always advances the version — the Iceberg empty-append behavior
+        snap.commit_files(self.table_dir, files)
 
     def abort(self, messages):
         import shutil

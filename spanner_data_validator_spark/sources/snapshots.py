@@ -217,7 +217,10 @@ def expire_snapshots(table_dir: str, *, keep_last: int = 1) -> list[str]:
     cutoff = max(0, cur - keep_last)  # retain versions > cutoff
     retained: set[str] = set()
     for v in range(cutoff + 1, cur + 1):
-        retained.update(_load_meta(table_dir, v)["files"])
+        try:
+            retained.update(_load_meta(table_dir, v)["files"])
+        except FileNotFoundError:
+            pass  # expired by an earlier, tighter expiry — nothing to retain
     deleted: list[str] = []
     for v in range(1, cutoff + 1):
         meta_path = os.path.join(_meta_dir(table_dir), f"v{v}.json")

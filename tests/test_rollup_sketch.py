@@ -352,3 +352,18 @@ class TestKMVSetOps:
         r = self._ops(spark, range(0, 2500), range(1500, 4000), k=256)
         assert abs(r["union_est"] - 4000) / 4000 < 0.25
         assert abs(r["inter_est"] - 1000) / 1000 < 0.5
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from spanner_data_validator_spark.operators.sketch import (
+        hll_estimate, hll_registers)
+    empty = spark.range(0).select(F.col("id").cast("string").alias("v"))
+    r = hll_estimate(hll_registers(empty, [], F.col("v")), []).first()
+    assert r["nonempty"] == 0 and r["hll_estimate"] == 0.0
+
+
+def test_kmv_set_ops_both_empty(spark):
+    from spanner_data_validator_spark.operators.sketch import kmv_set_ops
+    e = spark.range(0).select(F.col("id").cast("string").alias("v"))
+    r = kmv_set_ops(e, F.col("v"), e, F.col("v"), 16).first()
+    assert (r["k_used"], r["jaccard_est"], r["inter_est"]) == (0, 0.0, 0.0)

@@ -255,3 +255,28 @@ class TestCompactionAndExpiry:
             snap.read_incremental(spark, d, 0, 3)
         # within the retained range still fine (no metas crossed): 3..3
         assert snap.read_incremental(spark, d, 3, 3).count() == 0
+
+    def test_repeated_expiry_with_larger_window_no_crash(self, spark):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sdv_t_expire_twice_") + "/t"
+        for lo in range(0, 50, 10):
+            snap.commit(spark.range(lo, lo + 10)
+                        .select(F.col("id").alias("k")), d)
+        snap.expire_snapshots(d, keep_last=1)   # removes metas v1..v4
+        snap.commit(spark.range(50, 60).select(F.col("id").alias("k")), d)
+        # larger retention window now spans already-expired versions
+        snap.expire_snapshots(d, keep_last=4)
+        assert snap.read_snapshot(spark, d).count() == 60
+
+    def test_empty_batch_save_still_commits(self, spark):
+        import tempfile
+
+        from spanner_data_validator_spark.sources import snapshot_sink as sk
+        sk.register(spark)
+        d = tempfile.mkdtemp(prefix="sdv_t_sink_allempty_") + "/t"
+        (spark.range(0).select(F.col("id").alias("k"))
+         .write.format(sk.SINK_NAME).option("table_dir", d)
+         .mode("append").save())
+        assert snap.current_version(d) == 1
+        assert snap.snapshot_files(d, 1) == []
