@@ -87,6 +87,10 @@ from spanner_data_validator_spark.operators.sketch import (  # noqa: F401
 from spanner_data_validator_spark.operators.graph import (  # noqa: F401
     pagerank_fixed_point,
 )
+from spanner_data_validator_spark.operators.cluster import (  # noqa: F401
+    kmeans_fixed_point,
+    quantize_vectors,
+)
 from spanner_data_validator_spark.operators.sampling import (  # noqa: F401
     priority_sample,
     priority_score,

@@ -234,7 +234,8 @@ def centroids_from_items(
     """Deterministic data-sampled centroids: the ``n_lists`` lowest-id vectors
     with ``id % modulus == residue``, ordered by id. No training pass — and
     the rule is plain SQL, so IVF assignment + top-k becomes oracle-checkable
-    (unlike k-means, whose iterations aren't DuckDB-expressible)."""
+    without unrolling a training loop. For a *trained* oracle-exact
+    quantizer, see operators/cluster.py (fixed-point Lloyd iterations)."""
     rows = (items.where(F.col(id_col) % modulus == residue)
                  .orderBy(id_col).limit(n_lists)
                  .select(vec_col).collect())

@@ -6744,3 +6744,37 @@ def q_bloom_semi_join_counts(spark, sf_dir):
             .groupBy("event_type")
             .agg(F.count("*").cast("bigint").alias("n_events"),
                  F.max("event_id").cast("bigint").alias("max_event_id")))
+
+
+# ---------------------------------------------------------------------------
+# iterative clustering: fixed-point k-means (operators/cluster.py)
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle() -> str:
+    from spanner_data_validator_spark.operators.cluster import kmeans_sql
+
+    return "WITH " + kmeans_sql(
+        "SELECT vec_id, embedding FROM embeddings",
+        k=4, iterations=2, scale=1000, dim=64)
+
+
+@register("kmeans_lloyd", _kmeans_oracle())
+def q_kmeans_lloyd(spark, sf_dir):
+    """Trainable IVF quantizer: 2 Lloyd rounds over the embedding corpus in
+    FIXED POINT (operators/cluster.py) — quantize once to integer units,
+    exact BIGINT distances, argmin with cluster-id tie-break, centroid
+    update as exact integer floor-mean — so the iterations themselves are
+    bit-identical across partitionings AND engines (double k-means is
+    aggregation-order-dependent; ann.centroids_from_items exists precisely
+    to dodge that, and this removes the dodge). Centroids live on the
+    driver between rounds (k*dim ints, broadcast as literals), so the only
+    per-round shuffle is the k*dim-row update aggregate; the quantized
+    table is materialized once and rescanned, never the raw source. The
+    oracle unrolls the identical rounds as CTEs."""
+    from spanner_data_validator_spark.operators.cluster import (
+        kmeans_fixed_point,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_fixed_point(emb, id_col="vec_id", vec_col="embedding",
+                              k=4, iterations=2, scale=1000)
