@@ -19,7 +19,7 @@ Plan shape at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,3 +134,108 @@ def bigram_collocations(df: DataFrame, id_col: str, text_col: str,
                   (F.col("__n_bigrams") * F.col("pair_n").cast("double"))
                   / (F.col("w1_n").cast("double") * F.col("w2_n").cast("double"))))
     return scored.select("w1", "w2", "pair_n", "w1_n", "w2_n", "lift")
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], *, k1: float = 1.25, b: float = 0.75,
+              k: int = 10) -> DataFrame:
+    """Top-``k`` documents by BM25 for a fixed term query — ranked keyword
+    search, the retrieval half of corpus curation / eval-set mining.
+
+    Scoring is the Robertson/Okapi form with the log dropped from the idf:
+    ``idf(t) = (N - df + 0.5) / (df + 0.5)`` — one double division of
+    exact-in-double integers, so (like ``rational_idf``) every score is
+    bit-identical across engines; rankings match log-BM25 whenever df
+    ordering does. ``k1``/``b`` default to exact binary fractions (5/4,
+    3/4) so the literals round-trip exactly too. Per-doc scores sum the
+    per-term contributions in the FIXED order of ``query_terms`` via a
+    pivot — never a float sum across rows (aggregation order differs per
+    engine/partitioning; CLAUDE.md).
+
+    Plan shape at 100 TB: one tokenize explode -> tf hash agg (the only
+    corpus-sized shuffle, shared with dl); the tf table is materialized
+    once (it feeds dl, df, and contributions — the multi-branch rescan
+    trap); df and corpus stats are vocabulary-/1-row-sized broadcasts; the
+    final top-k is a sort of the docs-matching-any-term subset only.
+
+    Output: (doc_id, score, rank), rank 1..k by (score desc, doc_id).
+    """
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    tf = doc_term_freqs(df, id_col, text_col).localCheckpoint(eager=False)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_tokens"))
+    dfreq = (tf.where(F.col("term").isin(list(query_terms)))
+               .groupBy("term").agg(F.count(F.lit(1)).alias("dft")))
+    avgdl = (F.col("total_tokens").cast("double")
+             / F.col("n_docs").cast("double"))
+    idf = (((F.col("n_docs") - F.col("dft")).cast("double") + F.lit(0.5))
+           / (F.col("dft").cast("double") + F.lit(0.5)))
+    ratio = F.col("dl").cast("double") / avgdl
+    den = (F.col("tf").cast("double")
+           + (F.lit(float(k1)) * (F.lit(float(1 - b))
+                                  + (F.lit(float(b)) * ratio))))
+    num = F.col("tf").cast("double") * F.lit(float(k1 + 1))
+    contrib = (tf.where(F.col("term").isin(list(query_terms)))
+                 .join(dl, id_col)
+                 .crossJoin(F.broadcast(stats))
+                 .join(F.broadcast(dfreq), "term")
+                 .select(F.col(id_col), F.col("term"),
+                         (idf * (num / den)).alias("c")))
+    pivot = contrib.groupBy(id_col).agg(*[
+        F.max(F.when(F.col("term") == t, F.col("c"))).alias(f"__c{i}")
+        for i, t in enumerate(query_terms)])
+    score = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    ranked = (pivot.select(F.col(id_col).alias("doc_id"),
+                           score.alias("score"))
+              .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bm25_sql(docs_sql: str, id_col: str, text_col: str,
+             query_terms: list[str], *, k1: float = 1.25, b: float = 0.75,
+             k: int = 10) -> str:
+    """DuckDB rendering of :func:`bm25_topk` — the identical expression
+    tree (same literals, same parenthesization, same fixed-order pivot
+    sum), so scores hash-match bit-for-bit."""
+    terms_in = ", ".join(f"'{t}'" for t in query_terms)
+    cases = " + ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN c END), "
+        f"CAST(0 AS DOUBLE))" for t in query_terms)
+    return f"""
+bm_tok AS (SELECT {id_col} AS id,
+                  unnest(string_split(lower({text_col}), ' ')) AS term
+           FROM ({docs_sql})),
+bm_tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM bm_tok WHERE term <> '' GROUP BY id, term),
+bm_dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM bm_tf GROUP BY id),
+bm_stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(dl) AS BIGINT) AS total_tokens FROM bm_dl),
+bm_df AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM bm_tf
+          WHERE term IN ({terms_in}) GROUP BY term),
+bm_contrib AS (
+  SELECT f.id, f.term,
+         ((CAST(s.n_docs - d.dft AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          / (CAST(d.dft AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         * ((CAST(f.tf AS DOUBLE) * CAST({float(k1 + 1)!r} AS DOUBLE))
+            / (CAST(f.tf AS DOUBLE)
+               + (CAST({float(k1)!r} AS DOUBLE)
+                  * (CAST({float(1 - b)!r} AS DOUBLE)
+                     + (CAST({float(b)!r} AS DOUBLE)
+                        * (CAST(l.dl AS DOUBLE)
+                           / (CAST(s.total_tokens AS DOUBLE)
+                              / CAST(s.n_docs AS DOUBLE)))))))) AS c
+  FROM bm_tf f
+  JOIN bm_dl l ON f.id = l.id
+  CROSS JOIN bm_stats s
+  JOIN bm_df d ON f.term = d.term
+  WHERE f.term IN ({terms_in})),
+bm_scores AS (SELECT id AS doc_id, {cases} AS score
+              FROM bm_contrib GROUP BY id)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM bm_scores ORDER BY score DESC, doc_id LIMIT {k}"""

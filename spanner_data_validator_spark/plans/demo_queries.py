@@ -6778,3 +6778,61 @@ def q_kmeans_lloyd(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return kmeans_fixed_point(emb, id_col="vec_id", vec_col="embedding",
                               k=4, iterations=2, scale=1000)
+
+
+# ---------------------------------------------------------------------------
+# ranked keyword search: BM25 (operators/terms.py)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def _bm25_oracle() -> str:
+    from spanner_data_validator_spark.operators.terms import bm25_sql
+
+    return "WITH " + bm25_sql("SELECT doc_id, text FROM documents",
+                              "doc_id", "text", _BM25_TERMS, k=10)
+
+
+@register("bm25_search", _bm25_oracle())
+def q_bm25_search(spark, sf_dir):
+    """Ranked keyword retrieval: BM25 top-10 for a fixed 3-term query with
+    the log-free rational idf ((N-df+0.5)/(df+0.5) — one division of exact
+    integers), exact-binary-fraction k1/b literals, and the per-doc score
+    summed in FIXED query-term order via a pivot — so every double is the
+    same correctly-rounded expression tree in both engines and the result
+    hash-matches bit-for-bit (a float sum across rows would be
+    aggregation-order-dependent). One corpus-sized shuffle total (the tf
+    agg, materialized once for its three consumers); df/stats ride as
+    broadcasts; the sort ranks only docs matching >=1 term."""
+    from spanner_data_validator_spark.operators.terms import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer training: one BPE merge round (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle() -> str:
+    from spanner_data_validator_spark.operators.bpe import bpe_sql
+
+    return "WITH " + bpe_sql("SELECT doc_id, text FROM documents",
+                             "doc_id", "text", k=10)
+
+
+@register("bpe_pair_merge", _bpe_oracle())
+def q_bpe_pair_merge(spark, sf_dir):
+    """One BPE tokenizer-training round over the document corpus: count
+    adjacent character-pair frequencies weighted by word frequency, merge
+    the winner (ties to the lexically smallest pair), recount — output the
+    post-merge top-10 pairs (the next round's input). Pure integer counts,
+    so engine-exact by construction. The corpus collapses to its
+    VOCABULARY first (the one corpus-sized shuffle, map-side combined);
+    pair counting, the merge replace, and the recount all run over the
+    vocabulary-sized symbol table (operators/bpe.py)."""
+    from spanner_data_validator_spark.operators.bpe import bpe_one_merge
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_one_merge(docs, "doc_id", "text", k=10)

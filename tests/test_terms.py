@@ -60,3 +60,25 @@ def test_tfidf_top_terms_on_testdata(spark):
     per_doc = out.groupBy("doc_id").agg(F.count("*").alias("c"))
     assert per_doc.where("c > 3").count() == 0
     assert out.count() > 0
+
+
+def test_bm25_ranks_matching_docs(spark):
+    import pytest
+
+    from spanner_data_validator_spark.operators.terms import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat cat"), (2, "cat dog"), (3, "dog dog"),
+         (4, "fish"), (5, "cat")],
+        "doc_id long, text string")
+    out = bm25_topk(docs, "doc_id", "text", ["cat"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    # only cat-matching docs appear; tf saturation still ranks 1 first;
+    # doc 5 (dl=1) beats doc 2 (dl=2, same tf) on length normalization
+    assert ids == [1, 5, 2]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["score"] > out[1]["score"] > out[2]["score"]
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", ["a", "a"])
