@@ -1,5 +1,9 @@
 from spanner_data_validator_spark.operators.timeseries import (  # noqa: F401
     ewma_by_group,
+    resample_ffill,
+)
+from spanner_data_validator_spark.operators.bpe import (  # noqa: F401
+    bpe_one_merge,
 )
 from spanner_data_validator_spark.operators.comparator import (  # noqa: F401
     MATCH,
@@ -86,6 +90,7 @@ from spanner_data_validator_spark.operators.sketch import (  # noqa: F401
 )
 from spanner_data_validator_spark.operators.graph import (  # noqa: F401
     pagerank_fixed_point,
+    triangle_participation,
 )
 from spanner_data_validator_spark.operators.cluster import (  # noqa: F401
     kmeans_fixed_point,

@@ -24,7 +24,7 @@ a multigraph random surfer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -94,3 +94,78 @@ pr_r{i + 1} AS (SELECT n.node,
                      AS BIGINT) AS rank
                 FROM pr_nodes n LEFT JOIN pr_c{i} c ON n.node = c.dst)""")
     return ",".join(parts) + f"\nSELECT node, rank FROM pr_r{iterations}"
+
+
+def triangle_participation(edges: DataFrame, *, k: int = 10) -> DataFrame:
+    """Top-``k`` nodes by triangle participation in the undirected graph
+    ``edges(src, dst)`` (parallel edges and loops ignored).
+
+    Uses the degree-ordered orientation (Cohen / Suri-Vassilvitskii): every
+    undirected edge is directed from its lower endpoint under the total
+    order (degree, node), and triangles are counted as u->v, v->w, u->w
+    wedges — each triangle exactly once, and every wedge fan-out is bounded
+    by O(sqrt(|E|)) out-degree, THE trick that keeps the wedge join from
+    exploding on high-degree hubs at scale (a random orientation leaves
+    hub-centered wedges quadratic in hub degree). All joins are equi-joins
+    on node ids; counts are integers — engine-exact.
+
+    The canonical edge table feeds degree + orientation (2 branches) and
+    the oriented table feeds the wedge join 3 times — both materialized
+    (Catalyst re-runs aliased self-join branches; CLAUDE.md).
+
+    Output: (node, n_tri, rank), ties broken by node asc.
+    """
+    e = (edges.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct().localCheckpoint(eager=False))
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    # a < b, so on equal degree the (degree, node) order keeps a first
+    fwd = F.col("da") < F.col("db")
+    o = (e.join(da, "a").join(db, "b")
+         .select(F.when(fwd | (F.col("da") == F.col("db")),
+                        F.col("a")).otherwise(F.col("b")).alias("u"),
+                 F.when(fwd | (F.col("da") == F.col("db")),
+                        F.col("b")).otherwise(F.col("a")).alias("v"))
+         .localCheckpoint(eager=False))
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    tri = (o1.join(o2, F.col("o1.v") == F.col("o2.u"))
+           .join(o3, (F.col("o3.u") == F.col("o1.u"))
+                 & (F.col("o3.v") == F.col("o2.v")))
+           .select(F.col("o1.u").alias("x"), F.col("o1.v").alias("y"),
+                   F.col("o2.v").alias("z")))
+    pernode = (tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
+    top = pernode.orderBy(F.desc("n_tri"), F.asc("node")).limit(k)
+    w = Window.orderBy(F.desc("n_tri"), F.asc("node"))
+    return top.select("node", "n_tri",
+                      F.row_number().over(w).cast("int").alias("rank"))
+
+
+def triangle_sql(edges_sql: str, *, k: int = 10) -> str:
+    """DuckDB rendering of :func:`triangle_participation` over ``edges_sql``
+    (must yield src, dst) — same orientation, same tie-breaks."""
+    return f"""
+tg_e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM ({edges_sql}) WHERE src <> dst),
+tg_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+             SELECT a AS node FROM tg_e
+             UNION ALL SELECT b AS node FROM tg_e) GROUP BY node),
+tg_o AS (SELECT CASE WHEN da.d <= db.d THEN e.a ELSE e.b END AS u,
+                CASE WHEN da.d <= db.d THEN e.b ELSE e.a END AS v
+         FROM tg_e e JOIN tg_deg da ON da.node = e.a
+                     JOIN tg_deg db ON db.node = e.b),
+tg_tri AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+           FROM tg_o o1 JOIN tg_o o2 ON o1.v = o2.u
+           JOIN tg_o o3 ON o3.u = o1.u AND o3.v = o2.v),
+tg_pernode AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                 SELECT x AS node FROM tg_tri
+                 UNION ALL SELECT y AS node FROM tg_tri
+                 UNION ALL SELECT z AS node FROM tg_tri) GROUP BY node)
+SELECT node, n_tri,
+       CAST(row_number() OVER (ORDER BY n_tri DESC, node) AS INT) AS rank
+FROM tg_pernode ORDER BY n_tri DESC, node LIMIT {k}"""

@@ -17,7 +17,7 @@ calendar, not the data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,3 +43,43 @@ def ewma_by_group(df: DataFrame, group: str, ts: str,
         F.element_at(F.col("__s"), -1)["__d"].cast("string")
          .alias("last_day"),
         folded.alias("ewma"))
+
+
+def resample_ffill(df: DataFrame, key: str, ts: str, value_col: str,
+                   *, unit: str = "hour") -> DataFrame:
+    """Regularize an event stream onto a dense per-``unit`` grid with
+    forward-fill — the gap-filling step before any rolling/EWMA analytics
+    (a rolling window over a gappy series silently skips empty buckets).
+
+    Returns (key, bucket, n_events, value_ffill): one row per key per
+    ``unit`` between the observed min/max, ``n_events`` = 0 on gaps, and
+    ``value_ffill`` = the last observed per-bucket MAX of ``value_col`` at
+    or before the bucket (max, not "latest", so the carried value is
+    aggregation-order-free and engine-exact; NULL until the key's first
+    observation). Floats are carried verbatim — no arithmetic, so results
+    hash-match any engine.
+
+    Plan shape at 100 TB: one bucket aggregation (the only corpus-sized
+    shuffle), a broadcast of the bucket spine (bounded: hours of a year =
+    8.8k rows) against the distinct-key table, and ONE keyed exchange for
+    the forward-fill window — the sort is per key over its buckets, never
+    global.
+    """
+    b = F.date_trunc(unit, F.col(ts))
+    hourly = (df.groupBy(F.col(key), b.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("__c"),
+                   F.max(value_col).alias("__hv")))
+    bounds = df.agg(F.date_trunc(unit, F.min(ts)).alias("__lo"),
+                    F.date_trunc(unit, F.max(ts)).alias("__hi"))
+    spine = bounds.select(F.explode(F.sequence(
+        "__lo", "__hi", F.expr(f"INTERVAL 1 {unit}"))).alias("bucket"))
+    keys = df.select(key).distinct()
+    grid = keys.crossJoin(F.broadcast(spine))
+    w = (Window.partitionBy(key).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(hourly, [key, "bucket"], "left")
+            .select(F.col(key), F.col("bucket"),
+                    F.coalesce(F.col("__c"), F.lit(0)).cast("bigint")
+                     .alias("n_events"),
+                    F.last("__hv", ignorenulls=True).over(w)
+                     .alias("value_ffill")))

@@ -6836,3 +6836,138 @@ def q_bpe_pair_merge(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bpe_one_merge(docs, "doc_id", "text", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization parity (functions/normalize.nfc_normalize_udf)
+# ---------------------------------------------------------------------------
+
+@register("unicode_nfc_dedup", """
+WITH forms AS (
+  SELECT string_split(lower(text), ' ')[1]
+         || CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN 'é' WHEN 1 THEN 'é' ELSE 'e' END AS raw
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT raw) AS BIGINT) AS distinct_raw,
+       CAST(count(DISTINCT nfc_normalize(raw)) AS BIGINT) AS distinct_nfc,
+       CAST(count(DISTINCT raw) - count(DISTINCT nfc_normalize(raw))
+            AS BIGINT) AS collapsed_keys
+FROM forms
+""")
+def q_unicode_nfc_dedup(spark, sf_dir):
+    """Unicode-normalized dedup keys: composed U+00E9 and decomposed
+    e+U+0301 spellings (planted deterministically on the corpus's first
+    words) are distinct raw strings but one NFC key — the normalize-before-
+    fingerprint step any multilingual validation/dedup pipeline needs.
+    Spark side is an Arrow-batched pandas UDF (no built-in expression
+    exists); DuckDB recomputes with its native nfc_normalize. Distinct
+    counts shuffle hashed keys only — at 100 TB the UDF rides the scan
+    stage and the exchange carries one key per row, no document bodies."""
+    from spanner_data_validator_spark.functions.normalize import (
+        nfc_normalize_udf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suffix = (F.when(F.col("doc_id") % 3 == 0, F.lit("é"))
+              .when(F.col("doc_id") % 3 == 1, F.lit("é"))
+              .otherwise(F.lit("e")))
+    raw = F.concat(F.split(F.lower("text"), " ").getItem(0), suffix)
+    forms = docs.select(raw.alias("raw"))
+    return forms.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("raw").alias("distinct_raw"),
+        F.countDistinct(nfc_normalize_udf(F.col("raw"))).alias("distinct_nfc"),
+        (F.countDistinct("raw")
+         - F.countDistinct(nfc_normalize_udf(F.col("raw"))))
+        .alias("collapsed_keys"))
+
+
+# ---------------------------------------------------------------------------
+# time-series regularization: resample + forward-fill (operators/timeseries)
+# ---------------------------------------------------------------------------
+
+@register("resample_ffill_hourly", """
+WITH ev AS (
+  SELECT user_id, ts, value FROM events WHERE user_id % 29 = 3
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS c, max(value) AS hv
+  FROM ev GROUP BY user_id, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM ev
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+),
+grid AS (
+  SELECT k.user_id, s.bucket
+  FROM (SELECT DISTINCT user_id FROM ev) k CROSS JOIN spine s
+)
+SELECT g.user_id, g.bucket,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_events,
+       last_value(h.hv IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM grid g LEFT JOIN hourly h
+  ON g.user_id = h.user_id AND g.bucket = h.bucket
+""")
+def q_resample_ffill_hourly(spark, sf_dir):
+    """Dense hourly resampling with forward-fill over a sparse event
+    stream (operators/timeseries.resample_ffill): gap hours materialize
+    with n_events=0 and carry the last observed hourly max — the
+    regularization step rolling analytics need. Carried floats are
+    untouched (the per-bucket reduce is max, aggregation-order-free), so
+    the result is engine-exact. One corpus shuffle (bucket agg) + a
+    broadcast bucket spine + one keyed window exchange."""
+    from spanner_data_validator_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("user_id") % 29 == 3))
+    return resample_ffill(ev, "user_id", "ts", "value", unit="hour")
+
+
+# ---------------------------------------------------------------------------
+# graph analytics: degree-oriented triangle counting (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES = """
+SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+FROM lineitem l1 JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+"""
+
+
+def _triangle_oracle() -> str:
+    from spanner_data_validator_spark.operators.graph import triangle_sql
+
+    return "WITH " + triangle_sql(_COPURCHASE_EDGES, k=10)
+
+
+@register("triangle_top_nodes", _triangle_oracle())
+def q_triangle_top_nodes(spark, sf_dir):
+    """Triangle participation over the part co-purchase graph (parts
+    sharing an order), top-10 nodes. Degree-ordered edge orientation
+    bounds every wedge fan-out by O(sqrt(E)) — the hub-proof way to count
+    triangles at scale (a hub of degree d otherwise spawns d^2 wedges).
+    Canonical edges and the oriented table are materialized once for
+    their 2/3 consuming branches (aliased self-join branches re-run the
+    subplan — CLAUDE.md). Integer counts: engine-exact."""
+    from spanner_data_validator_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
+             .select(F.col("l1.l_partkey").alias("src"),
+                     F.col("l2.l_partkey").alias("dst")))
+    return triangle_participation(edges, k=10)

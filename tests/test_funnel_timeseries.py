@@ -85,3 +85,27 @@ def test_funnel_input_scanned_once_per_stage(spark, tmp_path):
     # not k^2 re-scans of the raw input (11 scans for 3 stages pre-fix)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 0
+
+
+def test_resample_ffill_fills_gaps_and_carries_value(spark):
+    from datetime import datetime
+
+    from spanner_data_validator_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 5.0),
+        (1, datetime(2024, 1, 1, 0, 40), 7.0),   # hour 0: max 7
+        (1, datetime(2024, 1, 1, 3, 5), 2.0),    # hours 1,2 are gaps
+        (2, datetime(2024, 1, 1, 2, 0), 9.0),    # key 2: nothing before h2
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {(r["k"], r["bucket"].hour): (r["n_events"], r["value_ffill"])
+           for r in resample_ffill(df, "k", "ts", "v").collect()}
+    assert len(out) == 8  # 2 keys x hours 0..3
+    assert out[(1, 0)] == (2, 7.0)
+    assert out[(1, 1)] == (0, 7.0) and out[(1, 2)] == (0, 7.0)  # ffill
+    assert out[(1, 3)] == (1, 2.0)
+    assert out[(2, 0)] == (0, None) and out[(2, 1)] == (0, None)
+    assert out[(2, 2)] == (1, 9.0) and out[(2, 3)] == (0, 9.0)

@@ -46,3 +46,39 @@ def test_rank_mass_bounded(spark):
     pairs = [(i, (i + 1) % 7) for i in range(7)]
     rows = pagerank_fixed_point(_edges(spark, pairs), iterations=4).collect()
     assert sum(r["rank"] for r in rows) <= 7 * 1_000_000
+
+
+def test_triangle_k4_counts(spark):
+    from spanner_data_validator_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    # K4: 4 triangles, each node in exactly 3; loops/parallels ignored
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    noise = [(1, 1), (2, 1), (3, 2)]  # loop + reversed duplicates
+    e = _edges(spark, k4 + noise)
+    out = [(r["node"], r["n_tri"], r["rank"])
+           for r in triangle_participation(e, k=10).collect()]
+    assert out == [(1, 3, 1), (2, 3, 2), (3, 3, 3), (4, 3, 4)]
+
+
+def test_triangle_square_has_none(spark):
+    from spanner_data_validator_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert triangle_participation(e).count() == 0
+
+
+def test_triangle_hub_with_one_closing_edge(spark):
+    from spanner_data_validator_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    # star hub 1 -- leaves 2..6, plus one leaf-leaf edge (2,3):
+    # exactly one triangle {1,2,3}
+    pairs = [(1, i) for i in range(2, 7)] + [(2, 3)]
+    out = {r["node"]: r["n_tri"]
+           for r in triangle_participation(_edges(spark, pairs)).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}

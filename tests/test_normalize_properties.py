@@ -218,3 +218,16 @@ def test_double_serialization_roundtrips_exactly(spark, values):
         assert struct.pack("d", back) == struct.pack("d", v), (v, s)
         if v != 0:
             assert math.copysign(1, back) == math.copysign(1, v)
+
+
+def test_nfc_normalize_udf_collapses_decomposed_forms(spark):
+    from spanner_data_validator_spark.functions.normalize import (
+        nfc_normalize_udf,
+    )
+
+    df = spark.createDataFrame(
+        [("café",), ("café",), ("cafe",), (None,)], "s string")
+    out = [r["n"] for r in
+           df.select(nfc_normalize_udf("s").alias("n")).collect()]
+    assert out[0] == out[1] == "café"  # composed == decomposed after NFC
+    assert out[2] == "cafe" and out[3] is None
