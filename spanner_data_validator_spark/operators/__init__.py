@@ -96,6 +96,10 @@ from spanner_data_validator_spark.operators.cluster import (  # noqa: F401
     kmeans_fixed_point,
     quantize_vectors,
 )
+from spanner_data_validator_spark.operators.ivm import (  # noqa: F401
+    apply_changes,
+    base_agg,
+)
 from spanner_data_validator_spark.operators.sampling import (  # noqa: F401
     priority_sample,
     priority_score,

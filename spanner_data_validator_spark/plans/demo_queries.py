@@ -6971,3 +6971,48 @@ def q_triangle_top_nodes(spark, sf_dir):
              .select(F.col("l1.l_partkey").alias("src"),
                      F.col("l2.l_partkey").alias("dst")))
     return triangle_participation(edges, k=10)
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: CDC changelog -> maintained aggregate
+# ---------------------------------------------------------------------------
+
+@register("cdc_agg_maintenance", """
+WITH final AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS m FROM events
+  WHERE event_id % 5 = 0 OR event_id % 7 <> 0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(m) AS BIGINT) AS m_sum
+FROM final GROUP BY event_type
+""")
+def q_cdc_agg_maintenance(spark, sf_dir):
+    """Incremental view maintenance (operators/ivm.py): a per-type COUNT/SUM
+    view materialized over the base rows, then refreshed by FOLDING IN a
+    CDC changelog (inserts = the held-out rows, deletes = every 7th base
+    row, plus a planted key whose rows are all deleted and must vanish) —
+    never rescanning the base. The oracle computes the final state directly
+    from the full table: incremental refresh == recomputation, exactly (the
+    measure is floor(value), integer — a float SUM maintained incrementally
+    would drift by aggregation order). At 100 TB the refresh costs one pass
+    over the (tiny) changelog + a keyed outer join against the view."""
+    from spanner_data_validator_spark.operators.ivm import (
+        apply_changes,
+        base_agg,
+    )
+
+    measure = F.floor("value").cast("bigint")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value")
+    synth = spark.range(2).select(
+        F.lit(-1).alias("event_id"), F.lit("zz_synth").alias("event_type"),
+        (F.lit(10.0) + F.col("id")).alias("value"))
+    base_rows = ev.where(F.col("event_id") % 5 != 0).unionByName(synth)
+    view = base_agg(base_rows, ["event_type"], measure)
+    changes = (
+        ev.where(F.col("event_id") % 5 == 0).withColumn("op", F.lit("I"))
+        .unionByName(ev.where((F.col("event_id") % 5 != 0)
+                              & (F.col("event_id") % 7 == 0))
+                     .withColumn("op", F.lit("D")))
+        .unionByName(synth.withColumn("op", F.lit("D"))))
+    return apply_changes(view, changes, ["event_type"], measure)

@@ -699,3 +699,59 @@ def test_merge_semantics_duckdb_convergence():
     for stmt in stmts:          # crash-replay of the SAME batch
         con.sql(stmt)
     assert state() == first     # convergence: replay is a no-op state-wise
+
+
+def test_watermark_drop_accounting(spark, tmp_path):
+    """Late-data drops are observable, not silent — with two measured Spark
+    subtleties pinned here: (a) batch N's late-record filter uses the
+    watermark PLANNED FOR BATCH N-1 (i.e. derived from batch N-2's data),
+    one batch BEHIND the eviction watermark — so a late row for a window
+    that closes during its own batch, or that closed only on the previous
+    batch's data, is still absorbed; (b) numRowsDroppedByWatermark counts
+    rows entering the STATE operator — post-partial-aggregation groups,
+    not raw input rows."""
+    import time
+    from datetime import datetime
+
+    in_dir = str(tmp_path / "in")
+    schema = "k int, ts timestamp"
+
+    def write(rows, mode):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode(mode).parquet(in_dir))
+        time.sleep(1.1)  # distinct mtimes keep file-batch order stable
+
+    h = lambda hour, minute: datetime(2025, 1, 1, hour, minute)
+    # batch 0: hours 0 and 1; max 01:55 -> watermark (after) 01:45
+    write([(i, h(0, i)) for i in range(3)]
+          + [(i, h(1, 50 + i)) for i in range(4)] + [(99, h(1, 55))], "errorifexists")
+    # batch 1: hour 3 -> watermark 02:51; hours 0,1 evicted (emit 3 and 5)
+    write([(0, h(3, 0)), (1, h(3, 1))], "append")
+    # batch 2: filter watermark is 01:45 (batch 1's plan, from batch 0's
+    # data) while the eviction watermark is already 02:51 — so the hour-0
+    # late row is dropped (end 01:00 <= 01:45) but the hour-1 late row is
+    # ABSORBED (end 02:00 > 01:45) into the window evicted this same batch;
+    # 6 rows for the open hour 2 absorb; flush row closes everything
+    write([(50, h(0, 0)), (51, h(1, 0))]
+          + [(i, h(2, i)) for i in range(6)]
+          + [(98, datetime(2100, 1, 1))], "append")
+
+    agg = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(in_dir)
+           .withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    out = str(tmp_path / "out")
+    q = (agg.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    dropped = sum(op.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress for op in p["stateOperators"])
+    assert dropped == 1  # one dropped GROUP (hour-0), not raw rows
+    got = {r["w"].start.hour: r["n"] for r in
+           spark.read.parquet(out).where(
+               F.col("w.start") < "2099-01-01").collect()}
+    # hour 0 excluded its late row; hour 1 absorbed its late row (filter lag)
+    assert got == {0: 3, 1: 6, 2: 6, 3: 2}
