@@ -191,3 +191,64 @@ def hash_split(key: Column, fractions: dict[str, float], *, seed: int = 0,
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     return last if expr is None else expr.otherwise(last)
+
+
+def temperature_mixture(df: DataFrame, group_col: str, key_col: str, *,
+                        tau: float = 0.5, k_total: int = 1000,
+                        seed: int = 0, hash_fn=None) -> DataFrame:
+    """Temperature-flattened domain mixture — the LLM data-mixing recipe:
+    domain s contributes proportionally to ``n_s^tau`` (tau < 1 upweights
+    small domains, the multilingual-sampling trick), realized as a
+    deterministic per-doc hash sample.
+
+    Engine-exactness constrains tau to {1.0, 0.5, 0.25}: n^0.5 is ONE
+    correctly-rounded sqrt and n^0.25 two — bit-identical everywhere —
+    whereas a general ``pow`` (exp·ln) is only ~1-ulp reproducible. The
+    normalizer sums the (few) domain weights by an explicit sorted FOLD
+    (group-name order), never a plain float aggregate (order varies per
+    engine/partitioning); the oracle replays it with
+    ``list_reduce(list(w ORDER BY g))``.
+
+    Output per domain: (group, n_docs, weight, mix_rate, doc_rate,
+    sampled_n) where ``doc_rate = min(1, k_total*mix_rate/n_docs)`` and
+    ``sampled_n`` counts docs whose hash bucket clears
+    ``floor(doc_rate * SAMPLE_MODULUS)`` (explicit floor — double->int
+    CASTs truncate in Spark but round in DuckDB).
+
+    Plan shape at 100 TB: one count aggregate + one pass with a broadcast
+    per-domain threshold — the sample decision is a codegen filter on the
+    scan, exactly like ``stratified_sample`` but with the rates DERIVED
+    in-plan instead of user-supplied.
+    """
+    if tau not in (1.0, 0.5, 0.25):
+        raise ValueError("tau must be 1.0, 0.5 or 0.25 (exact sqrt"
+                         " compositions; pow() is not engine-exact)")
+    hash_fn = hash_fn or xxhash64_family
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.col("n_docs").cast("double")
+    if tau <= 0.5:
+        w = F.sqrt(w)
+    if tau == 0.25:
+        w = F.sqrt(w)
+    weights = counts.select(group_col, "n_docs", w.alias("weight"))
+    total = weights.agg(F.aggregate(
+        F.sort_array(F.collect_list(F.struct(group_col, "weight"))),
+        F.lit(0.0), lambda acc, x: acc + x["weight"]).alias("w_total"))
+    rates = (weights.crossJoin(F.broadcast(total))
+             .withColumn("mix_rate", F.col("weight") / F.col("w_total"))
+             .withColumn("doc_rate", F.least(
+                 F.lit(1.0),
+                 (F.lit(float(k_total)) * F.col("mix_rate"))
+                 / F.col("n_docs").cast("double")))
+             .withColumn("__thr", F.floor(F.col("doc_rate")
+                                          * SAMPLE_MODULUS).cast("long")))
+    bucket = F.pmod(hash_fn(F.col(key_col), seed), F.lit(SAMPLE_MODULUS))
+    sampled = (df.select(group_col, bucket.alias("__b"))
+               .join(F.broadcast(rates.select(group_col, "__thr")), group_col)
+               .where(F.col("__b") < F.col("__thr"))
+               .groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("__sn")))
+    return (rates.join(sampled, group_col, "left")
+            .select(group_col, "n_docs", "weight", "mix_rate", "doc_rate",
+                    F.coalesce(F.col("__sn"), F.lit(0)).cast("bigint")
+                     .alias("sampled_n")))

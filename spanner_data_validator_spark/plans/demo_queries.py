@@ -7016,3 +7016,60 @@ def q_cdc_agg_maintenance(spark, sf_dir):
                      .withColumn("op", F.lit("D")))
         .unionByName(synth.withColumn("op", F.lit("D"))))
     return apply_changes(view, changes, ["event_type"], measure)
+
+
+# ---------------------------------------------------------------------------
+# LLM data mixing: temperature-flattened domain sampling (operators/sampling)
+# ---------------------------------------------------------------------------
+
+@register("temperature_mix_sample", """
+WITH tm_counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source
+),
+tm_w AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS weight
+         FROM tm_counts),
+tm_tot AS (SELECT list_reduce(list(weight ORDER BY source),
+                              (acc, x) -> acc + x) AS w_total FROM tm_w),
+tm_r AS (
+  SELECT source, n_docs, weight,
+         weight / w_total AS mix_rate,
+         least(CAST(1 AS DOUBLE),
+               (CAST(200 AS DOUBLE) * (weight / w_total))
+               / CAST(n_docs AS DOUBLE)) AS doc_rate
+  FROM tm_w CROSS JOIN tm_tot
+),
+tm_th AS (SELECT *, CAST(floor(doc_rate * 1048576) AS BIGINT) AS thr
+          FROM tm_r),
+tm_s AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS sampled_n
+  FROM documents d JOIN tm_th t ON d.source = t.source
+  WHERE (('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 1048576) < t.thr
+  GROUP BY d.source
+)
+SELECT t.source, t.n_docs, t.weight, t.mix_rate, t.doc_rate,
+       CAST(coalesce(s.sampled_n, 0) AS BIGINT) AS sampled_n
+FROM tm_th t LEFT JOIN tm_s s ON t.source = s.source
+""")
+def q_temperature_mix_sample(spark, sf_dir):
+    """Temperature-flattened (tau=0.5) domain mixture over the document
+    sources, realized as a deterministic portable-hash sample
+    (operators/sampling.temperature_mixture). sqrt weights are one
+    correctly-rounded op; the normalizer is a sorted FOLD over the domain
+    weights (a plain float SUM would be aggregation-order-dependent and
+    engine-divergent — the oracle replays the fold with list_reduce);
+    thresholds use explicit floor (CAST truncates in Spark, rounds in
+    DuckDB). Per-doc decisions are a codegen filter with a broadcast
+    threshold map — rates DERIVED in-plan, unlike stratified_sample's
+    user-supplied map."""
+    from spanner_data_validator_spark.functions.hashing import (
+        portable_hash60,
+    )
+    from spanner_data_validator_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mixture(docs, "source", "doc_id", tau=0.5,
+                               k_total=200, hash_fn=portable_hash60)
