@@ -7073,3 +7073,70 @@ def q_temperature_mix_sample(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return temperature_mixture(docs, "source", "doc_id", tau=0.5,
                                k_total=200, hash_fn=portable_hash60)
+
+
+# ---------------------------------------------------------------------------
+# streaming IVM: changelog stream -> maintained aggregate (streaming/ivm_sink)
+# ---------------------------------------------------------------------------
+
+@register("stream_ivm_maintain", """
+WITH final AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS m FROM events
+  WHERE event_id % 5 = 0 OR event_id % 7 <> 0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(m) AS BIGINT) AS m_sum
+FROM final GROUP BY event_type
+""")
+def q_stream_ivm_maintain(spark, sf_dir):
+    """REAL streaming run of incremental view maintenance: the CDC
+    changelog arrives as a stream (wave 1 = base inserts, wave 2 = held-out
+    inserts + every-7th deletes), and each micro-batch folds into the
+    materialized per-type COUNT/SUM view through the chain-of-immutable-
+    versions sink (streaming/ivm_sink.ViewMaintenanceSink — batch-id
+    fenced: a replay recomputes from the same committed predecessor and
+    overwrites the same target, so crashes can't double-apply). The final
+    view equals the direct aggregate of the final row set — the oracle
+    computes that directly; per-batch cost scales with the VIEW, not the
+    corpus."""
+    import tempfile
+
+    from spanner_data_validator_spark.streaming.ivm_sink import (
+        ViewMaintenanceSink,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", F.floor("value").cast("bigint").alias("m"))
+    wave1 = (ev.where(F.col("event_id") % 5 != 0)
+             .withColumn("op", F.lit("I")))
+    wave2 = (ev.where(F.col("event_id") % 5 == 0).withColumn("op", F.lit("I"))
+             .unionByName(ev.where((F.col("event_id") % 5 != 0)
+                                   & (F.col("event_id") % 7 == 0))
+                          .withColumn("op", F.lit("D"))))
+    work = tempfile.mkdtemp(prefix="sdv_q_stream_ivm_")
+    in_dir = f"{work}/in"
+    wave1.coalesce(1).write.parquet(in_dir)
+    import glob
+    import os as _os
+    import time as _time
+    t0 = _time.time()
+    w1_files = set(glob.glob(f"{in_dir}/*.parquet"))
+    for p in w1_files:
+        _os.utime(p, (t0 - 10, t0 - 10))
+    wave2.coalesce(1).write.mode("append").parquet(in_dir)
+    # pin file order: the file source sorts by mtime, and a same-second tie
+    # would let the delete wave precede its inserts (apply_changes raises)
+    for p in set(glob.glob(f"{in_dir}/*.parquet")) - w1_files:
+        _os.utime(p, (t0, t0))
+
+    changelog = (spark.readStream.schema(wave1.schema)
+                 .option("maxFilesPerTrigger", 1).parquet(in_dir)
+                 .select("event_type", "m", "op"))
+    sink = ViewMaintenanceSink(spark, f"{work}/view", ["event_type"], "m",
+                               "event_type string")
+    with _shuffle_partitions(spark, 8):
+        q = (changelog.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", f"{work}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    return sink.latest()

@@ -53,3 +53,39 @@ def test_unknown_op_raises(spark):
     ch = _changes(spark, [("b", 5, "U")])
     with pytest.raises(Exception, match="unknown op"):
         apply_changes(view, ch, ["k"], F.col("v")).collect()
+
+
+def test_view_sink_replay_is_noop_and_chain_survives(spark, tmp_path):
+    from spanner_data_validator_spark.streaming.ivm_sink import (
+        ViewMaintenanceSink,
+    )
+
+    sink = ViewMaintenanceSink(spark, str(tmp_path / "v"), ["k"], "v",
+                               "k string")
+    b0 = spark.createDataFrame([("a", 1, "I"), ("a", 2, "I"), ("b", 3, "I")],
+                               "k string, v int, op string")
+    b1 = spark.createDataFrame([("a", 1, "D"), ("c", 9, "I")],
+                               "k string, v int, op string")
+    sink(b0, 0)
+    sink(b1, 1)
+    want = {("a", 1, 2), ("b", 1, 3), ("c", 1, 9)}
+    got = {tuple(r) for r in sink.latest().collect()}
+    assert got == want
+    # crash-replay of batch 1 (same id): recomputed from the same committed
+    # predecessor, overwrites the same target — state unchanged
+    sink(b1, 1)
+    assert {tuple(r) for r in sink.latest().collect()} == want
+    # a NEW batch folds from the latest committed view
+    sink(spark.createDataFrame([("b", 3, "D")], "k string, v int, op string"), 2)
+    assert {tuple(r) for r in sink.latest().collect()} == {
+        ("a", 1, 2), ("c", 1, 9)}
+
+
+def test_view_sink_empty_before_first_commit(spark, tmp_path):
+    from spanner_data_validator_spark.streaming.ivm_sink import (
+        ViewMaintenanceSink,
+    )
+
+    sink = ViewMaintenanceSink(spark, str(tmp_path / "v"), ["k"], "v",
+                               "k string")
+    assert sink.latest().count() == 0
