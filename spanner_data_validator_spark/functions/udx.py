@@ -83,3 +83,33 @@ def char_chunks_udtf():
     """The CharChunks class wrapped as a Spark UDTF (deferred so importing
     this module never requires an active session)."""
     return F.udtf(CharChunks, returnType="chunk_idx int, chunk_len int")
+
+
+def arrow_substr_stats(df, key_col: str, text_col: str, needle: str):
+    """Arrow-native per-row text stats via ``mapInArrow`` — the third UDX
+    surface next to the pandas UDAFs and the UDTF above: batches stay
+    pyarrow RecordBatches end to end (no pandas materialization, no per-row
+    Python), and the kernel work (`count_substring`, `utf8_length`) runs in
+    Arrow's C++ compute layer. This is the seam for vectorized logic the
+    SQL expression language can't reach but pandas would slow down —
+    at 100 TB it rides the scan stage, zero exchanges.
+
+    Output: (key_col, hits, chars) — non-overlapping ``needle`` occurrence
+    count and character length, NULL text propagating NULLs.
+    """
+    import pyarrow as pa
+
+    out_schema = f"{key_col} long, hits long, chars long"
+
+    def fn(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column(key_col),
+                 pc.cast(pc.count_substring(b.column(text_col), needle),
+                         pa.int64()),
+                 pc.cast(pc.utf8_length(b.column(text_col)), pa.int64())],
+                names=[key_col, "hits", "chars"])
+
+    return df.select(key_col, text_col).mapInArrow(fn, out_schema)

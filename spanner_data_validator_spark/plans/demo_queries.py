@@ -7140,3 +7140,39 @@ def q_stream_ivm_maintain(spark, sf_dir):
              .trigger(availableNow=True).start())
         q.awaitTermination(300)
     return sink.latest()
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow surface: Arrow-native substring stats (functions/udx.py)
+# ---------------------------------------------------------------------------
+
+@register("arrow_substr_stats", """
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, 'spark')) AS BIGINT) AS hits,
+         CAST(length(text) AS BIGINT) AS chars
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hits) AS BIGINT) AS total_hits,
+       CAST(sum(chars) AS BIGINT) AS total_chars
+FROM s GROUP BY source
+""")
+def q_arrow_substr_stats(spark, sf_dir):
+    """mapInArrow end to end: per-doc substring counts + lengths computed
+    by pyarrow C++ kernels on RecordBatches (no pandas, no per-row
+    Python — the Arrow-native third UDX surface beside the pandas UDAF and
+    the Python UDTF), then a per-source integer rollup. The oracle
+    recomputes occurrences with regexp_extract_all; both sides scan
+    non-overlapping, and integer sums are engine-exact."""
+    from spanner_data_validator_spark.functions.udx import (
+        arrow_substr_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = arrow_substr_stats(docs, "doc_id", "text", "spark").join(
+        docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.sum("chars").cast("bigint").alias("total_chars"))

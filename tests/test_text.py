@@ -161,3 +161,14 @@ def test_udtf_char_chunks_geometry(spark):
     assert sorted(by_id[1]) == [(0, 40), (1, 40), (2, 15)]
     assert by_id[4] == [(0, 3)]
     assert 2 not in by_id and 3 not in by_id   # empty/NULL emit nothing
+
+
+def test_arrow_substr_stats_counts_and_nulls(spark):
+    from spanner_data_validator_spark.functions.udx import arrow_substr_stats
+
+    df = spark.createDataFrame(
+        [(1, "spark on spark"), (2, "no hits"), (3, None), (4, "sparkspark")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["hits"], r["chars"])
+           for r in arrow_substr_stats(df, "doc_id", "text", "spark").collect()}
+    assert got == {1: (2, 14), 2: (0, 7), 3: (None, None), 4: (2, 10)}
