@@ -7176,3 +7176,83 @@ def q_arrow_substr_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("hits").cast("bigint").alias("total_hits"),
         F.sum("chars").cast("bigint").alias("total_chars"))
+
+
+# ---------------------------------------------------------------------------
+# snapshot table: copy-on-write DELETE + ADD COLUMN evolution (sources/snapshots)
+# ---------------------------------------------------------------------------
+
+@register("snapshot_delete_scan", """
+WITH labeled AS (
+  SELECT 'before' AS at, event_type FROM events
+  UNION ALL
+  SELECT 'after' AS at, event_type FROM events WHERE user_id % 10 <> 3
+)
+SELECT at, event_type, CAST(count(*) AS BIGINT) AS n
+FROM labeled GROUP BY at, event_type
+""")
+def q_snapshot_delete_scan(spark, sf_dir):
+    """Copy-on-write DELETE on a snapshot table (snapshots.delete_where):
+    only files containing matches are rewritten (untouched files stay live
+    as-is — at 100 TB a targeted delete rewrites a handful of files, not
+    the table), the rewrite commits as a DELETE snapshot, time travel
+    still shows the rows at the pre-delete version, and incremental
+    append consumers crossing the delete fail loudly instead of acting on
+    vanished rows. Output compares per-type counts before (time travel)
+    and after (current)."""
+    import tempfile
+
+    from spanner_data_validator_spark.sources import snapshots as snap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id")
+    t = tempfile.mkdtemp(prefix="sdv_q_snap_del_") + "/t"
+    snap.commit(ev.where(F.col("event_id") % 2 == 0), t, files=2)
+    snap.commit(ev.where(F.col("event_id") % 2 != 0), t, files=2)
+    pre_version = snap.current_version(t)
+    snap.delete_where(spark, t, F.col("user_id") % 10 == 3)
+    before = (snap.read_snapshot(spark, t, pre_version)
+              .select(F.lit("before").alias("at"), "event_type"))
+    after = (snap.read_snapshot(spark, t)
+             .select(F.lit("after").alias("at"), "event_type"))
+    return (before.unionByName(after)
+            .groupBy("at", "event_type").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("snapshot_schema_evolution", """
+WITH rows_v AS (
+  SELECT event_type,
+         CASE WHEN event_id % 2 <> 0
+              THEN CAST(event_id % 7 AS BIGINT) END AS quality
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(quality) AS BIGINT) AS n_quality,
+       CAST(sum(quality) AS BIGINT) AS q_sum
+FROM rows_v GROUP BY event_type
+""")
+def q_snapshot_schema_evolution(spark, sf_dir):
+    """ADD COLUMN schema evolution on the snapshot table: the second
+    commit carries a new ``quality`` column; the manifest scan merges file
+    schemas so pre-evolution rows read the added column as NULL (the
+    Iceberg evolution contract; type CHANGES still conflict loudly, and a
+    rename reads as drop+add — documented divergence from id-based
+    mapping). One current-snapshot read aggregates across both file
+    generations."""
+    import tempfile
+
+    from spanner_data_validator_spark.sources import snapshots as snap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = tempfile.mkdtemp(prefix="sdv_q_snap_evo_") + "/t"
+    snap.commit(ev.where(F.col("event_id") % 2 == 0)
+                .select("event_id", "event_type"), t)
+    snap.commit(ev.where(F.col("event_id") % 2 != 0)
+                .select("event_id", "event_type",
+                        (F.col("event_id") % 7).cast("bigint")
+                        .alias("quality")), t)
+    cur = snap.read_snapshot(spark, t)
+    return cur.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("quality").alias("n_quality"),
+        F.sum("quality").cast("bigint").alias("q_sum"))

@@ -38,6 +38,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _meta_dir(table_dir: str) -> str:
@@ -80,16 +81,17 @@ def commit_files(table_dir: str, new_files: list[str], *,
     rows into new files (compaction — live file set changes, logical
     content does not, and incremental scans SKIP it entirely).
     """
-    if operation not in ("append", "replace"):
+    if operation not in ("append", "replace", "delete"):
         raise ValueError(f"unknown snapshot operation {operation!r}")
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     parent = current_version(table_dir)
     prev = _load_meta(table_dir, parent)["files"] if parent else []
-    if operation == "replace":
+    if operation in ("replace", "delete"):
         gone = set(removed or [])
         unknown = gone - set(prev)
         if unknown:
-            raise ValueError(f"replace removes unknown files: {sorted(unknown)[:3]}")
+            raise ValueError(
+                f"{operation} removes unknown files: {sorted(unknown)[:3]}")
         live = [f for f in prev if f not in gone] + sorted(new_files)
     else:
         live = prev + sorted(new_files)
@@ -141,17 +143,29 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     files = snapshot_files(table_dir, v)
     if not files:
         raise ValueError(f"snapshot {v} of {table_dir} is empty")
-    return spark.read.parquet(*files)
+    # mergeSchema = Iceberg-style ADD COLUMN evolution: files committed
+    # before the column gained it read as NULL. (Type changes conflict
+    # loudly; a rename reads as drop+add — unlike Iceberg's id-based
+    # mapping. Documented divergence.)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def incremental_files(table_dir: str, from_version: int,
-                      to_version: int) -> list[str]:
+                      to_version: int, *,
+                      skip_deletes: bool = False) -> list[str]:
     """Data files carrying rows appended in (from_version, to_version]:
     the union of APPEND snapshots' added_files — REPLACE (compaction)
     snapshots are skipped, so maintenance rewrites are invisible to
     incremental consumers (re-emitting compacted rows was the bug this
     walk replaces: a bare manifest set-difference counts rewritten files
-    as new)."""
+    as new).
+
+    A DELETE snapshot in the range RAISES by default (same contract as
+    Iceberg's incremental append scan): an append-only consumer that
+    silently skipped it would keep acting on rows the table no longer
+    holds. Pass ``skip_deletes=True`` to knowingly ignore row removals
+    (the rewritten files carry no new rows, so skipping stays
+    duplicate-free)."""
     if not 0 <= from_version <= to_version:
         raise ValueError(f"bad incremental range {from_version}..{to_version}")
     out: list[str] = []
@@ -164,7 +178,14 @@ def incremental_files(table_dir: str, from_version: int,
                 f"{table_dir} crosses expired snapshot {v} — catch tail "
                 "consumers up before expiring, or restart them from a "
                 "retained version") from None
-        if meta.get("operation", "append") == "append":
+        op = meta.get("operation", "append")
+        if op == "delete" and not skip_deletes:
+            raise ValueError(
+                f"incremental range {from_version}..{to_version} of "
+                f"{table_dir} crosses DELETE snapshot {v}; an append-only "
+                "scan cannot represent row removal — re-read the snapshot, "
+                "or pass skip_deletes=True to knowingly ignore removals")
+        if op == "append":
             out.extend(meta["added_files"])
     return out
 
@@ -178,7 +199,7 @@ def read_incremental(spark: SparkSession, table_dir: str,
     new = incremental_files(table_dir, from_version, to_version)
     if not new:
         return read_snapshot(spark, table_dir, to_version).limit(0)
-    return spark.read.parquet(*new)
+    return spark.read.option("mergeSchema", "true").parquet(*new)
 
 
 def compact(spark: SparkSession, table_dir: str, *, files: int = 1) -> int:
@@ -198,6 +219,55 @@ def compact(spark: SparkSession, table_dir: str, *, files: int = 1) -> int:
         if f.endswith(".parquet"))
     return commit_files(table_dir, new_files, operation="replace",
                         removed=snapshot_files(table_dir, cur))
+
+
+def delete_where(spark: SparkSession, table_dir: str,
+                 predicate) -> tuple[int, int]:
+    """Copy-on-write row deletion: rewrite ONLY the data files that contain
+    matching rows, commit the rewrite as a DELETE snapshot. Returns
+    ``(version, n_deleted)`` — version unchanged when nothing matched.
+
+    This is Iceberg's copy-on-write DELETE shape: untouched files stay
+    live as-is (at 100 TB a targeted delete rewrites a handful of files,
+    not the table), time travel still shows the rows at older versions,
+    and incremental append consumers fail loudly when their range crosses
+    the delete (see :func:`incremental_files`). Rows where ``predicate``
+    is NULL are kept (SQL DELETE semantics: only TRUE deletes).
+    """
+    cur = current_version(table_dir)
+    if cur == 0:
+        raise ValueError(f"{table_dir} has no snapshots to delete from")
+    files = snapshot_files(table_dir, cur)
+    tagged = (spark.read.option("mergeSchema", "true").parquet(*files)
+              .withColumn("__file", F.input_file_name()))
+    # manifest paths are plain absolute paths; input_file_name returns URIs
+    hit_uris = [r[0] for r in
+                tagged.where(predicate).select("__file").distinct().collect()]
+    hits = sorted(_uri_to_path(u) for u in hit_uris)
+    if not hits:
+        return cur, 0
+    victims = (spark.read.option("mergeSchema", "true").parquet(*hits)
+               .localCheckpoint(eager=False))  # feeds count + rewrite
+    n_deleted = victims.where(predicate).count()
+    keep = victims.where(~F.coalesce(predicate, F.lit(False)))
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table_dir, "data", f"delete-{commit_id}")
+    new_files: list[str] = []
+    if keep.limit(1).count():
+        keep.write.parquet(data_dir)
+        new_files = sorted(
+            os.path.join(data_dir, f) for f in os.listdir(data_dir)
+            if f.endswith(".parquet"))
+    version = commit_files(table_dir, new_files, operation="delete",
+                           removed=hits)
+    return version, n_deleted
+
+
+def _uri_to_path(uri: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(uri).path) if "://" in uri or uri.startswith(
+        "file:") else uri
 
 
 def expire_snapshots(table_dir: str, *, keep_last: int = 1) -> list[str]:

@@ -280,3 +280,85 @@ class TestCompactionAndExpiry:
          .mode("append").save())
         assert snap.current_version(d) == 1
         assert snap.snapshot_files(d, 1) == []
+
+
+def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    import os
+
+    from spanner_data_validator_spark.sources.snapshots import (
+        current_version,
+        delete_where,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(0, 100).select(F.col("id").alias("k")), t)
+    snap.commit(spark.range(100, 200).select(F.col("id").alias("k")), t)
+    before_files = set(snapshot_files(t, 2))
+    v, n = delete_where(spark, t, F.col("k").between(150, 159))
+    assert (v, n) == (3, 10)
+    after = read_snapshot(spark, t)
+    assert after.count() == 190
+    assert after.where(F.col("k").between(150, 159)).count() == 0
+    # copy-on-write: the file without matches survives untouched
+    untouched = before_files & set(snapshot_files(t, 3))
+    assert len(untouched) == 1
+    assert all(os.path.exists(f) for f in untouched)
+    # time travel still shows the rows at the older version
+    assert read_snapshot(spark, t, 2).count() == 200
+
+
+def test_delete_where_nothing_matched_is_noop(spark, tmp_path):
+    from spanner_data_validator_spark.sources.snapshots import (
+        current_version,
+        delete_where,
+    )
+
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(10).select(F.col("id").alias("k")), t)
+    v, n = delete_where(spark, t, F.col("k") > 999)
+    assert (v, n) == (1, 0) and current_version(t) == 1
+
+
+def test_incremental_scan_raises_on_delete_unless_opted_in(spark, tmp_path):
+    import pytest
+
+    from spanner_data_validator_spark.sources.snapshots import (
+        delete_where,
+        incremental_files,
+        read_incremental,
+    )
+
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(0, 50).select(F.col("id").alias("k")), t)
+    delete_where(spark, t, F.col("k") < 5)                      # v2: delete
+    snap.commit(spark.range(50, 60).select(F.col("id").alias("k")), t)  # v3
+    with pytest.raises(ValueError, match="DELETE snapshot"):
+        incremental_files(t, 1, 3)
+    # opting in skips the rewrite (no re-emission) but still sees v3's rows
+    files = incremental_files(t, 1, 3, skip_deletes=True)
+    got = spark.read.parquet(*files)
+    assert got.count() == 10
+    assert got.agg(F.min("k"), F.max("k")).first() == (50, 59)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    from spanner_data_validator_spark.sources.snapshots import (
+        read_incremental,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    snap.commit(spark.range(3).select(F.col("id").alias("k")), t)
+    snap.commit(spark.range(3, 6).select(F.col("id").alias("k"),
+                                         (F.col("id") * 10).alias("q")), t)
+    cur = read_snapshot(spark, t)
+    assert set(cur.columns) == {"k", "q"}
+    got = {r["k"]: r["q"] for r in cur.collect()}
+    # pre-evolution rows read the added column as NULL (Iceberg ADD COLUMN)
+    assert got == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+    # incremental scan of just the old commit lacks... no: mergeSchema only
+    # merges files IN the scan; a v0..v1 scan sees only k
+    assert set(read_incremental(spark, t, 0, 1).columns) == {"k"}
+    assert set(read_incremental(spark, t, 1, 2).columns) == {"k", "q"}
