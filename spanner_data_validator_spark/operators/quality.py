@@ -167,3 +167,33 @@ def pseudonymize(df: DataFrame, cols: Sequence[str], secret: str,
                    256), 1, token_len)
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
     return out
+
+
+def char_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc character diversity as the Simpson index
+    ``1 - sum(c_i^2) / n^2`` over lowercase letter counts — the
+    gibberish/repetition signal an entropy scorer gives, in EXACT
+    arithmetic: counts are integers, so the only float work is one
+    division and one subtract on exact-in-double inputs, bit-identical
+    across engines (Shannon entropy needs per-term logs, which libms
+    round differently — the same reason PageRank here is fixed-point).
+    Low diversity = few distinct characters dominate ("aaaa...", keyboard
+    mash, padding); natural text sits high.
+
+    Output: (id, n_letters, ssq, simpson). Two exchanges, both keyed by
+    doc id; the letter histogram reduces map-side first.
+    """
+    letters = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(letters, "(?!^)")).alias("ch")).where(
+        F.col("ch") != "")
+    per_char = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_char.groupBy("id").agg(
+        F.sum("c").cast("bigint").alias("n_letters"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"))
+    simpson = (F.lit(1.0)
+               - (F.col("ssq").cast("double")
+                  / (F.col("n_letters").cast("double")
+                     * F.col("n_letters").cast("double"))))
+    return per_doc.select("id", "n_letters", "ssq", simpson.alias("simpson"))

@@ -7256,3 +7256,82 @@ def q_snapshot_schema_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.count("quality").alias("n_quality"),
         F.sum("quality").cast("bigint").alias("q_sum"))
+
+
+# ---------------------------------------------------------------------------
+# transcript shape analytics: role-transition matrix
+# ---------------------------------------------------------------------------
+
+@register("role_transition_matrix", """
+WITH tr AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS turn_idx,
+         coalesce(event_type, '') AS role, ts, event_id
+  FROM events
+),
+steps AS (
+  SELECT conv_id,
+         lag(role) OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx) AS from_role,
+         role AS to_role
+  FROM tr
+)
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM steps WHERE from_role IS NOT NULL
+GROUP BY from_role, to_role
+""")
+def q_role_transition_matrix(spark, sf_dir):
+    """Conversation-shape analytics: the role-transition count matrix over
+    the transcript corpus (which role follows which — the Markov skeleton
+    a transcript-conformance monitor alerts on; e.g. assistant->assistant
+    double-turns). lag() shares ONE conv-keyed exchange with the turn
+    numbering — the same single-sort discipline as transcript_conformance;
+    integer counts, engine-exact."""
+    tr = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    steps = tr.select("conv_id",
+                      F.lag("role").over(w).alias("from_role"),
+                      F.col("role").alias("to_role"))
+    return (steps.where(F.col("from_role").isNotNull())
+            .groupBy("from_role", "to_role")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("conv_id").alias("n_convs")))
+
+
+@register("char_diversity_extremes", """
+WITH chars AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(
+           regexp_replace(lower(text), '[^a-z]', '', 'g'), '')) AS ch
+  FROM documents
+),
+per_char AS (
+  SELECT id, ch, CAST(count(*) AS BIGINT) AS c FROM chars
+  WHERE ch <> '' GROUP BY id, ch
+),
+per_doc AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_letters,
+         CAST(sum(c * c) AS BIGINT) AS ssq
+  FROM per_char GROUP BY id
+)
+SELECT id, n_letters, ssq,
+       CAST(1 AS DOUBLE) - (CAST(ssq AS DOUBLE)
+         / (CAST(n_letters AS DOUBLE) * CAST(n_letters AS DOUBLE)))
+         AS simpson
+FROM per_doc ORDER BY simpson ASC, id LIMIT 10
+""")
+def q_char_diversity_extremes(spark, sf_dir):
+    """The 10 least character-diverse documents by exact Simpson index
+    (operators/quality.char_diversity) — the gibberish/repetition screen
+    with entropy's ranking power but ZERO log calls, so both engines
+    compute bit-identical doubles from the same integer counts. Letter
+    histograms reduce map-side; both exchanges carry doc-keyed counts."""
+    from spanner_data_validator_spark.operators.quality import (
+        char_diversity,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (char_diversity(docs, "doc_id", "text")
+            .orderBy(F.asc("simpson"), F.asc("id")).limit(10))

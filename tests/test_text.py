@@ -172,3 +172,17 @@ def test_arrow_substr_stats_counts_and_nulls(spark):
     got = {r["doc_id"]: (r["hits"], r["chars"])
            for r in arrow_substr_stats(df, "doc_id", "text", "spark").collect()}
     assert got == {1: (2, 14), 2: (0, 7), 3: (None, None), 4: (2, 10)}
+
+
+def test_char_diversity_simpson(spark):
+    from spanner_data_validator_spark.operators.quality import char_diversity
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "a b! c?d"), (4, "")],
+        "doc_id long, text string")
+    got = {r["id"]: (r["n_letters"], r["ssq"], r["simpson"])
+           for r in char_diversity(df, "doc_id", "text").collect()}
+    assert got[1] == (4, 16, 0.0)           # one symbol: zero diversity
+    assert got[2] == (4, 8, 0.5)            # 2+2 -> 1 - 8/16
+    assert got[3] == (4, 4, 0.75)           # all distinct: 1 - 4/16
+    assert 4 not in got                      # empty after letter filter
