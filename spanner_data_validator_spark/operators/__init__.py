@@ -103,6 +103,7 @@ from spanner_data_validator_spark.operators.ivm import (  # noqa: F401
 from spanner_data_validator_spark.operators.sampling import (  # noqa: F401
     priority_sample,
     priority_score,
+    temperature_mixture,
 )
 from spanner_data_validator_spark.operators.diff import (  # noqa: F401
     column_diff,

@@ -121,7 +121,8 @@ def triangle_participation(edges: DataFrame, *, k: int = 10) -> DataFrame:
          .distinct().localCheckpoint(eager=False))
     deg = (e.select(F.col("a").alias("node"))
            .unionByName(e.select(F.col("b").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint(eager=False))  # feeds BOTH aliased joins below
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
     # a < b, so on equal degree the (degree, node) order keeps a first

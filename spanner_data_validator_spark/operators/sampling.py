@@ -230,7 +230,10 @@ def temperature_mixture(df: DataFrame, group_col: str, key_col: str, *,
         w = F.sqrt(w)
     if tau == 0.25:
         w = F.sqrt(w)
-    weights = counts.select(group_col, "n_docs", w.alias("weight"))
+    # weights feeds the normalizer fold AND the rate table — pin the
+    # domain-sized frame or the corpus count aggregate runs once per branch
+    weights = (counts.select(group_col, "n_docs", w.alias("weight"))
+               .localCheckpoint(eager=False))
     total = weights.agg(F.aggregate(
         F.sort_array(F.collect_list(F.struct(group_col, "weight"))),
         F.lit(0.0), lambda acc, x: acc + x["weight"]).alias("w_total"))

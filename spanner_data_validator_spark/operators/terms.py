@@ -163,7 +163,11 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     if not query_terms or len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be non-empty and distinct")
     tf = doc_term_freqs(df, id_col, text_col).localCheckpoint(eager=False)
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # dl feeds the stats aggregate AND the contribution join — pin the
+    # doc-sized table so the tf re-aggregation runs once (multi-branch
+    # rescan trap)
+    dl = (tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+          .localCheckpoint(eager=False))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.sum("dl").alias("total_tokens"))
     dfreq = (tf.where(F.col("term").isin(list(query_terms)))

@@ -66,14 +66,18 @@ def resample_ffill(df: DataFrame, key: str, ts: str, value_col: str,
     global.
     """
     b = F.date_trunc(unit, F.col(ts))
+    # ONE corpus scan: keys and grid bounds derive from the bucket table
+    # (min/max bucket == truncated min/max ts), which is pinned for its
+    # three consumers (multi-branch rescan trap)
     hourly = (df.groupBy(F.col(key), b.alias("bucket"))
               .agg(F.count(F.lit(1)).alias("__c"),
-                   F.max(value_col).alias("__hv")))
-    bounds = df.agg(F.date_trunc(unit, F.min(ts)).alias("__lo"),
-                    F.date_trunc(unit, F.max(ts)).alias("__hi"))
+                   F.max(value_col).alias("__hv"))
+              .localCheckpoint(eager=False))
+    bounds = hourly.agg(F.min("bucket").alias("__lo"),
+                        F.max("bucket").alias("__hi"))
     spine = bounds.select(F.explode(F.sequence(
         "__lo", "__hi", F.expr(f"INTERVAL 1 {unit}"))).alias("bucket"))
-    keys = df.select(key).distinct()
+    keys = hourly.select(key).distinct()
     grid = keys.crossJoin(F.broadcast(spine))
     w = (Window.partitionBy(key).orderBy("bucket")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
