@@ -1,0 +1,239 @@
+"""Distribution-level statistical validation: exact KS two-sample,
+robust (MAD) outlier profiling, Benford first-digit conformance, and
+functional-dependency discovery.
+
+The reference validates per-row fingerprints (SURVEY §2 C1/A1). A
+migration validator at 100 TB also needs *statistical* reconciliation
+tiers that catch distribution-level corruption (a lossy type cast, a
+clock-skewed shard, a fabricated column) without any row-granular
+shuffle. Everything here is engine-exact by construction so the DuckDB
+oracle matches bit-for-bit:
+
+* ``ks_two_sample`` — the exact two-sample Kolmogorov-Smirnov statistic,
+  computed in scaled-INTEGER arithmetic: D = max |cumA*nB - cumB*nA| over
+  the merged value order, divided once at the end. No per-row float
+  division means no aggregation-order sensitivity (the classic ECDF
+  formulation sums floats and diverges per engine/partitioning).
+* ``robust_outlier_profile`` — per-group median / MAD via exact rank
+  arithmetic (value at the floor((n+1)/2)-th ordered row — the lower
+  median, a value that EXISTS in the data) and an integer outlier count
+  at ``|x - med| > k * MAD``.
+* ``benford_profile`` — first-significant-digit counts against Benford
+  expectations. The digit is extracted from an INTEGER (scaled cents)
+  rendered to string — never from a double's string form, which differs
+  across engines (scientific-notation thresholds), and never via
+  ``log10``, whose libm rounding differs at exact powers of ten.
+* ``fd_profile`` — functional-dependency discovery: for candidate
+  (lhs -> rhs) pairs, does every lhs value map to exactly one rhs value?
+  Pure integer counting (n_groups / n_violating / max rhs-per-lhs).
+
+Scale notes (10^12 rows):
+
+* KS needs a global cumulative sum over the merged distinct-value order —
+  the one primitive Spark's Window cannot shard (no partition key). We
+  run a textbook DISTRIBUTED PREFIX SUM instead: value-range buckets give
+  per-bucket subtotals (tiny), an exclusive scan over those subtotals
+  (driver-free, single tiny partition) broadcasts per-bucket offsets
+  back, and the within-bucket cumsum runs under
+  ``Window.partitionBy(bucket)`` — every stage parallel, no
+  single-partition pass over row-scale data. The groupBy(value) that
+  precedes it collapses the input to distinct values map-side first.
+* The scaled-integer product cumA*nB stays in int64 while
+  n_a * n_b < 2^63 (~3e9 rows per side); beyond that, pre-aggregate
+  values into equi-width bins first (the KS statistic over binned data
+  bounds the unbinned one within one bin's mass).
+* MAD sorts within groups only (`Window.partitionBy(group)`) — one
+  exchange keyed by group, same discipline as
+  ``profile.quantiles_by_rank``; for a single giant group use
+  ``profile.hist_quantiles`` (mergeable histogram) instead.
+* Benford exchanges 9 rows after map-side partial aggregation; FD is one
+  exchange per candidate keyed by lhs. Both trivially parallel.
+
+Reference parity: extends dofns/CountMatchesDoFn.java classification
+(row tier) with the distribution tier the reference leaves to BigQuery
+post-hoc SQL.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dbl(x: float) -> Column:
+    return F.lit(float(x))
+
+
+def ks_two_sample(df: DataFrame, value: Column, is_a: Column, is_b: Column,
+                  *, n_buckets: int = 256) -> DataFrame:
+    """Exact two-sample KS statistic between the ``is_a`` and ``is_b``
+    sub-populations of ``value`` (rows where neither predicate holds are
+    ignored; NULL values are excluded).
+
+    Returns ONE row: ``(n_a, n_b, ks_num, ks_at_value, ks_stat)`` where
+    ``ks_num = max |cumA*n_b - cumB*n_a|`` (exact BIGINT),
+    ``ks_at_value`` is the smallest value attaining the max, and
+    ``ks_stat = ks_num / (n_a*n_b)`` (one double division of exact
+    integers — identical in every engine).
+
+    Execution shape: groupBy(value) -> distributed prefix sum over
+    value-range buckets (see module docstring) -> single max aggregate.
+    """
+    d = (df.where(value.isNotNull() & (is_a | is_b))
+         .groupBy(value.alias("v"))
+         .agg(F.sum(is_a.cast("long")).alias("ca"),
+              F.sum(is_b.cast("long")).alias("cb")))
+    # d feeds three branches (global stats, bucket subtotals, the bucketed
+    # cumsum) — pin it or Catalyst re-scans the input per branch (the
+    # multi-branch rescan trap; see CLAUDE.md). Distinct-value scale at
+    # 100 TB: swap for .persist(DISK_ONLY) on a real cluster.
+    d = d.localCheckpoint(eager=True)
+    stats = d.agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                  F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    b = d.crossJoin(F.broadcast(stats))
+    span = F.col("hi") - F.col("lo")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1),
+                F.floor((F.col("v") - F.col("lo")) / span
+                        * F.lit(float(n_buckets)))))
+    b = b.withColumn("bk", bucket.cast("long"))
+    per = b.groupBy("bk").agg(F.sum("ca").alias("sa"),
+                              F.sum("cb").alias("sb"))
+    # exclusive scan over <= n_buckets rows: the only single-partition
+    # window, and it sees bucket subtotals, never row-scale data.
+    wx = (Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = per.select(
+        "bk",
+        F.coalesce(F.sum("sa").over(wx), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("sb").over(wx), F.lit(0)).alias("off_b"))
+    win = Window.partitionBy("bk").orderBy("v")
+    j = (b.join(F.broadcast(off), "bk")
+         .withColumn("cum_a", F.col("off_a") + F.sum("ca").over(win))
+         .withColumn("cum_b", F.col("off_b") + F.sum("cb").over(win)))
+    dnum = F.abs(F.col("cum_a") * F.col("nb")
+                 - F.col("cum_b") * F.col("na"))
+    # max(struct(d, -v)) maximises d then minimises v — a deterministic
+    # argmax without a second pass (double negation is exact).
+    picked = j.agg(
+        F.max(F.struct(dnum.alias("d"), (-F.col("v")).alias("nv")))
+        .alias("m"),
+        F.max("na").alias("n_a"), F.max("nb").alias("n_b"))
+    return picked.select(
+        "n_a", "n_b",
+        F.col("m.d").alias("ks_num"),
+        (-F.col("m.nv")).alias("ks_at_value"),
+        (F.col("m.d").cast("double")
+         / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+        .alias("ks_stat"))
+
+
+def robust_outlier_profile(df: DataFrame, group: str, value: Column,
+                           *, k: int = 5) -> DataFrame:
+    """Per-group robust outlier profile: exact lower median, exact MAD
+    (median absolute deviation), and the count of rows with
+    ``|x - median| > k * MAD``. One row per group:
+    ``(group, n, med, mad, n_outliers)``.
+
+    Both medians use rank arithmetic (value at the floor((n+1)/2)-th
+    ordered row) so the result is a value present in the data and
+    identical in any engine — no interpolation, no float averaging of the
+    two middle elements. Two ordered window passes under the SAME
+    group partitioning: one exchange total.
+    """
+    wg = Window.partitionBy(group)
+    w1 = wg.orderBy(F.col("__v").asc())
+    base = (df.where(value.isNotNull())
+            .select(F.col(group), value.alias("__v")))
+    ranked = (base
+              .withColumn("__rn", F.row_number().over(w1))
+              .withColumn("__n", F.count(F.lit(1)).over(wg)))
+    med_rank = F.floor((F.col("__n") + F.lit(1)) / F.lit(2)).cast("long")
+    with_med = ranked.withColumn(
+        "__med",
+        F.max(F.when(F.col("__rn") == med_rank, F.col("__v"))).over(wg))
+    dev = with_med.withColumn("__ad", F.abs(F.col("__v") - F.col("__med")))
+    w2 = wg.orderBy(F.col("__ad").asc())
+    ranked2 = dev.withColumn("__rn2", F.row_number().over(w2))
+    with_mad = ranked2.withColumn(
+        "__mad",
+        F.max(F.when(F.col("__rn2") == med_rank, F.col("__ad"))).over(wg))
+    return (with_mad.groupBy(group)
+            .agg(F.max("__n").alias("n"),
+                 F.max("__med").alias("med"),
+                 F.max("__mad").alias("mad"),
+                 F.sum((F.col("__ad")
+                        > F.lit(float(k)) * F.col("__mad")).cast("long"))
+                 .alias("n_outliers")))
+
+
+def benford_expected() -> dict[int, float]:
+    """Benford first-digit probabilities, computed ONCE in Python and
+    injected as literals into both engines (never log10 in-engine)."""
+    return {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_profile(df: DataFrame, amount: Column) -> DataFrame:
+    """First-significant-digit profile of a positive money-like column
+    against Benford's law. One row per digit 1..9:
+    ``(digit, observed, n_total, expected, chi_term)`` with
+    ``chi_term = (observed - n*p)^2 / (n*p)``.
+
+    The digit comes from the scaled-integer cents value rendered to a
+    string — integer-to-string is identical everywhere, double-to-string
+    is not. Rows with amount < 0.01 are excluded (no first significant
+    digit at cent precision). Per-digit rows are kept instead of a
+    cross-row float chi-square sum: summing doubles across rows is
+    aggregation-order-dependent; nine per-digit terms are not.
+    """
+    exp = benford_expected()
+    cents = F.floor(amount * _dbl(100.0) + _dbl(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1)
+    counts = (df.where(amount.isNotNull() & (cents >= 1))
+              .groupBy(digit.alias("digit"))
+              .agg(F.count(F.lit(1)).alias("observed")))
+    # 9 rows: the unpartitioned window sees 9 rows, never the input.
+    n = F.sum("observed").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    p = F.element_at(
+        F.array(*[_dbl(exp[i]) for i in range(1, 10)]),
+        F.col("digit").cast("int"))
+    with_n = counts.withColumn("n_total", n)
+    expected = F.col("n_total").cast("double") * p
+    dev = F.col("observed").cast("double") - expected
+    return with_n.select(
+        "digit", "observed", "n_total",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("chi_term"))
+
+
+def fd_profile(df: DataFrame,
+               candidates: Sequence[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency discovery over candidate (lhs -> rhs) column
+    pairs. One row per candidate:
+    ``(lhs, rhs, n_groups, n_violating, max_rhs_per_lhs, holds)``.
+
+    ``holds`` iff every lhs value maps to exactly one non-null-distinct
+    rhs value. Each candidate is one groupBy(lhs) exchange with map-side
+    partial count-distinct; candidates evaluate independently (Spark
+    schedules the unioned branches concurrently). Pure integer counts —
+    engine-exact. The single-pass multi-candidate alternative (one agg
+    with k count-distincts) EXPANDs rows k+1 times map-side; per-candidate
+    groupBys win once rows >> candidates.
+    """
+    parts = []
+    for lhs, rhs in candidates:
+        nd = (df.groupBy(F.col(lhs).alias("__l"))
+              .agg(F.countDistinct(F.col(rhs)).alias("__nd")))
+        parts.append(nd.agg(
+            F.lit(lhs).alias("lhs"), F.lit(rhs).alias("rhs"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("__nd") > 1).cast("long")).alias("n_violating"),
+            F.max("__nd").alias("max_rhs_per_lhs"),
+        ).withColumn("holds", F.col("n_violating") == 0))
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -7335,3 +7335,180 @@ def q_char_diversity_extremes(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (char_diversity(docs, "doc_id", "text")
             .orderBy(F.asc("simpson"), F.asc("id")).limit(10))
+
+
+# ---------------------------------------------------------------------------
+# distribution-level statistical validation (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+@register("ks_value_two_sample", """
+WITH d AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+  GROUP BY value
+),
+c AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM d
+),
+t AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b
+  FROM d
+),
+k AS (
+  SELECT v, ABS(cum_a * t.n_b - cum_b * t.n_a) AS dn FROM c, t
+)
+SELECT t.n_a, t.n_b,
+       (SELECT CAST(max(dn) AS BIGINT) FROM k) AS ks_num,
+       (SELECT min(v) FROM k
+        WHERE dn = (SELECT max(dn) FROM k)) AS ks_at_value,
+       CAST((SELECT max(dn) FROM k) AS DOUBLE)
+         / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)) AS ks_stat
+FROM t
+""")
+def q_ks_value_two_sample(spark, sf_dir):
+    """Exact two-sample KS statistic between the click and view
+    populations of ``events.value`` — the distribution-drift gate a
+    migration validator runs when row counts reconcile but a lossy cast
+    is suspected. Scaled-integer D (no per-row float ECDF), distributed
+    prefix sum over value-range buckets (operators/stats.ks_two_sample);
+    the single-partition window touches only 256 bucket subtotals."""
+    from spanner_data_validator_spark.operators.stats import ks_two_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ks_two_sample(
+        ev, F.col("value"),
+        F.col("event_type") == "click", F.col("event_type") == "view")
+
+
+@register("mad_outlier_profile", """
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM base
+),
+m AS (
+  SELECT *,
+         max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT) THEN v END)
+           OVER (PARTITION BY g) AS med
+  FROM r
+),
+a AS (
+  SELECT g, n, abs(v - med) AS ad, med,
+         row_number() OVER (PARTITION BY g ORDER BY abs(v - med)) AS rn2
+  FROM m
+),
+mm AS (
+  SELECT *,
+         max(CASE WHEN rn2 = CAST(floor((n + 1) / 2) AS BIGINT) THEN ad END)
+           OVER (PARTITION BY g) AS mad
+  FROM a
+)
+SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+       max(med) AS med, max(mad) AS mad,
+       CAST(sum(CASE WHEN ad > 5 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM mm GROUP BY g
+""")
+def q_mad_outlier_profile(spark, sf_dir):
+    """Per-event-type robust outlier profile: exact lower median, exact
+    MAD, and the |x - med| > 5*MAD outlier count
+    (operators/stats.robust_outlier_profile). Rank-arithmetic medians are
+    values that exist in the data — bit-identical across engines, unlike
+    interpolated percentiles. One group-keyed exchange."""
+    from spanner_data_validator_spark.operators.stats import (
+        robust_outlier_profile,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return robust_outlier_profile(ev, "event_type", F.col("value"), k=5)
+
+
+def _benford_case() -> str:
+    from spanner_data_validator_spark.operators.stats import benford_expected
+
+    arms = " ".join(
+        f"WHEN '{d}' THEN {p:.17e}" for d, p in benford_expected().items())
+    return f"CASE digit {arms} END"
+
+
+@register("benford_first_digit", f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+cnt AS (
+  SELECT substring(CAST(c AS VARCHAR), 1, 1) AS digit,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM cents WHERE c >= 1 GROUP BY 1
+),
+wn AS (
+  SELECT digit, observed,
+         CAST(sum(observed) OVER () AS BIGINT) AS n_total
+  FROM cnt
+),
+e AS (
+  SELECT digit, observed, n_total,
+         CAST(n_total AS DOUBLE) * ({_benford_case()}) AS expected
+  FROM wn
+)
+SELECT digit, observed, n_total, expected,
+       (CAST(observed AS DOUBLE) - expected)
+         * (CAST(observed AS DOUBLE) - expected) / expected AS chi_term
+FROM e
+""")
+def q_benford_first_digit(spark, sf_dir):
+    """Benford first-significant-digit conformance of order totals — the
+    fabricated-data screen (operators/stats.benford_profile). The digit
+    is taken from integer cents rendered to string (double-to-string
+    diverges across engines; log10 diverges at powers of ten); Benford
+    probabilities are Python-computed literals injected into both
+    engines; per-digit chi-square terms avoid any cross-row float sum."""
+    from spanner_data_validator_spark.operators.stats import benford_profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_profile(orders, F.col("o_totalprice"))
+
+
+def _fd_oracle() -> str:
+    cands = [("l_orderkey", "l_returnflag"), ("l_orderkey", "l_linestatus"),
+             ("l_partkey", "l_suppkey"), ("l_orderkey", "l_shipdate")]
+    parts = []
+    for lhs, rhs in cands:
+        parts.append(f"""
+SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(max(nd) AS BIGINT) AS max_rhs_per_lhs,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS holds
+FROM (SELECT {lhs} AS l, CAST(count(DISTINCT {rhs}) AS BIGINT) AS nd
+      FROM lineitem GROUP BY 1)""")
+    return " UNION ALL ".join(parts)
+
+
+@register("fd_discovery", _fd_oracle())
+def q_fd_discovery(spark, sf_dir):
+    """Functional-dependency discovery over candidate column pairs of
+    ``lineitem`` (operators/stats.fd_profile) — the schema-semantics
+    probe a validator runs before trusting a natural key: does lhs
+    determine rhs, and if not, how many lhs groups violate? Pure integer
+    counting, one lhs-keyed exchange per candidate."""
+    from spanner_data_validator_spark.operators.stats import fd_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return fd_profile(li, [
+        ("l_orderkey", "l_returnflag"), ("l_orderkey", "l_linestatus"),
+        ("l_partkey", "l_suppkey"), ("l_orderkey", "l_shipdate")])
