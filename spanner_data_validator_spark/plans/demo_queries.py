@@ -7512,3 +7512,194 @@ def q_fd_discovery(spark, sf_dir):
     return fd_profile(li, [
         ("l_orderkey", "l_returnflag"), ("l_orderkey", "l_linestatus"),
         ("l_partkey", "l_suppkey"), ("l_orderkey", "l_shipdate")])
+
+
+@register("trend_slope_by_type", """
+WITH base AS (
+  SELECT event_type AS g, epoch_us(ts) // 1000000 AS x,
+         CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+c AS (
+  SELECT g, x - min(x) OVER (PARTITION BY g) AS xc,
+         min(x) OVER (PARTITION BY g) AS x0, y
+  FROM base
+),
+t AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(max(x0) AS BIGINT) AS x0,
+         sum(xc) AS sx, sum(y) AS sy, sum(xc * y) AS sxy,
+         sum(xc * xc) AS sxx
+  FROM c GROUP BY g
+),
+s AS (
+  SELECT g, n, x0, sx, sy,
+         CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+  FROM t
+)
+SELECT g AS event_type, n, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx + n * x0 AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM s
+""")
+def q_trend_slope_by_type(spark, sf_dir):
+    """Exact per-event-type OLS trend of value (as integer cents) on
+    event time (epoch seconds) — the drift detector a validator points
+    at a metric column (operators/stats.trend_slope). Every sum is an
+    exact integer (per-group min-centering keeps products in int64; the
+    n*Sxy - Sx*Sy combination runs in DECIMAL(38,0) = DuckDB HUGEINT),
+    so slope/intercept are single double ops on exact ints —
+    bit-identical across engines. One group-keyed exchange."""
+    from spanner_data_validator_spark.operators.stats import trend_slope
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    x = F.expr("unix_micros(ts) div 1000000")
+    y = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+    return trend_slope(ev.where(F.col("ts").isNotNull()),
+                       "event_type", x, y)
+
+
+@register("acf1_by_type", """
+WITH base AS (
+  SELECT event_type AS g, ts, event_id,
+         CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+p AS (
+  SELECT g, lag(y) OVER (PARTITION BY g ORDER BY ts, event_id) AS a,
+         y AS b
+  FROM base
+),
+f AS (SELECT g, a, b FROM p WHERE a IS NOT NULL),
+c AS (SELECT g, a - min(a) OVER (PARTITION BY g) AS xc, b FROM f),
+t AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS m,
+         sum(xc) AS sx, sum(b) AS sy, sum(xc * b) AS sxy,
+         sum(xc * xc) AS sxx, sum(b * b) AS syy
+  FROM c GROUP BY g
+)
+SELECT g AS event_type, m AS n_pairs,
+       CASE WHEN (m * sxx - sx * sx = 0) OR (m * syy - sy * sy = 0)
+            THEN NULL
+            ELSE CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE)) END AS acf1
+FROM t
+""")
+def q_acf1_by_type(spark, sf_dir):
+    """Per-event-type lag-1 autocorrelation of the value series in event
+    order (operators/stats.lag1_autocorr) — the serial-dependence probe
+    (a near-1 ACF on a supposedly independent metric flags duplicated or
+    interpolated rows). Pearson over adjacent pairs in exact integer
+    sums; (ts, event_id) makes the pairing order total so both engines
+    pair identical rows. sqrt is IEEE correctly-rounded — engine-exact."""
+    from spanner_data_validator_spark.operators.stats import lag1_autocorr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    y = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+    return lag1_autocorr(ev, "event_type",
+                         [F.col("ts"), F.col("event_id")], y)
+
+
+@register("chi2_type_by_dow", """
+WITH cells AS (
+  SELECT event_type AS r, CAST(dayofweek(ts) + 1 AS INT) AS c,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT r, c, observed,
+         CAST(sum(observed) OVER (PARTITION BY r) AS BIGINT) AS row_total,
+         CAST(sum(observed) OVER (PARTITION BY c) AS BIGINT) AS col_total,
+         CAST(sum(observed) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT r, c, observed, row_total, col_total, n,
+       CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+         / CAST(n AS DOUBLE) AS expected,
+       (CAST(observed AS DOUBLE)
+          - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+            / CAST(n AS DOUBLE))
+       * (CAST(observed AS DOUBLE)
+          - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+            / CAST(n AS DOUBLE))
+       / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+          / CAST(n AS DOUBLE)) AS chi_term
+FROM t
+""")
+def q_chi2_type_by_dow(spark, sf_dir):
+    """Chi-square independence cells between event_type and day-of-week
+    (operators/stats.chi2_contingency_cells) — the segment-balance check
+    (a migration that drops a shard skews one margin). Per-cell double
+    terms on exact integer marginals avoid cross-row float sums; Spark's
+    dayofweek (1=Sunday) is DuckDB's dayofweek()+1. Marginals come from
+    windows over the 35-row cell table, never the input."""
+    from spanner_data_validator_spark.operators.stats import (
+        chi2_contingency_cells,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return chi2_contingency_cells(
+        ev.where(F.col("ts").isNotNull()),
+        F.col("event_type"), F.dayofweek("ts"))
+
+
+@register("heavy_hitters_tri", """
+WITH it AS (
+  SELECT CAST(floor(sqrt(CAST(event_id % 250000 AS DOUBLE))) AS BIGINT)
+           AS item
+  FROM events
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM it),
+c AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM it GROUP BY item)
+SELECT c.item, c.cnt, n.n_total
+FROM c, n WHERE c.cnt * 257 > n.n_total
+""")
+def q_heavy_hitters_tri(spark, sf_dir):
+    """Sketch-accelerated EXACT heavy hitters (count > n/257) via
+    Misra-Gries(256) candidate pruning + exact verification
+    (operators/sketch.heavy_hitters_exact). The item key is a planted
+    triangular distribution — floor(sqrt(event_id % 250000)) makes key v
+    appear ~2v+1 times — because the corpus's natural keys are uniform
+    by construction; at sf0.1 the ~317-key domain exceeds the 256
+    counters, so the sketch genuinely prunes. The exact re-count makes
+    the output independent of which extra candidates MG emitted, so the
+    oracle is plain SQL."""
+    from spanner_data_validator_spark.operators.sketch import (
+        heavy_hitters_exact,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    item = F.floor(F.sqrt((F.col("event_id") % 250000).cast("double")))
+    return heavy_hitters_exact(ev, item, 256)
+
+
+@register("variant_extract_rollup", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS n_k,
+       CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(count(DISTINCT CAST(props ->> 'k' AS BIGINT)) AS BIGINT)
+         AS k_distinct
+FROM events GROUP BY event_type
+""")
+def q_variant_extract_rollup(spark, sf_dir):
+    """Semi-structured rollup through Spark 4's VariantType:
+    try_parse_json -> VARIANT -> variant_get('$.k', bigint) -> aggregate.
+    Variant's binary encoding is the 100 TB path for ragged JSON — parsed
+    once at ingest, fields extracted without per-query string re-parsing
+    (vs json_props_extract, which exercises the string-side
+    get_json_object path). try_parse_json quarantines malformed payloads
+    as NULL instead of failing the job; DuckDB's ->> replays the same
+    extraction."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("k").alias("n_k"),
+                 F.sum("k").alias("k_sum"),
+                 F.countDistinct("k").alias("k_distinct")))

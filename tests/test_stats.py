@@ -6,6 +6,9 @@ import math
 from pyspark.sql import functions as F
 
 from spanner_data_validator_spark.operators.stats import (
+    chi2_contingency_cells,
+    lag1_autocorr,
+    trend_slope,
     benford_expected,
     benford_profile,
     fd_profile,
@@ -135,3 +138,66 @@ def test_fd_profile_pure_dependency(spark):
     row = r[("code", "label")]
     assert row["holds"] and row["n_groups"] == 3
     assert row["max_rhs_per_lhs"] == 1
+
+
+def test_trend_slope_matches_closed_form(spark):
+    # y = 3x + 7 with an integer disturbance pattern; exact OLS is checkable
+    # in Python integer arithmetic
+    pts = [(i, 3 * i + 7 + ((-1) ** i) * (i % 5)) for i in range(200)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pts],
+                               "grp string, x long, y long")
+    out = trend_slope(df, "grp", F.col("x"), F.col("y")).collect()[0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    assert out["n"] == n
+    assert math.isclose(out["slope"], num / den, rel_tol=1e-12)
+    assert math.isclose(out["intercept"],
+                        (sy - (num / den) * sx) / n, rel_tol=1e-9)
+
+
+def test_trend_slope_degenerate_x(spark):
+    df = spark.createDataFrame([("g", 5, i) for i in range(10)],
+                               "grp string, x long, y long")
+    out = trend_slope(df, "grp", F.col("x"), F.col("y")).collect()[0]
+    assert out["slope"] is None
+
+
+def test_lag1_autocorr_alternating_and_constant(spark):
+    # strictly alternating series -> acf1 == -1; constant -> NULL (0 var)
+    rows = [("alt", i, 10 if i % 2 == 0 else 20) for i in range(50)]
+    rows += [("const", i, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, t long, y long")
+    out = {r["grp"]: r for r in
+           lag1_autocorr(df, "grp", [F.col("t")], F.col("y")).collect()}
+    assert math.isclose(out["alt"]["acf1"], -1.0, rel_tol=1e-12)
+    assert out["alt"]["n_pairs"] == 49
+    assert out["const"]["acf1"] is None
+
+
+def test_lag1_autocorr_matches_numpy(spark):
+    import numpy as np
+
+    ys = [(i * 17) % 23 + (i % 3) for i in range(80)]
+    df = spark.createDataFrame([("g", i, y) for i, y in enumerate(ys)],
+                               "grp string, t long, y long")
+    out = lag1_autocorr(df, "grp", [F.col("t")], F.col("y")).collect()[0]
+    a, b = np.array(ys[:-1], float), np.array(ys[1:], float)
+    assert math.isclose(out["acf1"], np.corrcoef(a, b)[0, 1],
+                        rel_tol=1e-10)
+
+
+def test_chi2_cells_exact_marginals(spark):
+    rows = [("a", 1)] * 10 + [("a", 2)] * 20 + [("b", 1)] * 30 + \
+           [("b", 2)] * 40
+    df = spark.createDataFrame(rows, "r string, c int")
+    cells = {(x["r"], x["c"]): x for x in
+             chi2_contingency_cells(df, F.col("r"), F.col("c")).collect()}
+    cell = cells[("a", 1)]
+    assert cell["observed"] == 10 and cell["row_total"] == 30
+    assert cell["col_total"] == 40 and cell["n"] == 100
+    exp = 30.0 * 40.0 / 100.0
+    assert cell["expected"] == exp
+    assert math.isclose(cell["chi_term"], (10 - exp) ** 2 / exp,
+                        rel_tol=1e-15)
