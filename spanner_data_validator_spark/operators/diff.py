@@ -27,7 +27,7 @@ treatment of NULLs as a distinct serialized token
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ADDED, REMOVED, CHANGED, UNCHANGED = "ADDED", "REMOVED", "CHANGED", "UNCHANGED"
@@ -84,3 +84,42 @@ def column_drift_summary(diff: DataFrame) -> DataFrame:
             .select(F.explode("diff_cols").alias("column"))
             .groupBy("column")
             .agg(F.count(F.lit(1)).alias("n_changed")))
+
+
+def first_running_divergence(src: DataFrame, tgt: DataFrame, *, key: str,
+                             order: list[str],
+                             amount: Column) -> DataFrame:
+    """Running-balance reconciliation: per key, the EARLIEST position at
+    which the two sides' cumulative sums diverge (a ledger whose totals
+    reconcile can still hide a dropped+compensating pair — the running
+    sum pinpoints the first bad row). Returns one row per diverged key:
+    ``(key, first_rn, src_cum, tgt_cum, n_diverged)`` with NULL cum on a
+    side that ran out of rows.
+
+    Each side is one key-partitioned ordered window (row_number +
+    running sum); the comparison is an equi-join on (key, rn). Cumulative
+    sums must be INTEGER (pass cents, not doubles) — float running sums
+    diverge across engines per accumulation order. The join output is
+    unique per (key, rn), so min(struct(rn, ...)) picks the earliest
+    divergence deterministically without a second pass.
+    """
+    def side(df: DataFrame, cum_name: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(*order)
+        return (df.select(F.col(key), *[F.col(c) for c in order],
+                          amount.alias("__a"))
+                .select(F.col(key),
+                        F.row_number().over(w).cast("long").alias("rn"),
+                        F.sum("__a").over(w).alias(cum_name)))
+
+    j = side(src, "src_cum").join(side(tgt, "tgt_cum"), [key, "rn"],
+                                  "full_outer")
+    div = j.where(~F.col("src_cum").eqNullSafe(F.col("tgt_cum")))
+    picked = (div.groupBy(key)
+              .agg(F.min(F.struct(F.col("rn"),
+                                  F.col("src_cum"),
+                                  F.col("tgt_cum"))).alias("m"),
+                   F.count(F.lit(1)).alias("n_diverged")))
+    return picked.select(key, F.col("m.rn").alias("first_rn"),
+                         F.col("m.src_cum").alias("src_cum"),
+                         F.col("m.tgt_cum").alias("tgt_cum"),
+                         "n_diverged")

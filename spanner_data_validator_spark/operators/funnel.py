@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -75,3 +75,32 @@ def retention_cohorts(events: DataFrame, *, user: str, ts: str,
             .where(F.col("day_offset") <= max_offset_days)
             .groupBy("cohort_day", "day_offset")
             .agg(F.countDistinct(user).cast("long").alias("n_users")))
+
+
+def last_touch_attribution(events: DataFrame, *, user: str, ts: str,
+                           tiebreak: str, etype: str,
+                           conversion: str) -> DataFrame:
+    """Last-touch conversion attribution: each ``conversion`` event is
+    credited to the nearest PRECEDING non-conversion event of the same
+    user (marketing's last-touch model; 'direct' when no touch precedes).
+    Returns one row per crediting type:
+    ``(attributed_type, n_conversions, n_users)``.
+
+    One user-keyed exchange: the carry-forward is
+    ``last(non-conversion type, ignorenulls)`` over rows UNBOUNDED
+    PRECEDING .. 1 PRECEDING under the (ts, tiebreak) total order — no
+    self-join against prior events (the naive time-band join is
+    quadratic in hot users). The tiebreak column must be unique within
+    user or engines pair rows differently.
+    """
+    w = (Window.partitionBy(user).orderBy(F.col(ts), F.col(tiebreak))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(
+        F.when(F.col(etype) != conversion, F.col(etype)),
+        ignorenulls=True).over(w)
+    conv = (events.withColumn("__touch", touch)
+            .where(F.col(etype) == conversion))
+    return (conv.groupBy(F.coalesce(F.col("__touch"), F.lit("direct"))
+                         .alias("attributed_type"))
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.countDistinct(user).alias("n_users")))

@@ -238,3 +238,51 @@ def schema_drift(src: DataFrame, tgt: DataFrame) -> list[dict]:
             out.append({"column": name, "kind": "missing_in_src",
                         "src": None, "tgt": t[name].dataType.simpleString()})
     return out
+
+
+def rfm_segments(events: DataFrame, *, user: str, ts: str,
+                 amount: Column, n_tiles: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: per-user
+    aggregates quintiled into ``n_tiles`` buckets, reported as segment
+    counts ``(r_q, f_q, m_q, n_users, m_sum)``.
+
+    Exactness: recency is integer days (epoch_us // 86400e6) from the
+    corpus max day; ntile is the SQL-standard equal-fill bucketing, made
+    deterministic by a (metric, user_id) total order — recency ascending
+    (recent = bucket 1), frequency and monetary descending (heavy =
+    bucket 1). Amount must be integer (cents).
+
+    Shape: one user-keyed aggregation reduces events to |users| rows;
+    the three ntile windows then run over the per-user table (global
+    order, single partition — fine while |users| fits one task; at 1e9+
+    users swap for the bucketed distributed rank in
+    ``operators/stats.ks_two_sample``'s prefix-sum pattern).
+    """
+    # integer division (div), NOT double '/' + cast: a float quotient that
+    # rounds up to an exact integer would truncate differently than
+    # DuckDB's // floor division (epoch_us values exceed 2^53 / 86400e6
+    # headroom only in pathological cases, but div costs nothing).
+    day = F.expr(
+        f"unix_micros(cast({ts} as timestamp)) div 86400000000")
+    per_user = (events.groupBy(user)
+                .agg(F.max(day).alias("last_day"),
+                     F.count(F.lit(1)).alias("f"),
+                     F.sum(amount).alias("m")))
+    # per_user feeds both the global-max aggregate and the scoring branch —
+    # pin it (multi-branch rescan trap) so events is scanned once.
+    per_user = per_user.localCheckpoint(eager=True)
+    per_user = per_user.crossJoin(
+        F.broadcast(per_user.agg(F.max("last_day").alias("g"))))
+    r = (F.col("g") - F.col("last_day")).alias("r")
+    scored = per_user.select(F.col(user), r, "f", "m")
+    wr = Window.orderBy(F.col("r").asc(), F.col(user).asc())
+    wf = Window.orderBy(F.col("f").desc(), F.col(user).asc())
+    wm = Window.orderBy(F.col("m").desc(), F.col(user).asc())
+    q = scored.select(
+        F.ntile(n_tiles).over(wr).alias("r_q"),
+        F.ntile(n_tiles).over(wf).alias("f_q"),
+        F.ntile(n_tiles).over(wm).alias("m_q"),
+        F.col("m"))
+    return (q.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("m").alias("m_sum")))

@@ -7703,3 +7703,142 @@ def q_variant_extract_rollup(spark, sf_dir):
                  F.count("k").alias("n_k"),
                  F.sum("k").alias("k_sum"),
                  F.countDistinct("k").alias("k_distinct")))
+
+
+@register("ledger_first_divergence", """
+WITH src AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+tgt AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 50 = 0 THEN c + 7 ELSE c END AS c
+  FROM src WHERE event_id % 50 <> 1
+  UNION ALL
+  SELECT user_id, ts, event_id + 100000000 AS event_id, c
+  FROM src WHERE event_id % 50 = 2
+),
+sj AS (
+  SELECT user_id,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(sum(c) OVER w AS BIGINT) AS src_cum
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tj AS (
+  SELECT user_id,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(sum(c) OVER w AS BIGINT) AS tgt_cum
+  FROM tgt WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+j AS (
+  SELECT coalesce(sj.user_id, tj.user_id) AS u,
+         coalesce(sj.rn, tj.rn) AS rn, src_cum, tgt_cum
+  FROM sj FULL JOIN tj ON sj.user_id = tj.user_id AND sj.rn = tj.rn
+),
+d AS (SELECT * FROM j WHERE src_cum IS DISTINCT FROM tgt_cum),
+f AS (
+  SELECT u, CAST(min(rn) AS BIGINT) AS first_rn,
+         CAST(count(*) AS BIGINT) AS n_diverged
+  FROM d GROUP BY u
+)
+SELECT f.u AS user_id, f.first_rn, d.src_cum, d.tgt_cum, f.n_diverged
+FROM f JOIN d ON d.u = f.u AND d.rn = f.first_rn
+""")
+def q_ledger_first_divergence(spark, sf_dir):
+    """Running-balance reconciliation over the planted dual stream: per
+    user, the earliest row position where the source and target
+    cumulative cent sums diverge, plus how many positions disagree
+    (operators/diff.first_running_divergence). Totals-level validation
+    (summary_validation) misses dropped+compensating pairs; the running
+    sum pinpoints the first bad row. Integer cents only — float running
+    sums are accumulation-order-dependent. The planted rule mutates
+    value (+7 cents where key%50=0), drops key%50=1, inserts key%50=2."""
+    from spanner_data_validator_spark.operators.diff import (
+        first_running_divergence,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+    src = (ev.where(F.col("value").isNotNull())
+           .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                   "event_id", cents.alias("c")))
+    kept = src.where(F.col("event_id") % 50 != 1).withColumn(
+        "c", F.when(F.col("event_id") % 50 == 0, F.col("c") + 7)
+              .otherwise(F.col("c")))
+    ins = (src.where(F.col("event_id") % 50 == 2)
+           .withColumn("event_id", F.col("event_id") + F.lit(100_000_000)))
+    tgt = kept.unionByName(ins)
+    return first_running_divergence(
+        src, tgt, key="user_id", order=["ts", "event_id"],
+        amount=F.col("c"))
+
+
+@register("last_touch_attribution", """
+WITH t AS (
+  SELECT user_id, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT coalesce(touch, 'direct') AS attributed_type,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM t WHERE event_type = 'purchase' GROUP BY 1
+""")
+def q_last_touch_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: every purchase credited to the
+    user's nearest preceding non-purchase event
+    (operators/funnel.last_touch_attribution). The carry-forward is one
+    ignorenulls last() over a user-keyed window — no time-band self-join
+    (quadratic in hot users). (ts, event_id) totalizes the order so both
+    engines credit identical rows."""
+    from spanner_data_validator_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    return last_touch_attribution(
+        ev, user="user_id", ts="ts", tiebreak="event_id",
+        etype="event_type", conversion="purchase")
+
+
+@register("rfm_segments", """
+WITH pu AS (
+  SELECT user_id,
+         CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)
+           AS m
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT user_id,
+         (SELECT max(last_day) FROM pu) - last_day AS r, f, m
+  FROM pu
+),
+q AS (
+  SELECT CAST(ntile(5) OVER (ORDER BY r, user_id) AS INT) AS r_q,
+         CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS INT) AS f_q,
+         CAST(ntile(5) OVER (ORDER BY m DESC, user_id) AS INT) AS m_q,
+         m
+  FROM s
+)
+SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(m) AS BIGINT) AS m_sum
+FROM q GROUP BY 1, 2, 3
+""")
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (operators/profile.rfm_segments):
+    per-user recency (integer days via epoch div), frequency, monetary
+    (integer cents) quintiled with (metric, user_id) tie-breaks so ntile
+    assigns identical buckets in both engines; reported as segment-cell
+    counts. Events reduce to |users| rows before any global window."""
+    from spanner_data_validator_spark.operators.profile import rfm_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+    return rfm_segments(ev, user="user_id", ts="ts", amount=cents)
