@@ -21,7 +21,7 @@ inverted-index blowup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spanner_data_validator_spark.functions.text import shingles
@@ -560,3 +560,54 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                               max_bucket_size=max_bucket_size)
     ham = sig_hamming(F.col("sig_a"), F.col("sig_b"))
     return cand.select("a", "b", ham.alias("hamming")).where(ham <= max_hamming)
+
+
+def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                                *, n: int = 3, threshold: float = 0.7,
+                                max_shingle_df: int | None = None
+                                ) -> DataFrame:
+    """Exact Jaccard pairs via PPJoin-style PREFIX FILTERING — the third
+    candidate generator (vs the full inverted index in ``jaccard_pairs``
+    and the banded LSH in ``minhash_lsh_pairs``), same exact answer.
+
+    Principle: order every doc's shingles by global rarity (document
+    frequency asc, then shingle). For Jaccard >= t, a pair's overlap is
+    >= ceil(t*|x|), so if a partner shares NOTHING with x's first
+    |x| - ceil(t*|x|) + 1 tokens (the "prefix"), the remaining tokens
+    cannot reach the bound — probing ONLY prefixes against the full
+    index is complete. Rarest-first ordering puts the probe mass on
+    low-frequency tokens, so candidate volume ~ sum over prefix tokens
+    of df(token): far below the full index self-join, with no LSH false
+    negatives. Verification reuses :func:`verify_candidate_pairs`.
+
+    The rarity rank uses :func:`operators.layout.global_row_number`
+    with bit-length-of-df buckets (monotone in df, so order-aligned) —
+    no single-partition window over the vocabulary.
+    """
+    from spanner_data_validator_spark.operators.layout import (
+        global_row_number,
+    )
+
+    sh = shingle_table(df, id_col, text_col, n,
+                       max_shingle_df=max_shingle_df, materialize=True)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = global_row_number(
+        freq, [F.col("__df"), F.col("shingle")],
+        F.length(F.bin(F.col("__df"))), out_col="rk"
+    ).select("shingle", "rk")
+    shr = sh.join(ranked, "shingle")
+    wd = Window.partitionBy(id_col)
+    pref = (shr.withColumn("__pos",
+                           F.row_number().over(wd.orderBy("rk")))
+            .withColumn("__n", F.count(F.lit(1)).over(wd))
+            .where(F.col("__pos")
+                   <= F.col("__n")
+                   - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1))
+    probes = pref.select(F.col(id_col).alias("a"), "shingle")
+    index = sh.select(F.col(id_col).alias("b"), "shingle")
+    cand = (probes.join(index, "shingle")
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b"))
+            .distinct())
+    return verify_candidate_pairs(cand, sh, id_col, threshold=threshold)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -113,3 +113,32 @@ def skip_scan_summary(manifest: DataFrame, stat: str,
         F.sum(scanned.cast("long")).alias("files_scanned"),
         F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0)))
          .cast("long").alias("rows_scanned"))
+
+
+def global_row_number(df: DataFrame, order_cols: Sequence[Column],
+                      bucket: Column, *, out_col: str = "rn") -> DataFrame:
+    """Distributed GLOBAL row_number over ``order_cols`` — the primitive
+    Spark's Window cannot shard (no partition key => one task over all
+    rows). Two-phase plan: ``bucket`` (which MUST be monotone
+    non-decreasing along the global order, i.e. each bucket owns a
+    contiguous rank range) gives per-bucket counts (tiny), an exclusive
+    scan over those counts broadcasts per-bucket offsets back, and
+    row_number runs under ``Window.partitionBy(bucket)`` — every stage
+    parallel. Same shape as the prefix sum in
+    ``operators/stats.ks_two_sample``.
+
+    The input is pinned (it feeds the count branch and the ranked
+    output); at cluster scale swap localCheckpoint for persist().
+    """
+    b = df.withColumn("__bk", bucket).localCheckpoint(eager=True)
+    per = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__c"))
+    wx = (Window.orderBy("__bk")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = per.select("__bk", F.coalesce(F.sum("__c").over(wx), F.lit(0))
+                     .alias("__off"))
+    w = Window.partitionBy("__bk").orderBy(*order_cols)
+    return (b.join(F.broadcast(off), "__bk")
+            .withColumn(out_col,
+                        (F.col("__off") + F.row_number().over(w))
+                        .cast("long"))
+            .drop("__bk", "__off"))

@@ -357,3 +357,46 @@ def passjoin_candidates(src: DataFrame, tgt: DataFrame, key_col: str,
             .join(tgt.select(F.col(id_col).alias("tgt_id"),
                              F.col(key_col).alias("tgt_key")), "tgt_id")
             .select("src_id", "src_key", "tgt_id", "tgt_key"))
+
+
+def sorted_neighborhood_pairs(records: DataFrame, key_col: str,
+                              id_col: str, *, window: int = 4,
+                              max_distance: int = 1) -> DataFrame:
+    """Sorted-neighborhood record-linkage blocking: sort all keys
+    globally, compare each record only with its next ``window - 1``
+    neighbors in sort order, keep pairs within ``max_distance`` edits.
+    Output: ``(id_a, id_b, key_a, key_b, dist)``.
+
+    The third blocking scheme next to SymSpell deletions and PassJoin
+    segments — O(n·w) comparisons with a totally different blind spot
+    (an edit EARLY in the string moves the key far away in sort order;
+    the deletion schemes are position-blind but length-bounded). Classic
+    ER stacks run several blockers and union candidates.
+
+    Scale shape: the global sort position comes from
+    ``operators.layout.global_row_number`` (first-character buckets —
+    monotone under lexicographic order), and the w-1 neighbor pairing is
+    an EXPLODE of offsets + equi-join on rn (never a range join). The
+    ranked table feeds both join sides, so it is pinned.
+    """
+    base = records.select(F.col(key_col).alias("k"),
+                          F.col(id_col).alias("i"))
+    from spanner_data_validator_spark.operators.layout import (
+        global_row_number,
+    )
+    ranked = global_row_number(
+        base, [F.col("k"), F.col("i")],
+        F.substring(F.col("k"), 1, 1)).localCheckpoint(eager=True)
+    left = (ranked.select(F.col("i").alias("id_a"),
+                          F.col("k").alias("key_a"), "rn")
+            .withColumn("__off", F.explode(
+                F.sequence(F.lit(1), F.lit(window - 1))))
+            .withColumn("rn_b", F.col("rn") + F.col("__off")))
+    right = ranked.select(F.col("rn").alias("rn_b"),
+                          F.col("i").alias("id_b"),
+                          F.col("k").alias("key_b"))
+    dist = F.levenshtein(F.col("key_a"), F.col("key_b"))
+    return (left.join(right, "rn_b")
+            .select("id_a", "id_b", "key_a", "key_b",
+                    dist.alias("dist"))
+            .where(F.col("dist") <= max_distance))

@@ -7842,3 +7842,74 @@ def q_rfm_segments(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
     return rfm_segments(ev, user="user_id", ts="ts", amount=cents)
+
+
+@register("ppjoin_jaccard_pairs", _JACCARD_SQL)
+def q_ppjoin_jaccard_pairs(spark, sf_dir):
+    """The SAME exact-Jaccard near-dup answer as ngram_jaccard_pairs,
+    computed by a THIRD candidate generator: PPJoin-style prefix
+    filtering (operators/dedup.prefix_filter_jaccard_pairs). Docs probe
+    only their |x|-ceil(t|x|)+1 rarest shingles against the inverted
+    index — complete by the overlap bound, no LSH false negatives, and
+    the rarity rank runs through the bucketed distributed row_number
+    (no single-partition vocabulary window). One oracle, three plans:
+    the judge can diff candidate strategies at fixed semantics."""
+    from spanner_data_validator_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    return prefix_filter_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.7,
+        max_shingle_df=_MAX_SHINGLE_DF)
+
+
+@register("sorted_neighborhood_linkage", """
+WITH part_k AS (
+  SELECT p_partkey, p_name || '#' || CAST(p_partkey AS VARCHAR) AS lk_key
+  FROM part
+),
+keys AS (
+  SELECT p_partkey AS i, lk_key AS k FROM part_k
+  UNION ALL
+  SELECT p_partkey + 10000000 AS i,
+         substring(lk_key, 1, CAST(p_partkey % length(lk_key) AS INT))
+           || substring(lk_key,
+                        CAST(p_partkey % length(lk_key) AS INT) + 2,
+                        length(lk_key)) AS k
+  FROM part_k WHERE p_partkey % 5 = 0
+),
+r AS (
+  SELECT i, k, row_number() OVER (ORDER BY k, i) AS rn FROM keys
+)
+SELECT a.i AS id_a, b.i AS id_b, a.k AS key_a, b.k AS key_b,
+       CAST(levenshtein(a.k, b.k) AS INT) AS dist
+FROM r a JOIN r b ON b.rn >= a.rn + 1 AND b.rn <= a.rn + 3
+WHERE levenshtein(a.k, b.k) <= 1
+""")
+def q_sorted_neighborhood_linkage(spark, sf_dir):
+    """Sorted-neighborhood blocking over the same drifted-key corpus as
+    fuzzy_key_match (operators/linkage.sorted_neighborhood_pairs):
+    global key order via bucketed distributed row_number, each key
+    compared with its 3 successors, levenshtein<=1 verification. Finds
+    the late-position drifts (sort-adjacent) and — deterministically —
+    misses early-position ones: the classic ER trade, run as a third
+    blocker beside deletion and segment blocking."""
+    from spanner_data_validator_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .withColumn("lk_key", F.concat_ws("#", "p_name",
+                                          F.col("p_partkey").cast("string")))
+    src = part.select(F.col("p_partkey").alias("id"),
+                      F.col("lk_key").alias("key"))
+    pos = (F.col("p_partkey") % F.length("lk_key")).cast("int")
+    drifted = F.concat(F.col("lk_key").substr(F.lit(1), pos),
+                       F.col("lk_key").substr(pos + F.lit(2),
+                                              F.length("lk_key")))
+    tgt = (part.where(F.col("p_partkey") % 5 == 0)
+           .select((F.col("p_partkey") + 10_000_000).alias("id"),
+                   drifted.alias("key")))
+    return sorted_neighborhood_pairs(
+        src.unionByName(tgt), "key", "id", window=4, max_distance=1)
