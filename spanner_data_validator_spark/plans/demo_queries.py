@@ -7913,3 +7913,169 @@ def q_sorted_neighborhood_linkage(spark, sf_dir):
                    drifted.alias("key")))
     return sorted_neighborhood_pairs(
         src.unionByName(tgt), "key", "id", window=4, max_distance=1)
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface parity suite: ranks, bag set ops, NULL semantics, SQL UDFs
+# ---------------------------------------------------------------------------
+
+@register("window_rank_suite", """
+WITH r AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents,
+         o_orderkey,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         percent_rank() OVER w AS prnk,
+         cume_dist() OVER w AS cdist
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY
+               CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT))
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(rnk) AS BIGINT) AS max_rank,
+       CAST(max(drnk) AS BIGINT) AS n_distinct_ranks,
+       max(prnk) AS max_percent_rank,
+       min(cdist) AS min_cume_dist,
+       CAST(sum(CASE WHEN rnk <> drnk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tied_positions
+FROM r GROUP BY grp
+""")
+def q_window_rank_suite(spark, sf_dir):
+    """The full ANSI ranking-function family in one pass — rank,
+    dense_rank, percent_rank, cume_dist over integer cents (ties are
+    REAL, so rank vs dense_rank genuinely diverge). percent_rank =
+    (rank-1)/(n-1) and cume_dist = n_le/n are single double divisions of
+    exact integers — engine-identical. One group-keyed exchange shared
+    by all four functions (same window spec => one sort)."""
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+    w = Window.partitionBy("grp").orderBy("cents")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    r = (orders.select(F.col("o_orderpriority").alias("grp"),
+                       cents.alias("cents"), "o_orderkey")
+         .withColumn("rnk", F.rank().over(w).cast("long"))
+         .withColumn("drnk", F.dense_rank().over(w).cast("long"))
+         .withColumn("prnk", F.percent_rank().over(w))
+         .withColumn("cdist", F.cume_dist().over(w)))
+    return (r.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("rnk").alias("max_rank"),
+                 F.max("drnk").alias("n_distinct_ranks"),
+                 F.max("prnk").alias("max_percent_rank"),
+                 F.min("cdist").alias("min_cume_dist"),
+                 F.sum((F.col("rnk") != F.col("drnk")).cast("long"))
+                 .alias("n_tied_positions")))
+
+
+@register("bag_set_ops_parity", """
+WITH a AS (SELECT event_type, CAST(user_id % 20 AS BIGINT) AS ub
+           FROM events WHERE event_id % 3 <> 0),
+b AS (SELECT event_type, CAST(user_id % 20 AS BIGINT) AS ub
+      FROM events WHERE event_id % 2 <> 0),
+i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+x AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+id AS (SELECT * FROM a INTERSECT SELECT * FROM b),
+xd AS (SELECT * FROM a EXCEPT SELECT * FROM b)
+SELECT CAST((SELECT count(*) FROM i) AS BIGINT) AS n_intersect_all,
+       CAST((SELECT count(*) FROM x) AS BIGINT) AS n_except_all,
+       CAST((SELECT count(*) FROM id) AS BIGINT) AS n_intersect_distinct,
+       CAST((SELECT count(*) FROM xd) AS BIGINT) AS n_except_distinct
+""")
+def q_bag_set_ops_parity(spark, sf_dir):
+    """Bag vs set semantics of INTERSECT/EXCEPT: ALL variants preserve
+    multiplicities (min / difference of per-row counts), DISTINCT
+    variants collapse them — the四 counts pin Spark's
+    intersectAll/exceptAll/intersect/exceptAll DataFrame ops to the ANSI
+    behavior DuckDB implements. Both overlapping multisets derive from
+    events by co-prime id filters so every multiplicity case (0,1,2+)
+    occurs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    proj = [F.col("event_type"), (F.col("user_id") % 20).alias("ub")]
+    a = ev.where(F.col("event_id") % 3 != 0).select(*proj)
+    b = ev.where(F.col("event_id") % 2 != 0).select(*proj)
+    counts = [
+        a.intersectAll(b).count(), a.exceptAll(b).count(),
+        a.intersect(b).count(), a.subtract(b).count(),
+    ]
+    return spark.createDataFrame(
+        [tuple(counts)],
+        "n_intersect_all long, n_except_all long, "
+        "n_intersect_distinct long, n_except_distinct long")
+
+
+@register("null_semantics_audit", """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS p,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(user_id % 10 AS BIGINT) END AS ub,
+         CAST(user_id % 10 AS BIGINT) AS ub_raw
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(p) AS BIGINT) AS n_p,
+       CAST(count(DISTINCT ub) AS BIGINT) AS nd_ub,
+       CAST(sum(CASE WHEN p IS NULL AND ub IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_both_null,
+       CAST(sum(CASE WHEN ub IS NOT DISTINCT FROM ub_raw
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+       CAST(sum(CASE WHEN coalesce(ub, -1) = -1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_coalesced
+FROM e GROUP BY event_type
+""")
+def q_null_semantics_audit(spark, sf_dir):
+    """NULL-semantics parity in one aggregate: count(*) vs count(col),
+    count(DISTINCT) null-skipping, null-safe equality (<=> / IS NOT
+    DISTINCT FROM), and coalesce defaults — the comparison-layer
+    behaviors a validator's classify join depends on
+    (operators/comparator uses eqNullSafe for exactly this reason).
+    Planted NULLs on two co-prime cycles exercise every combination."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = F.when(F.col("event_id") % 7 == 0, F.lit(None)) \
+         .otherwise(F.col("props"))
+    ub = F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("long")) \
+          .otherwise(F.col("user_id") % 10)
+    e = ev.select("event_type", p.alias("p"), ub.alias("ub"),
+                  (F.col("user_id") % 10).alias("ub_raw"))
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count("p").alias("n_p"),
+                 F.countDistinct("ub").alias("nd_ub"),
+                 F.sum((F.col("p").isNull() & F.col("ub").isNull())
+                       .cast("long")).alias("n_both_null"),
+                 F.sum(F.col("ub").eqNullSafe(F.col("ub_raw"))
+                       .cast("long")).alias("n_nullsafe_eq"),
+                 F.sum((F.coalesce(F.col("ub"), F.lit(-1)) == -1)
+                       .cast("long")).alias("n_coalesced")))
+
+
+@register("sql_udf_cents_rollup", """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT))
+            AS BIGINT) AS cents_sum,
+       CAST(max(CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT))
+            AS BIGINT) AS cents_max
+FROM orders GROUP BY o_orderpriority
+""")
+def q_sql_udf_cents_rollup(spark, sf_dir):
+    """Spark 4 SQL UDF surface: CREATE TEMPORARY FUNCTION ... RETURN
+    <expr> defines the money-to-cents normalization ONCE in catalog-level
+    SQL (no Python round trip — the body inlines into the plan and stays
+    inside WholeStageCodegen), then an aggregate uses it. The oracle
+    inlines the same expression; a catalog UDF is exactly a named
+    expression, which is the point."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION sdv_cents(x DOUBLE)
+        RETURNS BIGINT RETURN CAST(floor(x * 100.0 + 0.5) AS BIGINT)
+    """)
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("sdv_udf_orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(sdv_cents(o_totalprice)) AS cents_sum,
+               max(sdv_cents(o_totalprice)) AS cents_max
+        FROM sdv_udf_orders GROUP BY o_orderpriority
+    """)
