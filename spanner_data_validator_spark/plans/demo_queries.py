@@ -8079,3 +8079,132 @@ def q_sql_udf_cents_rollup(spark, sf_dir):
                max(sdv_cents(o_totalprice)) AS cents_max
         FROM sdv_udf_orders GROUP BY o_orderpriority
     """)
+
+
+def _stream_benford_oracle() -> str:
+    return f"""
+WITH cents AS (
+  SELECT date_trunc('day', ts) AS wd,
+         CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+cnt AS (
+  SELECT epoch_ms(wd) AS ws_ms,
+         substring(CAST(c AS VARCHAR), 1, 1) AS digit,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM cents WHERE c >= 1 GROUP BY 1, 2
+),
+wn AS (
+  SELECT ws_ms, digit, observed,
+         CAST(sum(observed) OVER (PARTITION BY ws_ms) AS BIGINT) AS n_total
+  FROM cnt
+),
+e AS (
+  SELECT ws_ms, digit, observed, n_total,
+         CAST(n_total AS DOUBLE) * ({_benford_case()}) AS expected
+  FROM wn
+)
+SELECT ws_ms, digit, observed, n_total, expected,
+       (CAST(observed AS DOUBLE) - expected)
+         * (CAST(observed AS DOUBLE) - expected) / expected AS chi_term
+FROM e
+"""
+
+
+@register("stream_benford_monitor", _stream_benford_oracle())
+def q_stream_benford_monitor(spark, sf_dir):
+    """REAL streaming run of the Benford fabricated-data screen: per
+    1-day event-time window, first-digit counts accumulate in ONE
+    watermarked stateful aggregation (state = windows x 9 digit rows —
+    constant per window, the streaming budget Benford was born for);
+    closed windows land in an append sink and the tiny sink table gets
+    the expectation/chi math batch-side. Digits come from integer cents
+    (stream side and oracle share the extraction law of
+    benford_first_digit). The sentinel carries value=1.0 so the digit
+    filter cannot drop it below the watermark operator (CLAUDE.md
+    sentinel-filter trap)."""
+    import tempfile
+
+    from spanner_data_validator_spark.operators.stats import benford_expected
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value")
+    work = tempfile.mkdtemp(prefix="sdv_q_streambenford_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+    (spark.range(1)
+     .select(F.lit("2100-01-01").cast("timestamp").alias("ts"),
+             F.lit(1.0).alias("value"))
+     .write.mode("append").parquet(in_dir))
+
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir)
+              .withWatermark("ts", "10 minutes")
+              .select("ts", cents.alias("c"))
+              .where(F.col("c") >= 1)
+              .select("ts", F.substring(F.col("c").cast("string"), 1, 1)
+                      .alias("digit")))
+    counts = (stream
+              .groupBy(F.window("ts", "1 day").alias("w"), "digit")
+              .agg(F.count(F.lit(1)).alias("observed")))
+    out = counts.select(F.unix_millis(F.col("w.start")).alias("ws_ms"),
+                        "digit", "observed")
+    with _shuffle_partitions(spark, 8):
+        q = (out.writeStream.format("parquet")
+             .option("path", f"{work}/out")
+             .option("checkpointLocation", f"{work}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    exp = benford_expected()
+    sink = spark.read.parquet(f"{work}/out")
+    n = F.sum("observed").over(Window.partitionBy("ws_ms"))
+    p = F.element_at(F.array(*[F.lit(float(exp[i])) for i in range(1, 10)]),
+                     F.col("digit").cast("int"))
+    wn = sink.withColumn("n_total", n)
+    expected = F.col("n_total").cast("double") * p
+    dev = F.col("observed").cast("double") - expected
+    return wn.select("ws_ms", "digit", "observed", "n_total",
+                     expected.alias("expected"),
+                     (dev * dev / expected).alias("chi_term"))
+
+
+@register("arrow_group_histogram", """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) // 2048 AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM c GROUP BY 1, 2
+""")
+def q_arrow_group_histogram(spark, sf_dir):
+    """groupBy().applyInArrow surface: per-event-type equi-width
+    histograms computed INSIDE pyarrow C++ kernels (shift_right +
+    value_counts on the Arrow buffers — zero pandas materialization,
+    zero per-row Python), the per-GROUP twin of the mapInArrow per-BATCH
+    path (arrow_substr_stats). Bins are integer cents >> 11, so the
+    histogram is bit-exact in any engine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def hist(tbl: pa.Table) -> pa.Table:
+        et = tbl.column("event_type")[0].as_py()
+        cents = pc.cast(pc.floor(
+            pc.add(pc.multiply(tbl.column("value"), pa.scalar(100.0)),
+                   pa.scalar(0.5))), pa.int64())
+        bins = pc.shift_right(cents, pa.scalar(11, pa.int64()))
+        vc = pc.value_counts(bins)
+        return pa.table({
+            "event_type": pa.array([et] * len(vc), pa.string()),
+            "bin": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    return ev.groupBy("event_type").applyInArrow(
+        hist, schema="event_type string, bin long, cnt long")
