@@ -8208,3 +8208,73 @@ def q_arrow_group_histogram(spark, sf_dir):
           .select("event_type", "value"))
     return ev.groupBy("event_type").applyInArrow(
         hist, schema="event_type string, bin long, cnt long")
+
+
+@register("csv_roundtrip_parity", """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT))
+            AS BIGINT) AS cents_sum,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+""")
+def q_csv_roundtrip_parity(spark, sf_dir):
+    """Row-format breadth: orders re-materialized as headered CSV — the
+    interchange format every migration source eventually exports — read
+    back with an EXPLICIT schema (inference re-reads the data and can
+    retype columns between runs) and timestamp round-trip format pinned,
+    then aggregate parity proved against the parquet original. Doubles
+    survive the text round trip via Spark's shortest-roundtrip rendering;
+    cents extraction still happens in numeric space after the re-parse."""
+    import os
+    import tempfile
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    work = tempfile.mkdtemp(prefix="sdv_q_csv_")
+    cdir = os.path.join(work, "orders_csv")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    (od.write.mode("overwrite")
+       .option("header", True).option("timestampFormat", fmt)
+       .csv(cdir))
+    csv = (spark.read.schema(od.schema)
+           .option("header", True).option("timestampFormat", fmt)
+           .csv(cdir))
+    return (csv
+            .where(F.col("o_orderdate")
+                   >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)
+                               + F.lit(0.5))).alias("cents_sum"),
+                 F.countDistinct("o_custkey").alias("n_custs")))
+
+
+@register("hive_partition_prune", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""")
+def q_hive_partition_prune(spark, sf_dir):
+    """Hive-style partitioned layout: events written partitionBy
+    (event_type), read back with a partition-column predicate. The
+    filter must become a PartitionFilter (directory pruning — the
+    non-matching partitions are never opened, the scan cost at 100 TB),
+    not a data filter; tests/test_plans assertions pin
+    ``PartitionFilters`` in the executed plan. Aggregates prove the
+    partitioned copy is lossless."""
+    import os
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="sdv_q_hivepart_")
+    pdir = os.path.join(work, "events_part")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(pdir)
+    part = spark.read.parquet(pdir)
+    return (part.where(F.col("event_type").isin("click", "purchase"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users")))

@@ -116,3 +116,45 @@ def test_ivf_cent_cache_bounded_and_unpersists(spark):
     assert all(idx.storageLevel != StorageLevel.NONE
                for _, idx in dq._IVF_CENT_CACHE.values())
     dq._IVF_CENT_CACHE.clear()
+
+
+def test_hive_partition_filter_prunes_directories(spark, tmp_path):
+    ev = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("p"), F.col("id"))
+    pdir = str(tmp_path / "part")
+    ev.write.mode("overwrite").partitionBy("p").parquet(pdir)
+    df = spark.read.parquet(pdir).where(F.col("p") == "1")
+    assert df.count() == 25
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the predicate must be a PartitionFilter (directory pruning), not a
+    # post-scan data filter
+    assert "PartitionFilters: [" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "p" in m.group(1)
+
+
+def test_heavy_hitters_verify_join_broadcasts_candidates(spark):
+    from spanner_data_validator_spark.operators.sketch import (
+        heavy_hitters_exact,
+    )
+    df = spark.createDataFrame([(i % 7,) for i in range(500)], "it long")
+    out = heavy_hitters_exact(df, F.col("it"), 3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # pass 2 must join rows against the (tiny) candidate set broadcast-side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ks_prefix_sum_reads_input_once(spark):
+    from spanner_data_validator_spark.operators.stats import ks_two_sample
+    df = spark.createDataFrame(
+        [(float(i % 13), "a" if i % 2 == 0 else "b") for i in range(200)],
+        "v double, g string")
+    out = ks_two_sample(df, F.col("v"), F.col("g") == "a",
+                        F.col("g") == "b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the distinct-value table is pinned: downstream branches read the
+    # checkpoint (ExistingRDD), never the original input again
+    assert "ExistingRDD" in plan
+    assert "LocalTableScan" not in plan.replace("LocalTableScanExec", "")
