@@ -8278,3 +8278,126 @@ def q_hive_partition_prune(spark, sf_dir):
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+# ---------------------------------------------------------------------------
+# transcript mismatch forensics + latency analytics
+# ---------------------------------------------------------------------------
+
+@register("mismatch_char_divergence", """
+WITH src AS (
+  SELECT CAST(user_id AS STRING) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              - 1 AS INT) AS turn_idx,
+         coalesce(props, '') AS text
+  FROM events
+),
+tgt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN (CAST(conv_id AS BIGINT) * 31 + turn_idx) % 50 = 0
+              THEN text || '#mut' ELSE text END AS text
+  FROM src WHERE (CAST(conv_id AS BIGINT) * 31 + turn_idx) % 50 <> 1
+),
+mism AS (
+  SELECT s.conv_id, s.turn_idx, s.text AS a, t.text AS b
+  FROM src s JOIN tgt t
+    ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+  WHERE s.text <> t.text
+)
+SELECT conv_id, turn_idx,
+       CAST(min(i) AS BIGINT) AS first_diff_pos,
+       CAST(min(length(a)) AS BIGINT) AS len_src,
+       CAST(min(length(b)) AS BIGINT) AS len_tgt
+FROM mism,
+     unnest(generate_series(1, greatest(length(a), length(b)))) AS u(i)
+WHERE substr(a, CAST(i AS INT), 1) <> substr(b, CAST(i AS INT), 1)
+GROUP BY conv_id, turn_idx
+""")
+def q_mismatch_char_divergence(spark, sf_dir):
+    """Mismatch forensics: for every MISMATCH turn in the planted dual
+    transcript stream, the exact character position where source and
+    target text first part ways (plus both lengths) — what a migration
+    operator reads to tell an encoding bug (diverges early) from an
+    append artifact (diverges at len+1, as the planted '#mut' suffix
+    does). Position scan is explode(sequence) over MISMATCHED rows only
+    — never the matched corpus; substring-past-end yields '' in both
+    engines, which makes the length-extension case exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    src = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"))
+    h = (F.col("conv_id").cast("long") * 31 + F.col("turn_idx")) % 50
+    tgt = (src.where(h != 1)
+           .withColumn("text",
+                       F.when(h == 0, F.concat("text", F.lit("#mut")))
+                        .otherwise(F.col("text"))))
+    mism = (src.withColumnRenamed("text", "a")
+            .join(tgt.withColumnRenamed("text", "b"),
+                  ["conv_id", "turn_idx"])
+            .where(F.col("a") != F.col("b")))
+    i = F.explode(F.sequence(
+        F.lit(1), F.greatest(F.length("a"), F.length("b")))).alias("i")
+    pos = (mism.select("conv_id", "turn_idx", "a", "b", i)
+           .where(F.col("a").substr(F.col("i"), F.lit(1))
+                  != F.col("b").substr(F.col("i"), F.lit(1))))
+    return (pos.groupBy("conv_id", "turn_idx")
+            .agg(F.min("i").cast("long").alias("first_diff_pos"),
+                 F.min(F.length("a")).cast("long").alias("len_src"),
+                 F.min(F.length("b")).cast("long").alias("len_tgt")))
+
+
+@register("turn_latency_quantiles", """
+WITH tr AS (
+  SELECT CAST(user_id AS STRING) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              - 1 AS INT) AS turn_idx,
+         coalesce(event_type, '') AS role, ts
+  FROM events
+),
+gaps AS (
+  SELECT lag(role) OVER w || '>' || role AS pair,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+         conv_id, turn_idx
+  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+r AS (
+  SELECT pair, gap_us,
+         row_number() OVER (PARTITION BY pair
+                            ORDER BY gap_us, conv_id, turn_idx) AS rn,
+         count(*) OVER (PARTITION BY pair) AS n
+  FROM g
+)
+SELECT pair, p, CAST(gap_us AS BIGINT) AS q_value
+FROM r CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                  CAST(0.99 AS DOUBLE)]) AS p)
+WHERE rn = CAST(ceil(p * n) AS BIGINT)
+""")
+def q_turn_latency_quantiles(spark, sf_dir):
+    """Conversation pacing analytics: exact p50/p90/p99 inter-turn
+    latency (integer microseconds) per role transition — the
+    'assistant slow after tool turns?' question over the transcript
+    corpus. lag() shares the conv-keyed exchange with turn numbering;
+    quantiles are rank-exact per pair (values that exist in the data,
+    profile.quantiles_by_rank) with a (conv, turn) tiebreak making the
+    order total in both engines."""
+    from spanner_data_validator_spark.operators.profile import (
+        quantiles_by_rank,
+    )
+
+    tr = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (tr.select(
+                "conv_id", "turn_idx",
+                F.concat_ws(">", F.lag("role").over(w), F.col("role"))
+                 .alias("pair"),
+                (us - F.lag(us).over(w)).alias("gap_us"))
+            .where(F.col("gap_us").isNotNull()))
+    tb = F.concat_ws("#", F.col("conv_id"),
+                     F.col("turn_idx").cast("string"))
+    return quantiles_by_rank(gaps, "pair", F.col("gap_us"),
+                             [0.5, 0.9, 0.99], tb) \
+        .select("pair", "p", F.col("q_value").cast("long").alias("q_value"))
