@@ -507,9 +507,12 @@ FROM st
 # Misra-Gries heavy hitters: sketch-pruned candidates, EXACT final counts
 # ---------------------------------------------------------------------------
 
-def misra_gries_candidates(df: DataFrame, item: str, k: int) -> DataFrame:
+def misra_gries_candidates(df: DataFrame, item: str, k: int,
+                           weight: str | None = None) -> DataFrame:
     """Per-partition Misra-Gries(k) summaries, unioned: a candidate set
-    that PROVABLY contains every item with global count > n/(k+1).
+    that PROVABLY contains every item with global count > n/(k+1) —
+    or, with ``weight``, total weight > W/(k+1) (weights must be
+    positive; the decrement argument is weight-oblivious).
 
     Proof sketch: partition p's MG(k) undercounts any item by at most
     n_p/(k+1) (mergeable-summaries bound — merging batch value_counts and
@@ -519,11 +522,14 @@ def misra_gries_candidates(df: DataFrame, item: str, k: int) -> DataFrame:
     items survive varies with partitioning) — callers must re-count
     exactly (:func:`heavy_hitters_exact`); never report MG estimates.
 
-    Vectorized: each Arrow batch collapses to ``value_counts`` (C speed)
-    before touching the Python dict, so per-item work is per *distinct*
-    item per batch, not per row. State is <= k counters per partition.
+    Vectorized: each Arrow batch collapses to ``value_counts`` (or a
+    groupby weight sum — C speed) before touching the Python dict, so
+    per-item work is per *distinct* item per batch, not per row. State
+    is <= k counters per partition.
     """
     import pandas as pd
+
+    cols = [item] if weight is None else [item, weight]
 
     def mg(batches):
         from collections import Counter
@@ -531,7 +537,10 @@ def misra_gries_candidates(df: DataFrame, item: str, k: int) -> DataFrame:
 
         counters: Counter = Counter()
         for pdf in batches:
-            counters.update(pdf[item].value_counts().to_dict())
+            if weight is None:
+                counters.update(pdf[item].value_counts().to_dict())
+            else:
+                counters.update(pdf.groupby(item)[weight].sum().to_dict())
             if len(counters) > k:
                 kth = heapq.nlargest(k + 1, counters.values())[-1]
                 counters = Counter({key: v - kth
@@ -539,7 +548,8 @@ def misra_gries_candidates(df: DataFrame, item: str, k: int) -> DataFrame:
                                     if v - kth > 0})
         yield pd.DataFrame({item: list(counters.keys())})
 
-    return df.select(item).mapInPandas(mg, schema=df.select(item).schema)
+    return df.select(*cols).mapInPandas(
+        mg, schema=df.select(item).schema)
 
 
 def heavy_hitters_exact(df: DataFrame, item: Column, k: int) -> DataFrame:
@@ -565,3 +575,23 @@ def heavy_hitters_exact(df: DataFrame, item: Column, k: int) -> DataFrame:
                .crossJoin(F.broadcast(total)))
     return (counted.where(F.col("cnt") * F.lit(k + 1) > F.col("n_total"))
             .select(F.col("it").alias("item"), "cnt", "n_total"))
+
+
+def weighted_heavy_hitters_exact(df: DataFrame, item: Column,
+                                 weight: Column, k: int) -> DataFrame:
+    """All items whose exact total ``weight`` exceeds W/(k+1) (W = global
+    weight sum) — the revenue/traffic-share twin of
+    :func:`heavy_hitters_exact`, same two-pass shape: weighted MG
+    candidates (provable superset), then one broadcast-gated exact
+    re-aggregation. Weights must be positive integers (cents, bytes,
+    rows) so sums are engine-exact. Output: (item, w_sum, w_total).
+    """
+    items = df.select(item.alias("it"), weight.alias("w"))
+    items = items.localCheckpoint(eager=True)
+    cand = misra_gries_candidates(items, "it", k, weight="w").distinct()
+    total = items.agg(F.sum("w").alias("w_total"))
+    counted = (items.join(F.broadcast(cand), "it")
+               .groupBy("it").agg(F.sum("w").alias("w_sum"))
+               .crossJoin(F.broadcast(total)))
+    return (counted.where(F.col("w_sum") * F.lit(k + 1) > F.col("w_total"))
+            .select(F.col("it").alias("item"), "w_sum", "w_total"))

@@ -8401,3 +8401,34 @@ def q_turn_latency_quantiles(spark, sf_dir):
     return quantiles_by_rank(gaps, "pair", F.col("gap_us"),
                              [0.5, 0.9, 0.99], tb) \
         .select("pair", "p", F.col("q_value").cast("long").alias("q_value"))
+
+
+@register("weighted_heavy_hitters_tri", """
+WITH it AS (
+  SELECT CAST(floor(sqrt(CAST(event_id % 250000 AS DOUBLE))) AS BIGINT)
+           AS item,
+         CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) AS w
+  FROM events WHERE value IS NOT NULL
+),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM it),
+c AS (SELECT item, CAST(sum(w) AS BIGINT) AS w_sum FROM it GROUP BY item)
+SELECT c.item, c.w_sum, t.w_total
+FROM c, t WHERE c.w_sum * 257 > t.w_total
+""")
+def q_weighted_heavy_hitters_tri(spark, sf_dir):
+    """Weighted (revenue-share) exact heavy hitters: items carrying more
+    than 1/257 of total cents, via weighted Misra-Gries candidates +
+    exact re-aggregation (operators/sketch.weighted_heavy_hitters_exact).
+    Same planted triangular key domain as heavy_hitters_tri; the weight
+    generalization keeps the superset guarantee because MG's decrement
+    argument is weight-oblivious, and the exact second pass again erases
+    the sketch's partitioning order-dependence."""
+    from spanner_data_validator_spark.operators.sketch import (
+        weighted_heavy_hitters_exact,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("value").isNotNull())
+    item = F.floor(F.sqrt((F.col("event_id") % 250000).cast("double")))
+    w = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+    return weighted_heavy_hitters_exact(ev, item, w, 256)

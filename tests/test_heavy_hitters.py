@@ -54,3 +54,26 @@ def test_heavy_hitters_exact_matches_brute_force(spark):
 def test_heavy_hitters_uniform_is_empty(spark):
     df = spark.createDataFrame([(i % 100,) for i in range(5000)], "it long")
     assert heavy_hitters_exact(df, F.col("it"), 10).count() == 0
+
+
+def test_weighted_heavy_hitters_matches_brute_force(spark):
+    from spanner_data_validator_spark.operators.sketch import (
+        weighted_heavy_hitters_exact,
+    )
+    vals = _zipfish(3000)
+    # positive integer weights, with item 0 carrying 10x weight so the
+    # weighted heavy-hitter set is non-trivially different from the
+    # count-based one
+    rows = [(v, 10 if v == 0 else 1) for v in vals]
+    df = spark.createDataFrame(rows, "it long, w long").repartition(6)
+    k = 10
+    wtot = sum(w for _, w in rows)
+    truth = Counter()
+    for v, w in rows:
+        truth[v] += w
+    got = {r["item"]: (r["w_sum"], r["w_total"]) for r in
+           weighted_heavy_hitters_exact(
+               df, F.col("it"), F.col("w"), k).collect()}
+    expect = {v: s for v, s in truth.items() if s * (k + 1) > wtot}
+    assert expect and {v: s for v, (s, _) in got.items()} == expect
+    assert all(t == wtot for _, t in got.values())
