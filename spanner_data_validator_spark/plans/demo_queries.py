@@ -8432,3 +8432,64 @@ def q_weighted_heavy_hitters_tri(spark, sf_dir):
     item = F.floor(F.sqrt((F.col("event_id") % 250000).cast("double")))
     w = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
     return weighted_heavy_hitters_exact(ev, item, w, 256)
+
+
+@register("qq_shift_drift", """
+WITH src AS (
+  SELECT 'src' AS side, n_chars, doc_id FROM documents
+),
+tgt AS (
+  SELECT 'tgt' AS side, n_chars, doc_id FROM documents
+  WHERE doc_id % 10 <> 7
+),
+u AS (SELECT * FROM src UNION ALL SELECT * FROM tgt),
+r AS (
+  SELECT side, n_chars, doc_id,
+         row_number() OVER (PARTITION BY side ORDER BY n_chars, doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY side) AS n
+  FROM u
+),
+q AS (
+  SELECT side, p, n_chars AS qv
+  FROM r CROSS JOIN (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.25 AS DOUBLE),
+                                    CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE),
+                                    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)])
+                     AS p)
+  WHERE rn = CAST(ceil(p * n) AS BIGINT)
+)
+SELECT s.p, CAST(s.qv AS BIGINT) AS q_src, CAST(t.qv AS BIGINT) AS q_tgt,
+       CAST(t.qv - s.qv AS BIGINT) AS shift
+FROM q s JOIN q t ON s.p = t.p AND s.side = 'src' AND t.side = 'tgt'
+""")
+def q_qq_shift_drift(spark, sf_dir):
+    """Quantile-quantile drift table: exact rank quantiles of doc length
+    on both sides of a deterministically degraded re-ingest (doc_id%10=7
+    dropped), per-p shift — the drift tier that localizes WHERE in the
+    distribution a migration bit (tails vs body), complementing the
+    per-bin counts of numeric_hist_drift. Both sides run through ONE
+    side-partitioned rank pass (union + partitionBy(side) — no second
+    sort), values are integers that exist in the data."""
+    from spanner_data_validator_spark.operators.profile import (
+        quantiles_by_rank,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = (docs.select(F.lit("src").alias("side"), "n_chars", "doc_id")
+         .unionByName(
+             docs.where(F.col("doc_id") % 10 != 7)
+             .select(F.lit("tgt").alias("side"), "n_chars", "doc_id")))
+    # the 12-row quantile table feeds both side-filter branches — pin it
+    # or the whole rank pass re-runs per branch (multi-branch rescan trap)
+    q = quantiles_by_rank(u, "side", F.col("n_chars"),
+                          [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+                          F.col("doc_id")).localCheckpoint(eager=True)
+    s = (q.where(F.col("side") == "src")
+         .select("p", F.col("q_value").alias("q_src")))
+    t = (q.where(F.col("side") == "tgt")
+         .select("p", F.col("q_value").alias("q_tgt")))
+    return (s.join(t, "p")
+            .select("p", F.col("q_src").cast("long").alias("q_src"),
+                    F.col("q_tgt").cast("long").alias("q_tgt"),
+                    (F.col("q_tgt") - F.col("q_src")).cast("long")
+                    .alias("shift")))
