@@ -353,3 +353,53 @@ def chi2_contingency_cells(df: DataFrame, row_col: Column,
     return t.select("r", "c", "observed", "row_total", "col_total", "n",
                     expected.alias("expected"),
                     (dev * dev / expected).alias("chi_term"))
+
+
+def weighted_median(df: DataFrame, group: str, value: Column,
+                    weight: Column) -> DataFrame:
+    """Per-group exact weighted (lower) median: the smallest value v such
+    that the cumulative weight of rows <= v reaches half the group's
+    total weight (2*cum >= W). One row per group:
+    ``(group, w_total, w_median)``.
+
+    Weights must be positive integers so the cumulative comparison
+    2*cum >= W is exact integer arithmetic in every engine. The running
+    weight sum and the group total share ONE group-keyed exchange; the
+    pick is the first ordered row crossing the half-weight line, made
+    total by ordering on value alone (ties share v, so the picked VALUE
+    is deterministic even though the crossing row may differ).
+    """
+    wg = Window.partitionBy(group)
+    wo = wg.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    base = (df.where(value.isNotNull() & weight.isNotNull())
+            .select(F.col(group), value.alias("__v"),
+                    weight.alias("__w")))
+    c = (base.withColumn("__cum", F.sum("__w").over(wo))
+         .withColumn("__tot", F.sum("__w").over(wg)))
+    hit = c.where(F.lit(2) * F.col("__cum") >= F.col("__tot"))
+    return (hit.groupBy(group)
+            .agg(F.max("__tot").alias("w_total"),
+                 F.min("__v").alias("w_median")))
+
+
+def deterministic_mode(df: DataFrame, group: str,
+                       value: Column) -> DataFrame:
+    """Per-group mode with a deterministic tie-break (highest count,
+    then SMALLEST value) — Spark's built-in ``mode()`` documents an
+    arbitrary tie winner, which can never be oracle-checked. One row per
+    group: ``(group, mode_value, mode_n)``.
+
+    Two aggregations under the same key prefix: (group, value) counts,
+    then a (count desc, value asc) row_number pick — the second window
+    repartitions only the already-collapsed count table.
+    """
+    counts = (df.where(value.isNotNull())
+              .groupBy(F.col(group), value.alias("__v"))
+              .agg(F.count(F.lit(1)).alias("__n")))
+    w = Window.partitionBy(group).orderBy(F.col("__n").desc(),
+                                          F.col("__v").asc())
+    return (counts.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select(F.col(group), F.col("__v").alias("mode_value"),
+                    F.col("__n").alias("mode_n")))

@@ -8493,3 +8493,66 @@ def q_qq_shift_drift(spark, sf_dir):
                     F.col("q_tgt").cast("long").alias("q_tgt"),
                     (F.col("q_tgt") - F.col("q_src")).cast("long")
                     .alias("shift")))
+
+
+@register("weighted_median_price", """
+WITH base AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+c AS (
+  SELECT grp, v, w,
+         CAST(sum(w) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+         CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS tot
+  FROM base
+)
+SELECT grp AS l_returnflag, CAST(max(tot) AS BIGINT) AS w_total,
+       CAST(min(v) AS BIGINT) AS w_median
+FROM c WHERE 2 * cum >= tot GROUP BY grp
+""")
+def q_weighted_median_price(spark, sf_dir):
+    """Exact quantity-weighted median price (integer cents) per return
+    flag (operators/stats.weighted_median) — the 'median unit actually
+    shipped' number an unweighted median misrepresents when line sizes
+    vary. 2*cum >= W is pure integer arithmetic; the running weight sum
+    and the group total share one exchange. DuckDB's RANGE-framed
+    running sum over equal values matches the lower-median pick because
+    ties share the value."""
+    from spanner_data_validator_spark.operators.stats import weighted_median
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return weighted_median(
+        li.select(F.col("l_returnflag"),
+                  F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("cents"),
+                  F.col("l_quantity").cast("long").alias("qty")),
+        "l_returnflag", F.col("cents"), F.col("qty"))
+
+
+@register("mode_props_by_type", """
+WITH c AS (
+  SELECT event_type, props AS v, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE props IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, v, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, v ASC) AS rk
+  FROM c
+)
+SELECT event_type, v AS mode_value, n AS mode_n FROM r WHERE rk = 1
+""")
+def q_mode_props_by_type(spark, sf_dir):
+    """Per-group mode with a DETERMINISTIC tie-break (highest count,
+    then smallest value; operators/stats.deterministic_mode) — Spark's
+    built-in mode() documents an arbitrary tie winner, which can never
+    be oracle-checked; this one can. Counts collapse map-side before the
+    tiny pick window."""
+    from spanner_data_validator_spark.operators.stats import (
+        deterministic_mode,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return deterministic_mode(ev, "event_type", F.col("props"))

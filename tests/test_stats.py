@@ -201,3 +201,43 @@ def test_chi2_cells_exact_marginals(spark):
     assert cell["expected"] == exp
     assert math.isclose(cell["chi_term"], (10 - exp) ** 2 / exp,
                         rel_tol=1e-15)
+
+
+def test_weighted_median_crosses_half_weight(spark):
+    from spanner_data_validator_spark.operators.stats import weighted_median
+    # weights: value 1 w=1, value 2 w=2, value 3 w=5 -> W=8, half=4,
+    # cum(1)=1, cum(2)=3, cum(3)=8 -> weighted median 3; unweighted is 2
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 2), ("g", 3, 5)],
+        "grp string, v long, w long")
+    out = weighted_median(df, "grp", F.col("v"), F.col("w")).collect()[0]
+    assert out["w_total"] == 8 and out["w_median"] == 3
+
+
+def test_weighted_median_ties_and_exact_half(spark):
+    from spanner_data_validator_spark.operators.stats import weighted_median
+    # exact half crossing: v=1 w=2, v=2 w=2 -> 2*cum(1)=4 >= 4 -> median 1
+    # (lower weighted median); tie values share cum at group end
+    df = spark.createDataFrame(
+        [("a", 1, 2), ("a", 2, 2),
+         ("b", 5, 1), ("b", 5, 1), ("b", 9, 1)],
+        "grp string, v long, w long")
+    out = {r["grp"]: r for r in weighted_median(
+        df, "grp", F.col("v"), F.col("w")).collect()}
+    assert out["a"]["w_median"] == 1
+    assert out["b"]["w_median"] == 5
+
+
+def test_deterministic_mode_tie_break(spark):
+    from spanner_data_validator_spark.operators.stats import (
+        deterministic_mode,
+    )
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"),
+         ("h", None), ("h", "z")],
+        "grp string, v string")
+    out = {r["grp"]: r for r in
+           deterministic_mode(df, "grp", F.col("v")).collect()}
+    # a and b tie at 2 -> smallest value wins
+    assert out["g"]["mode_value"] == "a" and out["g"]["mode_n"] == 2
+    assert out["h"]["mode_value"] == "z" and out["h"]["mode_n"] == 1
