@@ -132,7 +132,10 @@ def global_row_number(df: DataFrame, order_cols: Sequence[Column],
     """
     b = df.withColumn("__bk", bucket).localCheckpoint(eager=True)
     per = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__c"))
-    wx = (Window.orderBy("__bk")
+    # exclusive scan over <= |buckets| subtotal rows; the constant
+    # partition key marks the single task as intentional (keeps the
+    # WindowExec no-partition warning meaning "row-scale data moved").
+    wx = (Window.partitionBy(F.lit(0)).orderBy("__bk")
           .rowsBetween(Window.unboundedPreceding, -1))
     off = per.select("__bk", F.coalesce(F.sum("__c").over(wx), F.lit(0))
                      .alias("__off"))
@@ -142,3 +145,57 @@ def global_row_number(df: DataFrame, order_cols: Sequence[Column],
                         (F.col("__off") + F.row_number().over(w))
                         .cast("long"))
             .drop("__bk", "__off"))
+
+
+def distributed_ntile(df: DataFrame, value: Column,
+                      order_cols: Sequence[Column], k: int, *,
+                      ascending: bool = True, out_col: str = "tile",
+                      n_buckets: int = 1024) -> DataFrame:
+    """SQL-exact ``NTILE(k) OVER (ORDER BY order_cols)`` without the
+    single-partition window Spark plans for a global ORDER BY.
+
+    ``value`` must be the numeric leading sort key (``order_cols`` =
+    [value asc|desc, tiebreaks...] must embed it); a value-range linear
+    bin of it — monotone non-decreasing along the global order, so each
+    bin owns a contiguous rank range — shards :func:`global_row_number`,
+    and NTILE's fill rule is then closed-form from (rank, n): with
+    ``q = n div k`` and ``r = n mod k``, the first ``r`` tiles hold
+    ``q+1`` rows and the rest ``q`` (SQL standard; matches both Spark's
+    and DuckDB's NTILE bit-for-bit, ties included, because the rank
+    order is made total by the caller's tiebreaks).
+
+    Scale: two row-scale shuffles (bin groupBy + bin-partitioned
+    window), one broadcast of ``n_buckets`` offsets. Duplicate-heavy
+    values collapse into one bin — at pathological skew raise
+    ``n_buckets`` or pre-salt; the plan never moves all rows to one
+    task, which is the failure mode this replaces.
+    """
+    if k < 1:
+        raise ValueError(f"ntile k must be >= 1, got {k}")
+    v = value.cast("double")
+    if not ascending:
+        v = -v
+    stats = df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"),
+                   F.count(F.lit(1)).alias("__n"))
+    b = df.crossJoin(F.broadcast(stats))
+    span = F.col("__hi") - F.col("__lo")
+    bin_ = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1),
+                F.floor((v - F.col("__lo")) / span
+                        * F.lit(float(n_buckets))))).cast("long")
+    ranked = global_row_number(b, order_cols, bin_, out_col="__rn")
+
+    # exact integer division on long Columns: (a - a%b)/b is exactly
+    # divisible, so the double quotient is exact below 2^53 — no
+    # truncate-vs-round edge (the CAST(double AS BIGINT) trap).
+    def idiv(a, d):
+        return ((a - a % d) / d).cast("long")
+
+    n, rn = F.col("__n"), F.col("__rn")
+    big = n % F.lit(k)              # tiles that get q_size+1 rows
+    q_size = idiv(n, F.lit(k))
+    head = (q_size + 1) * big       # ranks covered by the big tiles
+    tile = F.when(rn <= head, idiv(rn - 1, q_size + 1) + 1).otherwise(
+        big + idiv(rn - head - 1, q_size) + 1)
+    return (ranked.withColumn(out_col, tile.cast("int"))
+            .drop("__lo", "__hi", "__n", "__rn"))

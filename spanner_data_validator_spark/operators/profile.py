@@ -253,11 +253,14 @@ def rfm_segments(events: DataFrame, *, user: str, ts: str,
     bucket 1). Amount must be integer (cents).
 
     Shape: one user-keyed aggregation reduces events to |users| rows;
-    the three ntile windows then run over the per-user table (global
-    order, single partition — fine while |users| fits one task; at 1e9+
-    users swap for the bucketed distributed rank in
-    ``operators/stats.ks_two_sample``'s prefix-sum pattern).
+    each quintile is then a :func:`operators.layout.distributed_ntile`
+    (value-range bins shard the global rank; NTILE closed-form from
+    (rank, n)) — no single-partition window anywhere, so the plan holds
+    at 1e9+ users.
     """
+    from spanner_data_validator_spark.operators.layout import (
+        distributed_ntile,
+    )
     # integer division (div), NOT double '/' + cast: a float quotient that
     # rounds up to an exact integer would truncate differently than
     # DuckDB's // floor division (epoch_us values exceed 2^53 / 86400e6
@@ -275,14 +278,15 @@ def rfm_segments(events: DataFrame, *, user: str, ts: str,
         F.broadcast(per_user.agg(F.max("last_day").alias("g"))))
     r = (F.col("g") - F.col("last_day")).alias("r")
     scored = per_user.select(F.col(user), r, "f", "m")
-    wr = Window.orderBy(F.col("r").asc(), F.col(user).asc())
-    wf = Window.orderBy(F.col("f").desc(), F.col(user).asc())
-    wm = Window.orderBy(F.col("m").desc(), F.col(user).asc())
-    q = scored.select(
-        F.ntile(n_tiles).over(wr).alias("r_q"),
-        F.ntile(n_tiles).over(wf).alias("f_q"),
-        F.ntile(n_tiles).over(wm).alias("m_q"),
-        F.col("m"))
+    q = distributed_ntile(
+        scored, F.col("r"), [F.col("r").asc(), F.col(user).asc()],
+        n_tiles, ascending=True, out_col="r_q")
+    q = distributed_ntile(
+        q, F.col("f"), [F.col("f").desc(), F.col(user).asc()],
+        n_tiles, ascending=False, out_col="f_q")
+    q = distributed_ntile(
+        q, F.col("m"), [F.col("m").desc(), F.col(user).asc()],
+        n_tiles, ascending=False, out_col="m_q")
     return (q.groupBy("r_q", "f_q", "m_q")
             .agg(F.count(F.lit(1)).alias("n_users"),
                  F.sum("m").alias("m_sum")))

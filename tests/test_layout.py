@@ -133,3 +133,61 @@ class TestManifestSkipping:
         man = file_manifest(df, F.col("f"), ["v"])
         r = skip_scan_summary(man, "v", 10, 20).first()
         assert r["files_scanned"] == r["files_total"] == 4
+
+
+# ---------------------------------------------------------------- ntile
+
+
+def _ntile_ref(n: int, k: int) -> list[int]:
+    """SQL NTILE fill rule: first n%k tiles get n//k+1 rows."""
+    q, r = divmod(n, k)
+    out = []
+    for t in range(1, k + 1):
+        out.extend([t] * (q + 1 if t <= r else q))
+    return out
+
+
+@pytest.mark.parametrize("n,k", [(1, 5), (4, 5), (5, 5), (7, 5),
+                                 (100, 5), (97, 7), (3, 1)])
+def test_distributed_ntile_matches_sql_fill_rule(spark, n, k):
+    from spanner_data_validator_spark.operators.layout import (
+        distributed_ntile,
+    )
+    # duplicate-heavy values + unique tiebreak id: ntile must follow the
+    # (value, id) total order exactly, including across tied values.
+    df = spark.range(n).select(
+        F.col("id"), ((F.col("id") * 37) % 11).alias("v"))
+    got = distributed_ntile(
+        df, F.col("v"), [F.col("v").asc(), F.col("id").asc()], k,
+        ascending=True, out_col="t", n_buckets=4)
+    rows = sorted(got.collect(), key=lambda r: (r.v, r.id))
+    assert [r.t for r in rows] == _ntile_ref(n, k)
+
+
+def test_distributed_ntile_descending_matches_window_ntile(spark):
+    from pyspark.sql import Window
+    from spanner_data_validator_spark.operators.layout import (
+        distributed_ntile,
+    )
+    df = spark.range(83).select(
+        F.col("id"), ((F.col("id") * 13) % 29).alias("v"))
+    got = distributed_ntile(
+        df, F.col("v"), [F.col("v").desc(), F.col("id").asc()], 6,
+        ascending=False, out_col="t")
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = df.select("id", F.ntile(6).over(w).alias("t"))
+    assert ({(r.id, r.t) for r in got.collect()}
+            == {(r.id, r.t) for r in want.collect()})
+
+
+def test_distributed_ntile_constant_value_single_bin(spark):
+    # span == 0 path: every row lands in bin 0; order is the tiebreak.
+    from spanner_data_validator_spark.operators.layout import (
+        distributed_ntile,
+    )
+    df = spark.range(10).select(F.col("id"), F.lit(7).alias("v"))
+    got = distributed_ntile(
+        df, F.col("v"), [F.col("v").asc(), F.col("id").asc()], 4,
+        out_col="t")
+    rows = sorted(got.collect(), key=lambda r: r.id)
+    assert [r.t for r in rows] == _ntile_ref(10, 4)
