@@ -7986,9 +7986,9 @@ def q_bag_set_ops_parity(spark, sf_dir):
     multiplicities (min / difference of per-row counts), DISTINCT
     variants collapse them — the四 counts pin Spark's
     intersectAll/exceptAll/intersect/exceptAll DataFrame ops to the ANSI
-    behavior DuckDB implements. Both overlapping multisets derive from
-    events by co-prime id filters so every multiplicity case (0,1,2+)
-    occurs."""
+    behavior DuckDB implements; the four counts pin them down. Both
+    overlapping multisets derive from events by co-prime id filters so
+    every multiplicity case (0,1,2+) occurs."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     proj = [F.col("event_type"), (F.col("user_id") % 20).alias("ub")]
     a = ev.where(F.col("event_id") % 3 != 0).select(*proj)
@@ -8079,6 +8079,46 @@ def q_sql_udf_cents_rollup(spark, sf_dir):
                max(sdv_cents(o_totalprice)) AS cents_max
         FROM sdv_udf_orders GROUP BY o_orderpriority
     """)
+
+
+@register("unpivot_measure_audit", """
+WITH long_form AS (
+  SELECT l_returnflag, measure,
+         CAST(floor(v * 1.0e6 + 5.0e-1) AS BIGINT) AS micro
+  FROM (UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+                        l_discount, l_tax
+                 FROM lineitem)
+        ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME measure VALUE v)
+)
+SELECT l_returnflag, measure,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(micro) AS BIGINT) AS micro_sum,
+       CAST(min(micro) AS BIGINT) AS micro_min,
+       CAST(max(micro) AS BIGINT) AS micro_max
+FROM long_form GROUP BY l_returnflag, measure
+""")
+def q_unpivot_measure_audit(spark, sf_dir):
+    """UNPIVOT/melt parity: lineitem's four numeric measures rotate to
+    long form (Spark's native ``DataFrame.unpivot`` vs ANSI UNPIVOT),
+    then a per-(flag, measure) profile aggregates in exact integer
+    micro-units so double sums can't diverge on aggregation order. The
+    rotation is a zero-shuffle Expand (4 output rows per input inside
+    the scan stage); the only exchange is the final 12-group aggregate —
+    the wide-to-long step a column-profile audit runs over every
+    numeric column at once."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long_form = li.select("l_returnflag", *measures).unpivot(
+        ["l_returnflag"], measures, "measure", "v")
+    micro = F.floor(F.col("v") * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+    return (long_form.select("l_returnflag", "measure",
+                             micro.alias("micro"))
+            .groupBy("l_returnflag", "measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("micro").alias("micro_sum"),
+                 F.min("micro").alias("micro_min"),
+                 F.max("micro").alias("micro_max")))
 
 
 def _stream_benford_oracle() -> str:
