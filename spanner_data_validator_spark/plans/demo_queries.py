@@ -8121,6 +8121,46 @@ def q_unpivot_measure_audit(spark, sf_dir):
                  F.max("micro").alias("micro_max")))
 
 
+@register("basket_pair_lift", """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS grp, l_partkey AS it FROM lineitem
+),
+gsz AS (SELECT grp FROM items GROUP BY grp HAVING count(*) <= 64),
+it2 AS (SELECT items.* FROM items JOIN gsz USING (grp)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_groups FROM gsz),
+pc AS (
+  SELECT a.it AS item_a, b.it AS item_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM it2 a JOIN it2 b ON a.grp = b.grp AND a.it < b.it
+  GROUP BY 1, 2
+),
+ic AS (SELECT it, CAST(count(*) AS BIGINT) AS n_it FROM it2 GROUP BY it)
+SELECT item_a, item_b, n_pair,
+       na.n_it AS n_a, nb.n_it AS n_b, n_groups,
+       CAST(n_pair * n_groups AS DOUBLE)
+         / CAST(na.n_it * nb.n_it AS DOUBLE) AS lift
+FROM pc
+JOIN ic na ON pc.item_a = na.it
+JOIN ic nb ON pc.item_b = nb.it
+CROSS JOIN n
+ORDER BY n_pair DESC, lift DESC, item_a, item_b
+LIMIT 50
+""")
+def q_basket_pair_lift(spark, sf_dir):
+    """Market-basket mining (operators/basket.pair_lift): top-50 part
+    pairs co-occurring in orders, with supports and lift. The Spark plan
+    expands pairs INSIDE each basket array via chained Generates (no
+    self-join — one lineitem scan, one group shuffle, mega-basket cap
+    before the quadratic step); the oracle is the textbook self-join.
+    Lift is one IEEE division of exact BIGINT products, so the (n_pair
+    desc, lift desc, a, b) top-50 order is engine-identical."""
+    from spanner_data_validator_spark.operators.basket import pair_lift
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return pair_lift(li, "l_orderkey", "l_partkey",
+                     max_basket=64, min_pair_count=1, k=50)
+
+
 def _stream_benford_oracle() -> str:
     return f"""
 WITH cents AS (
