@@ -170,3 +170,46 @@ tg_pernode AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
 SELECT node, n_tri,
        CAST(row_number() OVER (ORDER BY n_tri DESC, node) AS INT) AS rank
 FROM tg_pernode ORDER BY n_tri DESC, node LIMIT {k}"""
+
+
+def hop_distance(edges: DataFrame, seeds: DataFrame, *,
+                 max_hops: int, undirected: bool = True) -> DataFrame:
+    """BFS level sets: (node, hops) for every node within ``max_hops`` of
+    any seed, ``hops`` = shortest hop distance (0 for seeds).
+
+    Frontier-expansion loop — each round joins ONLY the newly discovered
+    frontier against the edge table (never the whole visited set), anti-
+    joins out already-seen nodes, and truncates lineage (the iterative-
+    Spark discipline in this module's header). Exact by construction: a
+    node enters `dist` the first round it is reachable, which IS its BFS
+    level, so no min-aggregation race exists. Rounds are bounded by
+    ``max_hops``; each is one equi-join + anti-join keyed by node — at
+    100 TB the edge table would be persisted/bucketed by src instead of
+    localCheckpointed, same plan otherwise.
+
+    Cross-engine parity: the same levels are what a SQL engine's
+    ``WITH RECURSIVE ... UNION`` computes with a ``d < max_hops`` guard
+    (the UNION-distinct bounds cyclic blowup at (node, d) granularity);
+    see the ``hop_distance_levels`` oracle in plans/demo_queries.
+    """
+    e = edges.select(F.col("src"), F.col("dst"))
+    if undirected:
+        e = e.union(edges.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+
+    dist = (seeds.select(F.col("node"), F.lit(0).cast("int").alias("hops"))
+            .distinct().localCheckpoint(eager=True))
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(e["dst"].alias("node"),
+                       F.lit(h).cast("int").alias("hops"))
+               .distinct()
+               .join(dist.select("node"), "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -8161,6 +8161,54 @@ def q_basket_pair_lift(spark, sf_dir):
                      max_basket=64, min_pair_count=1, k=50)
 
 
+@register("hop_distance_levels", """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+seeds AS (
+  SELECT DISTINCT l_partkey * 2 AS node FROM lineitem
+  WHERE l_partkey % 997 = 0
+),
+bfs AS (
+  SELECT node, 0 AS d FROM seeds
+  UNION
+  SELECT e.dst AS node, bfs.d + 1 AS d
+  FROM bfs JOIN e ON bfs.node = e.src WHERE bfs.d < 4
+),
+lv AS (SELECT node, min(d) AS hops FROM bfs GROUP BY node)
+SELECT CAST(hops AS INT) AS hops, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS node_sum,
+       CAST(min(node) AS BIGINT) AS node_min,
+       CAST(max(node) AS BIGINT) AS node_max
+FROM lv GROUP BY hops ORDER BY hops
+""")
+def q_hop_distance_levels(spark, sf_dir):
+    """BFS hop-distance levels (operators/graph.hop_distance) over the
+    bipartite part-supplier graph (nodes 2*part / 2*supp+1), seeded at
+    l_partkey % 997 == 0. Spark runs the frontier-expansion loop (per
+    round: frontier-edge equi-join + anti-join of the visited set,
+    lineage truncated); the oracle is the same reachability as a
+    WITH RECURSIVE UNION with a d<4 guard — the recursive-CTE surface
+    Spark lacks, re-expressed as a bounded iterative DataFrame loop.
+    Levels are summarized per hop (count/sum/min/max of node ids)."""
+    from spanner_data_validator_spark.operators.graph import hop_distance
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_partkey") * 2).alias("src"),
+                      (F.col("l_suppkey") * 2 + 1).alias("dst"))
+    seeds = (li.where(F.col("l_partkey") % 997 == 0)
+             .select((F.col("l_partkey") * 2).alias("node")))
+    lv = hop_distance(edges, seeds, max_hops=4, undirected=True)
+    return (lv.groupBy(F.col("hops").cast("int").alias("hops"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum("node").alias("node_sum"),
+                 F.min("node").alias("node_min"),
+                 F.max("node").alias("node_max"))
+            .orderBy("hops"))
+
+
 def _stream_benford_oracle() -> str:
     return f"""
 WITH cents AS (

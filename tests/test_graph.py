@@ -82,3 +82,41 @@ def test_triangle_hub_with_one_closing_edge(spark):
     out = {r["node"]: r["n_tri"]
            for r in triangle_participation(_edges(spark, pairs)).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+# ------------------------------------------------------------------ BFS
+
+
+def test_hop_distance_levels_and_cycles(spark):
+    from spanner_data_validator_spark.operators.graph import hop_distance
+    # 0-1-2-3 chain with a 1-2-4 triangle (cycle), 5-6 disconnected,
+    # 7 isolated seedless node
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4), (4, 2), (5, 6)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hops
+           for r in hop_distance(edges, seeds, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 4: 2, 3: 3}
+
+
+def test_hop_distance_max_hops_truncates(spark):
+    from spanner_data_validator_spark.operators.graph import hop_distance
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.hops
+           for r in hop_distance(edges, seeds, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_hop_distance_multi_seed_directed(spark):
+    from spanner_data_validator_spark.operators.graph import hop_distance
+    # directed: 3->2 must NOT make 2 reachable from 2's side reversed
+    edges = spark.createDataFrame(
+        [(0, 1), (3, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (2,)], "node long")
+    got = {r.node: r.hops
+           for r in hop_distance(edges, seeds, max_hops=3,
+                                 undirected=False).collect()}
+    assert got == {0: 0, 2: 0, 1: 1}
