@@ -132,10 +132,11 @@ def global_row_number(df: DataFrame, order_cols: Sequence[Column],
     """
     b = df.withColumn("__bk", bucket).localCheckpoint(eager=True)
     per = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__c"))
-    # exclusive scan over <= |buckets| subtotal rows; the constant
-    # partition key marks the single task as intentional (keeps the
-    # WindowExec no-partition warning meaning "row-scale data moved").
-    wx = (Window.partitionBy(F.lit(0)).orderBy("__bk")
+    # exclusive scan over <= |buckets| subtotal rows — the one
+    # single-task window, intentional: it sees bucket counts, never
+    # row-scale data (Catalyst folds away a constant partition key, so
+    # the WindowExec warning fires here regardless; it is benign).
+    wx = (Window.orderBy("__bk")
           .rowsBetween(Window.unboundedPreceding, -1))
     off = per.select("__bk", F.coalesce(F.sum("__c").over(wx), F.lit(0))
                      .alias("__off"))

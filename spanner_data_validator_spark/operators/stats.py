@@ -403,3 +403,97 @@ def deterministic_mode(df: DataFrame, group: str,
             .where(F.col("__rk") == 1)
             .select(F.col(group), F.col("__v").alias("mode_value"),
                     F.col("__n").alias("mode_n")))
+
+
+def time_weighted_mean(df: DataFrame, group: str, ts: Column,
+                       value_units: Column,
+                       tiebreak: Column) -> DataFrame:
+    """Per-group time-weighted average: each observation holds until the
+    next one, so TWAP = sum(value * hold_seconds) / sum(hold_seconds) —
+    the financial-series mean a plain AVG misstates whenever sampling is
+    irregular (burst-heavy event streams always are).
+
+    ``value_units`` must be an exact integer column (cents); both sums
+    are BIGINT-exact and divided ONCE, so the result is bit-identical in
+    any engine. The per-group ordering (ts, tiebreak) is total, so lead()
+    is deterministic under ties. The last observation of a group has no
+    successor and carries zero weight (the half-open convention).
+
+    Shape: one window keyed BY GROUP (sharded, no global sort) + one
+    group aggregate. Overflow headroom: cents × seconds per interval must
+    stay < 2^63 / rows-per-group — true by orders of magnitude for any
+    real corpus; pre-scale to coarser units if not.
+
+    Output: (group, n_intervals, dur_s_sum, weighted_sum, twap_units).
+    """
+    w = (Window.partitionBy(group)
+         .orderBy(ts.asc(), tiebreak.asc()))
+    # parquet timestamps load as TIMESTAMP_NTZ, which unix_micros
+    # rejects — the cast is a no-op re-tag for already-UTC data
+    sec = F.unix_micros(ts.cast("timestamp"))
+    us = F.lead(sec).over(w) - sec
+    # exact integer division (a - a%b)/b: a plain '/'+cast truncates a
+    # double quotient, which disagrees with an engine that floors at
+    # representability edges (the CAST(double AS BIGINT) trap)
+    dur = ((us - us % F.lit(1_000_000)) / F.lit(1_000_000)).cast("long")
+    rows = df.select(F.col(group), value_units.alias("__v"),
+                     dur.alias("__dur"))
+    kept = rows.where(F.col("__dur").isNotNull())
+    return (kept.groupBy(group)
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum("__dur").alias("dur_s_sum"),
+                 F.sum(F.col("__v") * F.col("__dur"))
+                  .alias("weighted_sum"))
+            .withColumn(
+                "twap_units",
+                F.col("weighted_sum").cast("double")
+                / F.col("dur_s_sum").cast("double")))
+
+
+def cusum_changepoint(series: DataFrame, group: str, order: Column,
+                      value_units: Column) -> DataFrame:
+    """Exact CUSUM change-point scan per group: over the ordered series
+    x_1..x_n, the centered cumulative sum S_k = sum_{i<=k}(x_i - mean)
+    peaks at the most likely level-shift point. Computed entirely in
+    scaled integers — D_k = n*C_k - k*T (C_k = cumsum, T = total) equals
+    n*S_k exactly — so no float accumulates across rows and the argmax
+    is engine-identical. The statistic max|D_k|/(n*n) normalizes to
+    mean-units once, in one double division.
+
+    Ties on |D_k| break to the EARLIEST order position (argmax via
+    max(struct(|D_k|, -k))). Window is group-keyed — sharded; at 100 TB
+    the series rows per group (days, not events) are tiny anyway.
+
+    Output: (group, n_points, total_units, max_abs_d, cp_order,
+    cusum_stat).
+    """
+    base = series.select(F.col(group), order.alias("__o"),
+                         value_units.alias("__x"))
+    w = (Window.partitionBy(group).orderBy(F.col("__o").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # the cumsum branch and the per-group totals branch both read the
+    # series — tiny (one row per group×order unit), pin it anyway
+    base = base.localCheckpoint(eager=True)
+    tot = base.groupBy(group).agg(
+        F.sum("__x").alias("__t"), F.count(F.lit(1)).alias("__n"))
+    c = (base
+         .withColumn("__c", F.sum("__x").over(w))
+         .withColumn("__k", F.row_number().over(
+             Window.partitionBy(group).orderBy(F.col("__o").asc()))))
+    j = c.join(tot, group)
+    d = (F.col("__n") * F.col("__c") - F.col("__k") * F.col("__t"))
+    picked = (j.select(F.col(group), F.col("__n"), F.col("__t"),
+                       F.abs(d).alias("__ad"), F.col("__o"))
+              .groupBy(group)
+              .agg(F.max("__n").alias("n_points"),
+                   F.max("__t").alias("total_units"),
+                   F.max(F.struct(F.col("__ad").alias("ad"),
+                                  (-F.col("__o")).alias("no")))
+                    .alias("m")))
+    return picked.select(
+        F.col(group), "n_points", "total_units",
+        F.col("m.ad").alias("max_abs_d"),
+        (-F.col("m.no")).alias("cp_order"),
+        (F.col("m.ad").cast("double")
+         / (F.col("n_points") * F.col("n_points")).cast("double"))
+        .alias("cusum_stat"))

@@ -8209,6 +8209,140 @@ def q_hop_distance_levels(spark, sf_dir):
             .orderBy("hops"))
 
 
+@register("equidepth_hist_price", """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+t AS (
+  SELECT cents,
+         CAST(ntile(16) OVER (ORDER BY cents, o_orderkey) AS INT) AS bucket
+  FROM c
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS lo,
+       CAST(max(cents) AS BIGINT) AS hi,
+       CAST(sum(cents) AS BIGINT) AS cents_sum
+FROM t GROUP BY bucket ORDER BY bucket
+""")
+def q_equidepth_hist_price(spark, sf_dir):
+    """Equi-depth (equal-height) 16-bucket histogram of order value —
+    the optimizer-statistics histogram form, built on
+    layout.distributed_ntile so the global quantile bucketing runs with
+    NO single-task window (value-range bins shard the rank; NTILE fill
+    rule closed-form from (rank, n)). Per bucket: count and exact cents
+    min/max/sum. The oracle is plain NTILE — same buckets bit-for-bit,
+    (cents, orderkey) total order making ties deterministic."""
+    from spanner_data_validator_spark.operators.layout import (
+        distributed_ntile,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)) \
+             .cast("long")
+    c = o.select(cents.alias("cents"), "o_orderkey")
+    t = distributed_ntile(
+        c, F.col("cents"),
+        [F.col("cents").asc(), F.col("o_orderkey").asc()], 16,
+        out_col="bucket")
+    return (t.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("cents").alias("lo"),
+                 F.max("cents").alias("hi"),
+                 F.sum("cents").alias("cents_sum"))
+            .orderBy("bucket"))
+
+
+@register("twap_by_type", """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) AS v, event_id
+  FROM events
+),
+d AS (
+  SELECT event_type, v,
+         (lead(us) OVER (PARTITION BY event_type
+                         ORDER BY us, event_id) - us) // 1000000 AS dur
+  FROM e
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dur) AS BIGINT) AS dur_s_sum,
+       CAST(sum(v * dur) AS BIGINT) AS weighted_sum,
+       CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)
+         AS twap_units
+FROM d WHERE dur IS NOT NULL GROUP BY event_type
+""")
+def q_twap_by_type(spark, sf_dir):
+    """Time-weighted average value per event type
+    (operators/stats.time_weighted_mean): each event's cents hold until
+    the type's next event, so bursty sampling can't bias the mean the
+    way plain AVG is biased. Hold durations are exact integer seconds
+    ((a - a%%b)/b, matching the oracle's // floor division), both sums
+    are BIGINT, and the single final division is IEEE-identical. One
+    group-keyed window + one aggregate — no global sort."""
+    from spanner_data_validator_spark.operators.stats import (
+        time_weighted_mean,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)) \
+             .cast("long")
+    return time_weighted_mean(ev, "event_type", F.col("ts"), cents,
+                              F.col("event_id"))
+
+
+@register("cusum_changepoint", """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT))
+              AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, day, x,
+         sum(x) OVER (PARTITION BY event_type ORDER BY day) AS ck,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         sum(x) OVER (PARTITION BY event_type) AS t,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+s AS (SELECT event_type, n, t, abs(n * ck - k * t) AS ad, day FROM c),
+m AS (SELECT event_type, max(ad) AS mad FROM s GROUP BY event_type)
+SELECT s.event_type,
+       CAST(max(s.n) AS BIGINT) AS n_points,
+       CAST(max(s.t) AS BIGINT) AS total_units,
+       CAST(max(s.ad) AS BIGINT) AS max_abs_d,
+       CAST(min(s.day) AS BIGINT) AS cp_order,
+       CAST(max(s.ad) AS DOUBLE)
+         / CAST(max(s.n) * max(s.n) AS DOUBLE) AS cusum_stat
+FROM s JOIN m ON s.event_type = m.event_type AND s.ad = m.mad
+GROUP BY s.event_type
+""")
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM level-shift scan (operators/stats.cusum_changepoint) over
+    each type's daily cents series: D_k = n*cumsum_k - k*total is n
+    times the centered CUSUM, exact in BIGINT, so the peak |D_k| and its
+    argmax day are engine-identical (ties break to the earliest day —
+    max(struct(|D|, -day)) on the Spark side, a mad-equality join +
+    min(day) in the oracle). The statistic normalizes once at the end.
+    Series rows are per (type, day) — window work is group-keyed and
+    tiny relative to the event scan feeding the daily aggregate."""
+    from spanner_data_validator_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)) \
+             .cast("long")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (ev.groupBy("event_type", day.alias("day"))
+             .agg(F.sum(cents).alias("x")))
+    return cusum_changepoint(daily, "event_type", F.col("day"),
+                             F.col("x"))
+
+
 def _stream_benford_oracle() -> str:
     return f"""
 WITH cents AS (

@@ -108,3 +108,59 @@ def test_ks_matches_bruteforce_property(spark, a, b, n_buckets):
                    - sum(1 for x in b if x <= v) * len(a)) for v in xs)
     assert out["ks_num"] == dmax
     assert out["n_a"] == len(a) and out["n_b"] == len(b)
+
+
+@given(grouped_series(min_len=1, max_len=12, lo=0, hi=100))
+@settings(max_examples=10, deadline=None)
+def test_cusum_changepoint_matches_bruteforce(spark, cases):
+    from spanner_data_validator_spark.operators.stats import (
+        cusum_changepoint,
+    )
+    rows = [(g, i, v) for g, xs in cases.items() for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, o long, x long")
+    out = {r.g: r for r in cusum_changepoint(
+        df, "g", F.col("o"), F.col("x")).collect()}
+    for g, xs in cases.items():
+        n, t = len(xs), sum(xs)
+        best = None
+        c = 0
+        for k, x in enumerate(xs, start=1):
+            c += x
+            d = abs(n * c - k * t)
+            # ties break to the EARLIEST order position
+            if best is None or d > best[0]:
+                best = (d, k - 1)
+        r = out[g]
+        assert r.n_points == n and r.total_units == t
+        assert r.max_abs_d == best[0]
+        assert r.cp_order == best[1]
+        assert math.isclose(r.cusum_stat, best[0] / (n * n), rel_tol=0,
+                            abs_tol=0)
+
+
+@given(grouped_series(min_len=1, max_len=10, lo=0, hi=500))
+@settings(max_examples=10, deadline=None)
+def test_time_weighted_mean_matches_bruteforce(spark, cases):
+    from datetime import datetime, timedelta
+    from spanner_data_validator_spark.operators.stats import (
+        time_weighted_mean,
+    )
+    # irregular gaps: i*i seconds + sub-second noise exercises the floor
+    t0 = datetime(2025, 1, 1)
+    rows = [(g, t0 + timedelta(seconds=i * i, milliseconds=137 * i), v, i)
+            for g, xs in cases.items() for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v long, i long")
+    out = {r.g: r for r in time_weighted_mean(
+        df, "g", F.col("ts"), F.col("v"), F.col("i")).collect()}
+    for g, xs in cases.items():
+        if len(xs) < 2:
+            assert g not in out  # single point: no interval survives
+            continue
+        us = [i * i * 1_000_000 + 137_000 * i for i in range(len(xs))]
+        durs = [(us[i + 1] - us[i]) // 1_000_000 for i in range(len(xs) - 1)]
+        ws = sum(v * d for v, d in zip(xs, durs))
+        r = out[g]
+        assert r.n_intervals == len(xs) - 1
+        assert r.dur_s_sum == sum(durs)
+        assert r.weighted_sum == ws
+        assert r.twap_units == ws / sum(durs)
