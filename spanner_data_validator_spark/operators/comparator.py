@@ -339,3 +339,66 @@ def validate_aggregates(
         .otherwise(TARGET_ONLY)
     )
     return j.withColumn("status", status).drop("_src_present", "_tgt_present")
+
+
+def classify_three_way(
+    source: DataFrame,
+    target: DataFrame,
+    backup: DataFrame,
+    key_cols: list[str],
+    *,
+    fingerprint_col: str = "fingerprint",
+    dedup: bool = True,
+) -> DataFrame:
+    """Three-replica majority-vote reconciliation — the 2-side CoGBK
+    classify (reference JDBCToSpannerDVTWithHash.java:348-353) extended
+    to the source/target/backup triple a migration cutover actually has.
+    One row per key with the fingerprint of each side and:
+
+    * ``n_present`` — how many replicas hold the key;
+    * ``status`` — ALL_MATCH / MAJORITY / ALL_DIFFER (3 present),
+      PAIR_MATCH / PAIR_DIFFER (2 present), SINGLETON (1);
+    * ``vote_fp`` — the majority fingerprint when one exists (>= 2 equal
+      votes), else NULL: the value an auto-repair would write.
+
+    Plan: two key-keyed full-outer joins (Spark co-plans them into one
+    shuffle stage per side — every exchange is on the same key, so AQE
+    reuses the partitioning); no row ever carries more than three
+    fingerprints, so width is bounded regardless of payload size.
+    """
+    if dedup:
+        source = dedup_first(source, key_cols,
+                             fingerprint_col=fingerprint_col)
+        target = dedup_first(target, key_cols,
+                             fingerprint_col=fingerprint_col)
+        backup = dedup_first(backup, key_cols,
+                             fingerprint_col=fingerprint_col)
+    sides = []
+    for name, df in (("src", source), ("tgt", target), ("bak", backup)):
+        sides.append(df.select(
+            *[F.col(k) for k in key_cols],
+            F.col(fingerprint_col).alias(f"{name}_fp")))
+    j = (sides[0].join(sides[1], on=key_cols, how="full_outer")
+         .join(sides[2], on=key_cols, how="full_outer"))
+    s, t, b = F.col("src_fp"), F.col("tgt_fp"), F.col("bak_fp")
+    n_present = (s.isNotNull().cast("int") + t.isNotNull().cast("int")
+                 + b.isNotNull().cast("int"))
+    st_eq = s.isNotNull() & t.isNotNull() & (s == t)
+    sb_eq = s.isNotNull() & b.isNotNull() & (s == b)
+    tb_eq = t.isNotNull() & b.isNotNull() & (t == b)
+    any_pair = st_eq | sb_eq | tb_eq
+    status = (
+        F.when(n_present == 3,
+               F.when(st_eq & sb_eq, F.lit("ALL_MATCH"))
+                .when(any_pair, F.lit("MAJORITY"))
+                .otherwise(F.lit("ALL_DIFFER")))
+         .when(n_present == 2,
+               F.when(any_pair, F.lit("PAIR_MATCH"))
+                .otherwise(F.lit("PAIR_DIFFER")))
+         .otherwise(F.lit("SINGLETON")))
+    vote = (F.when(st_eq | sb_eq, s)
+             .when(tb_eq, t)
+             .otherwise(F.lit(None)))
+    return (j.withColumn("n_present", n_present)
+             .withColumn("status", status)
+             .withColumn("vote_fp", vote))

@@ -8343,6 +8343,102 @@ def q_cusum_changepoint(spark, sf_dir):
                              F.col("x"))
 
 
+@register("three_way_vote", """
+WITH src AS (
+  SELECT event_id AS key,
+         concat_ws('|', coalesce(event_type,''), coalesce(props,''),
+                   coalesce(CAST(user_id AS STRING),'')) AS payload
+  FROM events
+),
+tgt AS (
+  SELECT key,
+         CASE WHEN key % 50 = 0 THEN payload || '#mut' ELSE payload END
+           AS payload
+  FROM src WHERE key % 50 <> 1
+  UNION ALL
+  SELECT key + 100000000 AS key, payload FROM src WHERE key % 50 = 2
+),
+bak AS (
+  SELECT key,
+         CASE WHEN key % 49 = 0 THEN payload || '#mutb' ELSE payload END
+           AS payload
+  FROM src WHERE key % 50 <> 3
+  UNION ALL
+  SELECT key + 200000000 AS key, payload FROM src WHERE key % 50 = 4
+),
+j AS (
+  SELECT s.payload AS sp, t.payload AS tp, b.payload AS bp
+  FROM src s
+  FULL JOIN tgt t ON s.key = t.key
+  FULL JOIN bak b ON coalesce(s.key, t.key) = b.key
+),
+c AS (
+  SELECT
+    (CASE WHEN sp IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN bp IS NOT NULL THEN 1 ELSE 0 END) AS n_present,
+    CASE WHEN sp = tp THEN TRUE ELSE FALSE END AS st_eq,
+    CASE WHEN sp = bp THEN TRUE ELSE FALSE END AS sb_eq,
+    CASE WHEN tp = bp THEN TRUE ELSE FALSE END AS tb_eq,
+    CASE WHEN sp = tp OR sp = bp THEN sp
+         WHEN tp = bp THEN tp END AS vote
+  FROM j
+),
+cls AS (
+  SELECT CASE
+    WHEN n_present = 3 AND st_eq AND sb_eq THEN 'ALL_MATCH'
+    WHEN n_present = 3 AND (st_eq OR sb_eq OR tb_eq) THEN 'MAJORITY'
+    WHEN n_present = 3 THEN 'ALL_DIFFER'
+    WHEN n_present = 2 AND (st_eq OR sb_eq OR tb_eq) THEN 'PAIR_MATCH'
+    WHEN n_present = 2 THEN 'PAIR_DIFFER'
+    ELSE 'SINGLETON' END AS status,
+    vote
+  FROM c
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_votable
+FROM cls GROUP BY status
+""")
+def q_three_way_vote(spark, sf_dir):
+    """Three-replica majority vote (operators/comparator.
+    classify_three_way): the 2-side CoGBK classify extended to the
+    source/target/backup triple, with planted divergence cycles chosen
+    so every status occurs — co-prime mutation cycles (%50 target, %49
+    backup) collide at %2450 for ALL_DIFFER, intersect the %50==1
+    target-drop residue for PAIR_DIFFER (a %70 cycle would make that
+    combination CRT-infeasible: gcd(70,50)=10 divides no residue gap), per-side drop cycles give
+    PAIR_* and SINGLETON. Reports per-status key counts and how many
+    keys have a writable majority value (the auto-repair frontier).
+    Both extra joins stay keyed on `key` — one partitioning reused."""
+    from spanner_data_validator_spark.operators.comparator import (
+        classify_three_way,
+    )
+
+    src = events_source(spark, sf_dir)
+    tgt = events_target(src)
+    kept = src.where(F.col("key") % 50 != 3)
+    mutated = kept.withColumn(
+        "payload",
+        F.when(F.col("key") % 49 == 0,
+               F.concat(F.col("payload"), F.lit("#mutb")))
+         .otherwise(F.col("payload")))
+    inserted = src.where(F.col("key") % 50 == 4).withColumn(
+        "key", F.col("key") + F.lit(200_000_000))
+    bak = mutated.unionByName(inserted)
+
+    def prep(df):
+        return df.select(
+            F.col("key"),
+            fingerprint_expr(F.col("payload")).alias("fingerprint"))
+
+    cls = classify_three_way(prep(src), prep(tgt), prep(bak), ["key"])
+    return (cls.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("vote_fp").isNotNull().cast("long"))
+                  .alias("n_votable")))
+
+
 def _stream_benford_oracle() -> str:
     return f"""
 WITH cents AS (

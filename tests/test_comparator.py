@@ -140,3 +140,31 @@ def test_latest_per_key_last_writer_wins(spark):
     out2 = {r["key"]: r["payload"] for r in
             latest_per_key(df, ["key"], "ts", ["payload"]).collect()}
     assert out2[3] == "b"
+
+
+def test_classify_three_way_all_statuses_and_votes(spark):
+    from spanner_data_validator_spark.operators.comparator import (
+        classify_three_way,
+    )
+
+    def side(rows):
+        return spark.createDataFrame(rows, "k long, fingerprint string")
+
+    src = side([(1, "a"), (2, "a"), (3, "a"), (4, "a"), (5, "a"),
+                (6, "a"), (7, "a")])
+    tgt = side([(1, "a"), (2, "b"), (3, "a"), (4, "b"),
+                (6, "x"), (8, "z"), (2, "dup-ignored")])
+    bak = side([(1, "a"), (2, "c"), (3, "a"), (4, "b"), (5, "a"),
+                (7, "y")])
+    got = {r.k: (r.status, r.n_present, r.vote_fp)
+           for r in classify_three_way(src, tgt, bak, ["k"]).collect()}
+    assert got == {
+        1: ("ALL_MATCH", 3, "a"),      # all agree
+        2: ("ALL_DIFFER", 3, None),    # a/b/c (dup in tgt collapsed)
+        3: ("ALL_MATCH", 3, "a"),
+        4: ("MAJORITY", 3, "b"),       # tgt+bak outvote src
+        5: ("PAIR_MATCH", 2, "a"),     # tgt missing, src==bak
+        6: ("PAIR_DIFFER", 2, None),   # bak missing, src!=tgt
+        7: ("PAIR_DIFFER", 2, None),   # tgt missing, src!=bak
+        8: ("SINGLETON", 1, None),     # tgt only
+    }
