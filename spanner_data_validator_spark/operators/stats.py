@@ -497,3 +497,142 @@ def cusum_changepoint(series: DataFrame, group: str, order: Column,
         (F.col("m.ad").cast("double")
          / (F.col("n_points") * F.col("n_points")).cast("double"))
         .alias("cusum_stat"))
+
+
+def theil_sen_trend(series: DataFrame, group: str, x: Column, y: Column,
+                    *, max_points: int = 512) -> DataFrame:
+    """Per-group Theil-Sen robust trend: the median of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i), x_i < x_j — breakdown point 29%,
+    where one corrupted day drags OLS (``trend_slope``) arbitrarily.
+
+    Meant for ALREADY-AGGREGATED series (daily/hourly rollups): each
+    group collapses to one sorted point array (``max_points`` guards the
+    quadratic step, same cap discipline as operators/basket), pairs
+    expand via chained Generates — no self-join, one input scan. Slopes
+    are single IEEE divisions of exact integer deltas, so every engine
+    computes the identical double; the (slope, dy, dx) order is then
+    engine-identical too, and the LOWER median at rank floor((m+1)/2)
+    needs no float rank arithmetic.
+
+    Output: (group, n_pairs, med_slope).
+    """
+    pts = (series.where(x.isNotNull() & y.isNotNull())
+           .select(F.col(group), F.struct(x.alias("x"), y.alias("y"))
+                   .alias("p")))
+    arrs = (pts.groupBy(group)
+            .agg(F.sort_array(F.collect_list("p")).alias("pts"))
+            .where(F.size("pts") <= max_points)
+            .localCheckpoint(eager=True))
+    pairs = (arrs.select(F.col(group),
+                         F.posexplode("pts").alias("i", "a"),
+                         F.col("pts"))
+             .select(F.col(group), F.col("a"),
+                     F.explode(F.expr(
+                         "slice(pts, i + 2, size(pts) - i - 1)"))
+                     .alias("b"))
+             .where(F.col("b.x") != F.col("a.x"))
+             .select(F.col(group),
+                     (F.col("b.y") - F.col("a.y")).alias("dy"),
+                     (F.col("b.x") - F.col("a.x")).alias("dx")))
+    slope = F.col("dy").cast("double") / F.col("dx").cast("double")
+    wg = Window.partitionBy(group)
+    wr = wg.orderBy(slope.asc(), F.col("dy").asc(), F.col("dx").asc())
+    r = (pairs.withColumn("q", slope)
+         .withColumn("rn", F.row_number().over(wr))
+         .withColumn("m", F.count(F.lit(1)).over(wg)))
+    med = (F.col("m") + 1 - (F.col("m") + 1) % 2) / F.lit(2)
+    return (r.where(F.col("rn") == med.cast("long"))
+            .select(F.col(group), F.col("m").alias("n_pairs"),
+                    F.col("q").alias("med_slope")))
+
+
+def trimmed_mean(df: DataFrame, group: str, value_units: Column,
+                 trim_frac: float) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest
+    floor(n * trim_frac) observations by rank, average the rest in
+    exact integer units with ONE final division. Rank ties at the cut
+    boundary share the same value, so the kept multiset — hence the
+    mean — is order-independent. The trim count multiplies n by the
+    DOUBLE literal (both engines must cast the fraction to DOUBLE —
+    a DECIMAL-parsed 0.1 floors differently at representability edges,
+    the CLAUDE.md oracle-fraction trap).
+
+    Output: (group, n, n_trim_each, kept_sum, trimmed_mean).
+    """
+    wg = Window.partitionBy(group)
+    r = (df.where(value_units.isNotNull())
+         .select(F.col(group), value_units.alias("__v"))
+         .withColumn("rn", F.row_number().over(
+             wg.orderBy(F.col("__v").asc())))
+         .withColumn("n", F.count(F.lit(1)).over(wg)))
+    t = F.floor(F.col("n").cast("double") * F.lit(float(trim_frac)))
+    kept = r.where((F.col("rn") > t) & (F.col("rn") <= F.col("n") - t))
+    return (kept.groupBy(group)
+            .agg(F.max("n").alias("n"),
+                 F.max(t).alias("n_trim_each"),
+                 F.sum("__v").alias("kept_sum"),
+                 F.count(F.lit(1)).alias("n_kept"))
+            .select(F.col(group), "n", "n_trim_each", "kept_sum",
+                    (F.col("kept_sum").cast("double")
+                     / F.col("n_kept").cast("double"))
+                    .alias("trimmed_mean")))
+
+
+def mann_whitney_u(df: DataFrame, value: Column, is_a: Column,
+                   is_b: Column, *, n_buckets: int = 512) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (rank-sum) in pure integer
+    arithmetic: with average ranks for ties, 2*avgrank(v) =
+    2*|{x < v}| + |{x = v}| + 1 is an INTEGER, so 2*R1 — and with it
+    2*U1 = 2*R1 - n1*(n1+1) and 2*U2 — accumulate BIGINT-exactly in any
+    engine and any partitioning. The common-language effect size
+    (= ROC AUC of "sample A scores higher") divides once at the end:
+    auc = U1/(n1*n2).
+
+    Distribution: same bucketed two-phase prefix sum as
+    ``ks_two_sample`` — per-value counts, value-range bin subtotals, a
+    <= ``n_buckets``-row offset scan, within-bin window — no global
+    single-task sort.
+
+    Output single row: (n_a, n_b, two_r1, two_u1, two_u2, auc).
+    """
+    d = (df.select(value.alias("v"), is_a.cast("long").alias("ca"),
+                   is_b.cast("long").alias("cb"))
+         .where(F.col("v").isNotNull()
+                & ((F.col("ca") + F.col("cb")) > 0))
+         .groupBy("v").agg(F.sum("ca").alias("ca"),
+                           F.sum("cb").alias("cb")))
+    d = d.localCheckpoint(eager=True)
+    stats = d.agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                  F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    b = d.crossJoin(F.broadcast(stats))
+    span = F.col("hi") - F.col("lo")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1),
+                F.floor((F.col("v") - F.col("lo")) / span
+                        * F.lit(float(n_buckets))))).cast("long")
+    b = b.withColumn("bk", bucket)
+    per = b.groupBy("bk").agg(
+        F.sum(F.col("ca") + F.col("cb")).alias("s"))
+    wx = (Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = per.select("bk", F.coalesce(F.sum("s").over(wx), F.lit(0))
+                     .alias("off"))
+    win = (Window.partitionBy("bk").orderBy("v")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    j = (b.join(F.broadcast(off), "bk")
+         .withColumn("less", F.col("off") + F.coalesce(
+             F.sum(F.col("ca") + F.col("cb")).over(win), F.lit(0))))
+    terms = j.select(
+        "na", "nb",
+        (F.col("ca") * (F.lit(2) * F.col("less") + F.col("ca")
+                        + F.col("cb") + F.lit(1))).alias("t"))
+    agg = terms.agg(F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+                    F.sum("t").alias("two_r1"))
+    two_u1 = (F.col("two_r1") - F.col("n_a") * (F.col("n_a") + 1))
+    return agg.select(
+        "n_a", "n_b", "two_r1", two_u1.alias("two_u1"),
+        (F.lit(2) * F.col("n_a") * F.col("n_b") - two_u1)
+        .alias("two_u2"),
+        (two_u1.cast("double")
+         / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double"))
+        .alias("auc"))

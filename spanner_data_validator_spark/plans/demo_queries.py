@@ -8439,6 +8439,143 @@ def q_three_way_vote(spark, sf_dir):
                   .alias("n_votable")))
 
 
+@register("theil_sen_daily", """
+WITH daily AS (
+  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS x,
+         CAST(sum(CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pr AS (
+  SELECT a.g, b.y - a.y AS dy, b.x - a.x AS dx
+  FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x
+),
+r AS (
+  SELECT g, CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS q,
+         row_number() OVER (PARTITION BY g ORDER BY
+           CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx) AS rn,
+         count(*) OVER (PARTITION BY g) AS m
+  FROM pr
+)
+SELECT g AS event_type, CAST(m AS BIGINT) AS n_pairs, q AS med_slope
+FROM r WHERE rn = (m + 1 - (m + 1) % 2) // 2
+""")
+def q_theil_sen_daily(spark, sf_dir):
+    """Theil-Sen robust trend (operators/stats.theil_sen_trend) of each
+    type's daily cents series — the median pairwise slope, 29%-breakdown
+    where OLS (trend_slope) follows a single corrupted day. Spark
+    expands the pairs inside each group's sorted point array (chained
+    Generates, no self-join); the oracle is the textbook pairwise
+    self-join. Slopes are single IEEE divisions of exact integer
+    deltas, so the (slope, dy, dx) order and the lower-median pick are
+    engine-identical."""
+    from spanner_data_validator_spark.operators.stats import (
+        theil_sen_trend,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)) \
+             .cast("long")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = (ev.groupBy("event_type", day.alias("day"))
+             .agg(F.sum(cents).alias("y")))
+    return theil_sen_trend(daily, "event_type", F.col("day"),
+                           F.col("y"))
+
+
+@register("trimmed_mean_price", """
+WITH r AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY
+           CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+t AS (
+  SELECT g, v, rn, n,
+         CAST(floor(CAST(n AS DOUBLE) * CAST(0.1 AS DOUBLE))
+              AS BIGINT) AS tr
+  FROM r
+)
+SELECT g, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(tr) AS BIGINT) AS n_trim_each,
+       CAST(sum(v) AS BIGINT) AS kept_sum,
+       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS trimmed_mean
+FROM t WHERE rn > tr AND rn <= n - tr GROUP BY g
+""")
+def q_trimmed_mean_price(spark, sf_dir):
+    """10% two-sided trimmed mean of order value per priority
+    (operators/stats.trimmed_mean): rank-trim in exact cents, one final
+    division. Boundary ties share the same value so the kept multiset
+    is deterministic; the trim count multiplies n by a DOUBLE-cast
+    fraction in BOTH engines (a DECIMAL 0.1 floors differently at
+    representability edges — the oracle-fraction trap)."""
+    from spanner_data_validator_spark.operators.stats import trimmed_mean
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)) \
+             .cast("long")
+    out = trimmed_mean(o, "o_orderpriority", cents, 0.1)
+    return out.select(F.col("o_orderpriority").alias("g"), "n",
+                      "n_trim_each", "kept_sum", "trimmed_mean")
+
+
+@register("mann_whitney_value", """
+WITH s AS (
+  SELECT CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ca,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS cb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+g AS (
+  SELECT v, CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+  FROM s GROUP BY v
+),
+c AS (
+  SELECT v, ca, cb,
+         coalesce(sum(ca + cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+  FROM g
+),
+a AS (
+  SELECT CAST((SELECT sum(ca) FROM g) AS BIGINT) AS n_a,
+         CAST((SELECT sum(cb) FROM g) AS BIGINT) AS n_b,
+         CAST(sum(ca * (2 * less + ca + cb + 1)) AS BIGINT) AS two_r1
+  FROM c
+)
+SELECT n_a, n_b, two_r1,
+       CAST(two_r1 - n_a * (n_a + 1) AS BIGINT) AS two_u1,
+       CAST(2 * n_a * n_b - (two_r1 - n_a * (n_a + 1)) AS BIGINT)
+         AS two_u2,
+       CAST(two_r1 - n_a * (n_a + 1) AS DOUBLE)
+         / CAST(2 * n_a * n_b AS DOUBLE) AS auc
+FROM a
+""")
+def q_mann_whitney_value(spark, sf_dir):
+    """Exact Mann-Whitney U (operators/stats.mann_whitney_u) comparing
+    purchase vs click value distributions: doubled rank sums stay
+    BIGINT under average-rank ties (2*avgrank = 2*less + eq + 1), so
+    U and the AUC effect size are engine-exact with one final division.
+    Spark runs the same bucketed distributed prefix sum as
+    ks_two_sample — no single-task sort; the oracle's window cumsum is
+    the reference formulation."""
+    from spanner_data_validator_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)) \
+             .cast("long")
+    base = ev.where(F.col("value").isNotNull()).select(
+        cents.alias("v"), F.col("event_type"))
+    return mann_whitney_u(base, F.col("v"),
+                          F.col("event_type") == "purchase",
+                          F.col("event_type") == "click")
+
+
 def _stream_benford_oracle() -> str:
     return f"""
 WITH cents AS (

@@ -7,6 +7,7 @@ Spark-per-example cost off the hot path.
 from __future__ import annotations
 
 import math
+from itertools import combinations
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -164,3 +165,62 @@ def test_time_weighted_mean_matches_bruteforce(spark, cases):
         assert r.dur_s_sum == sum(durs)
         assert r.weighted_sum == ws
         assert r.twap_units == ws / sum(durs)
+
+
+@given(grouped_series(min_len=2, max_len=10, lo=-20, hi=20))
+@settings(max_examples=10, deadline=None)
+def test_theil_sen_matches_bruteforce(spark, cases):
+    from spanner_data_validator_spark.operators.stats import (
+        theil_sen_trend,
+    )
+    rows = [(g, i * 3, v) for g, xs in cases.items()
+            for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in theil_sen_trend(
+        df, "g", F.col("x"), F.col("y")).collect()}
+    for g, xs in cases.items():
+        pts = [(i * 3, v) for i, v in enumerate(xs)]
+        pr = sorted(
+            ((b[1] - a[1]) / (b[0] - a[0]), b[1] - a[1], b[0] - a[0])
+            for a, b in combinations(pts, 2))
+        r = out[g]
+        assert r.n_pairs == len(pr)
+        assert r.med_slope == pr[(len(pr) + 1) // 2 - 1][0]
+
+
+@given(grouped_series(min_len=1, max_len=14, lo=0, hi=50),
+       st.sampled_from([0.0, 0.1, 0.25]))
+@settings(max_examples=10, deadline=None)
+def test_trimmed_mean_matches_bruteforce(spark, cases, frac):
+    from spanner_data_validator_spark.operators.stats import trimmed_mean
+    rows = [(g, v) for g, xs in cases.items() for v in xs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in trimmed_mean(
+        df, "g", F.col("v"), frac).collect()}
+    for g, xs in cases.items():
+        n = len(xs)
+        t = math.floor(float(n) * float(frac))
+        kept = sorted(xs)[t:n - t]
+        r = out[g]
+        assert (r.n, r.n_trim_each, r.kept_sum) == (n, t, sum(kept))
+        assert r.trimmed_mean == sum(kept) / len(kept)
+
+
+@given(st.lists(st.integers(0, 15), min_size=1, max_size=30),
+       st.lists(st.integers(0, 15), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None)
+def test_mann_whitney_matches_pair_counting(spark, a, b):
+    from spanner_data_validator_spark.operators.stats import (
+        mann_whitney_u,
+    )
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v long, s string")
+    r = mann_whitney_u(df, F.col("v"), F.col("s") == "a",
+                       F.col("s") == "b").collect()[0]
+    # U1 by direct pair counting: wins + half-ties
+    two_u1 = sum(2 for x in a for y in b if x > y) \
+        + sum(1 for x in a for y in b if x == y)
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert r.two_u1 == two_u1
+    assert r.two_u2 == 2 * len(a) * len(b) - two_u1
+    assert r.auc == two_u1 / (2 * len(a) * len(b))
