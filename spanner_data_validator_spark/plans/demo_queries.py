@@ -8746,6 +8746,145 @@ def q_csv_roundtrip_parity(spark, sf_dir):
                  F.countDistinct("o_custkey").alias("n_custs")))
 
 
+@register("xml_roundtrip_parity", """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT))
+            AS BIGINT) AS cents_sum,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+""")
+def q_xml_roundtrip_parity(spark, sf_dir):
+    """Row-format breadth: orders re-materialized as XML (Spark 4's
+    built-in StaxXML source — the format B2B/EDI migrations still
+    arrive in), read back with an EXPLICIT schema and pinned timestamp
+    format, aggregate parity proved against the parquet original. XML
+    is a text format with per-record framing: no pushdown, no column
+    pruning — the docstring is the warning; it belongs at the INGEST
+    edge only, converted to parquet before anything scans it twice."""
+    import os
+    import tempfile
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    work = tempfile.mkdtemp(prefix="sdv_q_xml_")
+    xdir = os.path.join(work, "orders_xml")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    (od.write.mode("overwrite").format("xml")
+       .option("rootTag", "orders").option("rowTag", "order")
+       .option("timestampFormat", fmt)
+       .save(xdir))
+    xml = (spark.read.schema(od.schema).format("xml")
+           .option("rowTag", "order").option("timestampFormat", fmt)
+           .load(xdir))
+    return (xml.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)
+                               + F.lit(0.5))).alias("cents_sum"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+@register("collation_dedup_audit", """
+WITH v AS (
+  SELECT n_name FROM nation
+  UNION ALL
+  SELECT upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+  FROM nation
+),
+n AS (SELECT lower(n_name) AS k, n_name FROM v)
+SELECT CAST(count(DISTINCT n_name) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_folded,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(n_name) AS first_name
+FROM n
+""")
+def q_collation_dedup_audit(spark, sf_dir):
+    """Spark 4 collation surface: COLLATE UTF8_LCASE makes
+    case-insensitive distinct/grouping a TYPE property enforced in
+    every operator (joins, aggs, set ops) instead of a lower() sprayed
+    per expression — the migration-validator use case is key columns
+    that differ only by case between engines. Title-Case twins are
+    planted so the fold genuinely collapses pairs (n_raw = 2x
+    n_folded). The oracle folds
+    explicitly with lower(); the Spark side counts DISTINCT over the
+    collated column, proving the two are equivalent. min() runs on the
+    BINARY (default) collation on both sides so the picked value is
+    byte-deterministic."""
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    # plant Title-Case twins: every name then exists in two casings, so
+    # the folded count proves the collation actually collapses them
+    na = na.select("n_name").unionAll(na.select(
+        F.concat(F.upper(F.substring("n_name", 1, 1)),
+                 F.lower(F.expr("substr(n_name, 2)"))).alias("n_name")))
+    return na.select(
+        F.expr("n_name COLLATE UTF8_LCASE").alias("k"),
+        F.col("n_name")
+    ).agg(
+        F.countDistinct("n_name").alias("n_raw"),
+        F.countDistinct("k").alias("n_folded"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("n_name").alias("first_name"))
+
+
+@register("grid_neighbor_pairs", """
+WITH p AS (
+  SELECT event_id AS id, CAST(user_id % 1000 AS BIGINT) AS x,
+         CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) % 1000 AS y
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+dense AS (
+  SELECT x // 25 AS cx, y // 25 AS cy FROM p
+  GROUP BY 1, 2 HAVING count(*) > 256
+),
+p2 AS (
+  SELECT p.* FROM p
+  LEFT JOIN dense d ON p.x // 25 = d.cx AND p.y // 25 = d.cy
+  WHERE d.cx IS NULL
+),
+pr AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM p2 a JOIN p2 b ON a.id < b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(d2) AS BIGINT) AS d2_sum,
+       CAST(min(d2) AS BIGINT) AS d2_min,
+       CAST(max(d2) AS BIGINT) AS d2_max,
+       CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
+FROM pr
+""")
+def q_grid_neighbor_pairs(spark, sf_dir):
+    """Spatial proximity join (operators/spatial.grid_neighbor_pairs):
+    purchase events mapped to a 1000x1000 integer grid, all pairs
+    within L2 distance 25. Spark buckets points into radius-sized cells
+    and equi-joins each point's 3x3 neighborhood against the cell index
+    (candidates ~ local density, hot-cell cap, exact integer distance
+    verified on candidates only — the geohash/S2 proximity-join plan);
+    the oracle is the quadratic self-join. Squared distances keep
+    everything integer: no sqrt, no float order sensitivity."""
+    from spanner_data_validator_spark.operators.spatial import (
+        grid_neighbor_pairs,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)) \
+             .cast("long")
+    pts = (ev.where((F.col("event_type") == "purchase")
+                    & F.col("value").isNotNull())
+           .select(F.col("event_id").alias("id"),
+                   (F.col("user_id") % 1000).alias("x"),
+                   (cents % 1000).alias("y")))
+    pairs = grid_neighbor_pairs(pts, "id", "x", "y",
+                                radius=25, max_cell=256)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("d2").alias("d2_sum"),
+        F.min("d2").alias("d2_min"),
+        F.max("d2").alias("d2_max"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("id_checksum"))
+
+
 @register("hive_partition_prune", """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
