@@ -104,3 +104,36 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
     return joined.select(
         *[F.col(f"__pts.{c}") for c in points.columns],
         *[F.col(f"__ivl.{c}") for c in ivl_cols])
+
+
+def merge_intervals(df: DataFrame, key: str, start: Column,
+                    end: Column) -> DataFrame:
+    """Gaps-and-islands: merge overlapping/touching [start, end] intervals
+    per key into maximal covered islands — the dual of ``sessionize``
+    (which SPLITS points on gaps; this MERGES ranges on overlap). The
+    canonical uses: total covered machine-time from job intervals,
+    effective validity union of SCD rows, dedup of replayed spans.
+
+    Plan: one key-partitioned sort window. An interval starts a new
+    island iff its start exceeds the running max(end) of every earlier
+    interval (window max over the preceding frame — handles the
+    containment case a lag(end) formulation gets wrong); the island id
+    is then a running count of those flags, and each island aggregates
+    once. All arithmetic integer.
+
+    Output: (key, island_id, island_start, island_end, n_intervals).
+    """
+    base = df.select(F.col(key), start.alias("__s"), end.alias("__e"))
+    wo = (Window.partitionBy(key)
+          .orderBy(F.col("__s").asc(), F.col("__e").asc()))
+    prev_max = (F.max("__e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)))
+    flag = F.when(prev_max.isNull() | (F.col("__s") > prev_max),
+                  F.lit(1)).otherwise(F.lit(0))
+    c = (base.withColumn("__new", flag)
+         .withColumn("__isl", F.sum("__new").over(
+             wo.rowsBetween(Window.unboundedPreceding, 0))))
+    return (c.groupBy(key, F.col("__isl").alias("island_id"))
+            .agg(F.min("__s").alias("island_start"),
+                 F.max("__e").alias("island_end"),
+                 F.count(F.lit(1)).alias("n_intervals")))

@@ -636,3 +636,40 @@ def mann_whitney_u(df: DataFrame, value: Column, is_a: Column,
         (two_u1.cast("double")
          / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double"))
         .alias("auc"))
+
+
+def gini_coefficient(df: DataFrame, group: str,
+                     value_units: Column) -> DataFrame:
+    """Per-group exact Gini coefficient of non-negative integer values
+    via the rank identity: with x_(1) <= ... <= x_(n),
+
+        G = sum_i (2i - n - 1) * x_(i)  /  (n * sum(x))
+
+    — numerator and denominator both BIGINT-exact (the pairwise
+    |x_i - x_j| double sum this equals would be quadratic AND
+    float-ordered), one final division. Ties take arbitrary rank order
+    but the numerator is invariant under permuting equal values (the
+    coefficient (2i-n-1) sums the same over any tied run). One
+    group-keyed sort window + one aggregate.
+
+    Output: (group, n, total_units, gini_num, gini).
+    """
+    wg = Window.partitionBy(group)
+    r = (df.where(value_units.isNotNull())
+         .select(F.col(group), value_units.alias("__v"))
+         .withColumn("__i", F.row_number().over(
+             wg.orderBy(F.col("__v").asc())))
+         .withColumn("__n", F.count(F.lit(1)).over(wg)))
+    term = (F.lit(2) * F.col("__i") - F.col("__n") - 1) * F.col("__v")
+    return (r.groupBy(group)
+            .agg(F.max("__n").alias("n"),
+                 F.sum("__v").alias("total_units"),
+                 F.sum(term).alias("gini_num"))
+            .withColumn(
+                "gini",
+                F.when(F.col("total_units") == 0,
+                       F.lit(None).cast("double"))
+                 .otherwise(
+                     F.col("gini_num").cast("double")
+                     / (F.col("n") * F.col("total_units"))
+                     .cast("double"))))

@@ -8885,6 +8885,168 @@ def q_grid_neighbor_pairs(spark, sf_dir):
         F.sum(F.col("id_a") + F.col("id_b")).alias("id_checksum"))
 
 
+@register("interval_coverage", """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + (1 + CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) % 7200)
+             * 1000000 AS e
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+),
+f AS (
+  SELECT user_id, s, e,
+         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+  FROM m
+),
+il AS (
+  SELECT user_id, s, e,
+         sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM f
+),
+g AS (
+  SELECT user_id, isl, min(s) AS st, max(e) AS en,
+         CAST(count(*) AS BIGINT) AS ni
+  FROM il GROUP BY 1, 2
+)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(en - st) AS BIGINT) AS covered_us,
+       CAST(max(ni) AS BIGINT) AS max_intervals
+FROM g
+""")
+def q_interval_coverage(spark, sf_dir):
+    """Gaps-and-islands (operators/sessionize.merge_intervals): each
+    event opens a value-derived activity interval; overlapping
+    intervals per user merge into maximal islands (running-max(end)
+    flag + running island count — the containment-safe formulation a
+    lag(end) version gets wrong), then total covered time rolls up.
+    The dual of sessionize: ranges merged on overlap, not points split
+    on gaps. All integer microseconds."""
+    from spanner_data_validator_spark.operators.sessionize import (
+        merge_intervals,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)) \
+             .cast("long")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = (ev.where(F.col("value").isNotNull())
+          .select(F.col("user_id"), us.alias("s"),
+                  (us + (F.lit(1) + cents % 7200) * F.lit(1_000_000))
+                  .alias("e")))
+    isl = merge_intervals(iv, "user_id", F.col("s"), F.col("e"))
+    return isl.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+         .alias("covered_us"),
+        F.max("n_intervals").alias("max_intervals"))
+
+
+@register("gini_revenue_by_type", """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS total_units,
+       CAST(sum((2 * i - n - 1) * v) AS BIGINT) AS gini_num,
+       CAST(sum((2 * i - n - 1) * v) AS DOUBLE)
+         / CAST(max(n) * sum(v) AS DOUBLE) AS gini
+FROM r GROUP BY event_type
+""")
+def q_gini_revenue_by_type(spark, sf_dir):
+    """Exact Gini inequality of event value per type
+    (operators/stats.gini_coefficient): the rank identity
+    sum((2i-n-1)*x_(i)) / (n*sum x) keeps numerator and denominator in
+    BIGINT (the textbook pairwise-|difference| form is quadratic and
+    float-ordered); tied values sum the same coefficients under any
+    tie order, so the result is engine-identical with one division."""
+    from spanner_data_validator_spark.operators.stats import (
+        gini_coefficient,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)) \
+             .cast("long")
+    base = ev.where(F.col("value").isNotNull()).select(
+        "event_type", cents.alias("v"))
+    return gini_coefficient(base, "event_type", F.col("v"))
+
+
+@register("hof_array_parity", """
+WITH b AS (
+  SELECT event_type, CAST(user_id % 50 AS BIGINT) AS x, event_id
+  FROM events
+),
+r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, event_id) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM b
+),
+pal AS (
+  SELECT a.event_type, CAST(sum(a.x * c.x) AS BIGINT) AS pal_sum
+  FROM r a JOIN r c
+    ON a.event_type = c.event_type AND c.i = a.n + 1 - a.i
+  GROUP BY a.event_type
+)
+SELECT r.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS agg_sum,
+       CAST(sum(CASE WHEN x % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_even,
+       CAST(sum(x * x) AS BIGINT) AS sq_sum,
+       CAST(max(pal_sum) AS BIGINT) AS pal_sum
+FROM r JOIN pal ON r.event_type = pal.event_type
+GROUP BY r.event_type
+""")
+def q_hof_array_parity(spark, sf_dir):
+    """Higher-order-function surface pinned to plain-SQL semantics: per
+    type, the sorted value array is folded with aggregate(), filtered
+    with filter(), mapped with transform(), and paired with its
+    reverse via zip_with() (a palindrome product — position-sensitive,
+    so it proves ORDER, not just multiset, equality). The oracle
+    computes the same four quantities with window arithmetic and a
+    rank-reversal self-join. Integer-only lambdas; the array comes off
+    a groupBy output so no Catalyst lambda re-evaluation of an
+    expensive subplan (the HOF inlining trap) can occur."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.select("event_type", (F.col("user_id") % 50).alias("x"),
+                  "event_id")
+    arrs = (b.groupBy("event_type")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("x", "event_id"))).alias("ps"))
+            .select("event_type",
+                    F.expr("transform(ps, p -> p.x)").alias("arr")))
+    return arrs.select(
+        "event_type",
+        F.size("arr").cast("long").alias("n"),
+        F.expr("aggregate(arr, 0L, (acc, v) -> acc + v)")
+         .alias("agg_sum"),
+        F.size(F.expr("filter(arr, v -> v % 2 = 0)")).cast("long")
+         .alias("n_even"),
+        F.expr("aggregate(transform(arr, v -> v * v), 0L, "
+               "(acc, v) -> acc + v)").alias("sq_sum"),
+        F.expr("aggregate(zip_with(arr, reverse(arr), (a, c) -> a * c),"
+               " 0L, (acc, v) -> acc + v)").alias("pal_sum"))
+
+
 @register("hive_partition_prune", """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

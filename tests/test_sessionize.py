@@ -115,3 +115,27 @@ def test_interval_join_rejects_right_and_full(spark):
         with _pytest.raises(ValueError):
             interval_join_bucketed(pts, ivl, ["grp"], "ts", "s", "e",
                                    bucket_ms=500, how=how)
+
+
+def test_merge_intervals_containment_and_touching(spark):
+    from spanner_data_validator_spark.operators.sessionize import (
+        merge_intervals,
+    )
+    from pyspark.sql import functions as F
+    rows = [
+        # containment: [0,100] swallows [10,20]; [30,40] inside too;
+        # then [100,110] touches (start == running max) -> same island
+        ("u", 0, 100), ("u", 10, 20), ("u", 30, 40), ("u", 100, 110),
+        ("u", 200, 250),              # gap -> new island
+        ("v", 5, 6),                  # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {(r.k, r.island_id): (r.island_start, r.island_end,
+                                r.n_intervals)
+           for r in merge_intervals(df, "k", F.col("s"),
+                                    F.col("e")).collect()}
+    assert got == {
+        ("u", 1): (0, 110, 4),
+        ("u", 2): (200, 250, 1),
+        ("v", 1): (5, 6, 1),
+    }

@@ -224,3 +224,27 @@ def test_mann_whitney_matches_pair_counting(spark, a, b):
     assert r.two_u1 == two_u1
     assert r.two_u2 == 2 * len(a) * len(b) - two_u1
     assert r.auc == two_u1 / (2 * len(a) * len(b))
+
+
+@given(grouped_series(min_len=1, max_len=16, lo=0, hi=100))
+@settings(max_examples=10, deadline=None)
+def test_gini_matches_pairwise_definition(spark, cases):
+    from spanner_data_validator_spark.operators.stats import (
+        gini_coefficient,
+    )
+    rows = [(g, v) for g, xs in cases.items() for v in xs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in gini_coefficient(
+        df, "g", F.col("v")).collect()}
+    for g, xs in cases.items():
+        n, tot = len(xs), sum(xs)
+        num = sum((2 * i - n - 1) * v
+                  for i, v in enumerate(sorted(xs), start=1))
+        # rank identity: 2*num == sum over all ORDERED pairs |xi - xj|
+        assert 2 * num == sum(abs(a - b) for a in xs for b in xs)
+        r = out[g]
+        assert (r.n, r.total_units, r.gini_num) == (n, tot, num)
+        if tot > 0:
+            assert r.gini == num / (n * tot)
+        else:
+            assert r.gini is None or math.isnan(r.gini)
