@@ -8415,7 +8415,10 @@ def q_three_way_vote(spark, sf_dir):
         classify_three_way,
     )
 
-    src = events_source(spark, sf_dir)
+    # src fans out into 5 synth branches (itself + 2 per derived
+    # replica) — pin it or each branch re-scans events (multi-branch
+    # rescan trap; real deployments read 3 distinct tables instead)
+    src = events_source(spark, sf_dir).localCheckpoint(eager=True)
     tgt = events_target(src)
     kept = src.where(F.col("key") % 50 != 3)
     mutated = kept.withColumn(
