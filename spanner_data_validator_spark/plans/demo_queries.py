@@ -9050,6 +9050,49 @@ def q_hof_array_parity(spark, sf_dir):
                " 0L, (acc, v) -> acc + v)").alias("pal_sum"))
 
 
+@register("longest_daily_streak", """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS anchor
+  FROM d
+),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS streak
+  FROM r GROUP BY user_id, anchor
+),
+m AS (SELECT user_id, max(streak) AS best FROM s GROUP BY user_id)
+SELECT CAST(best AS BIGINT) AS streak_days,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(user_id) AS BIGINT) AS min_user
+FROM m GROUP BY best
+""")
+def q_longest_daily_streak(spark, sf_dir):
+    """Longest consecutive-active-day streak per user, reported as a
+    streak-length histogram — integer gaps-and-islands via the anchor
+    trick (day - dense row number is CONSTANT along a consecutive run,
+    so one group-by closes every island; no iterative pass, no
+    interval merge needed when the domain is integer days). Two
+    user-keyed exchanges total; the distinct collapses event rows to
+    user-days map-side first."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    d = ev.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("anchor",
+                     F.col("day") - F.row_number().over(w))
+    s = (r.groupBy("user_id", "anchor")
+         .agg(F.count(F.lit(1)).alias("streak")))
+    m = s.groupBy("user_id").agg(F.max("streak").alias("best"))
+    return (m.groupBy(F.col("best").alias("streak_days"))
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.min("user_id").alias("min_user")))
+
+
 @register("hive_partition_prune", """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
