@@ -755,3 +755,56 @@ def test_watermark_drop_accounting(spark, tmp_path):
                F.col("w.start") < "2099-01-01").collect()}
     # hour 0 excluded its late row; hour 1 absorbed its late row (filter lag)
     assert got == {0: 3, 1: 6, 2: 6, 3: 2}
+
+
+def test_merge_semantics_double_apply_converges_duckdb():
+    """The sandbox DuckDB (1.0) has no MERGE keyword, so the sink's
+    idempotent-upsert SEMANTICS are executed instead of the statement:
+    the join keys are parsed back out of build_merge_sql's own ON
+    clause (tying the test to the generated statement, not a parallel
+    spec) and applied as the canonical MERGE rewrite — UPDATE..FROM on
+    null-safe key match, INSERT..anti-join for the rest. Applying the
+    same micro-batch twice must be a fixed point (crash-replay safety),
+    and a second batch must update matched keys and insert new ones
+    (VERDICT r3 item 9)."""
+    import duckdb
+    import re
+    from spanner_data_validator_spark.streaming.sink import build_merge_sql
+
+    sql = build_merge_sql("report", "batch", ["k1", "k2"])
+    on = sql.split(" ON ", 1)[1].split(" WHEN ", 1)[0]
+    keys = re.findall(r"t\.(\w+) <=> s\.\1", on)
+    assert keys == ["k1", "k2"]
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE report (k1 INT, k2 INT, n INT)")
+
+    def apply(batch_rows):
+        con.sql("CREATE OR REPLACE TABLE batch (k1 INT, k2 INT, n INT)")
+        con.executemany("INSERT INTO batch VALUES (?, ?, ?)", batch_rows)
+        match = " AND ".join(
+            f"report.{k} IS NOT DISTINCT FROM batch.{k}" for k in keys)
+        con.sql(f"UPDATE report SET n = batch.n FROM batch WHERE {match}")
+        anti = " AND ".join(
+            f"report.{k} IS NOT DISTINCT FROM batch.{k}" for k in keys)
+        con.sql(f"INSERT INTO report SELECT * FROM batch WHERE NOT EXISTS "
+                f"(SELECT 1 FROM report WHERE {anti})")
+
+    def canon(rows):
+        return sorted(map(tuple, rows),
+                      key=lambda r: tuple((x is None, x) for x in r))
+
+    def state():
+        return canon(con.sql("SELECT * FROM report").fetchall())
+
+    b1 = [(1, 1, 10), (1, None, 11), (2, 2, 20)]  # NULL key: null-safe path
+    apply(b1)
+    first = state()
+    assert first == canon(b1)
+    apply(b1)                      # crash-replay of the same batch
+    assert state() == first       # fixed point: no dup rows, no change
+    apply([(1, 1, 99), (3, 3, 30)])
+    assert state() == canon(
+        [(1, 1, 99), (1, None, 11), (2, 2, 20), (3, 3, 30)])
