@@ -633,8 +633,13 @@ def mann_whitney_u(df: DataFrame, value: Column, is_a: Column,
         "n_a", "n_b", "two_r1", two_u1.alias("two_u1"),
         (F.lit(2) * F.col("n_a") * F.col("n_b") - two_u1)
         .alias("two_u2"),
-        (two_u1.cast("double")
-         / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double"))
+        # empty side: U is defined (0) but the effect size is not —
+        # NULL, not an ANSI divide-by-zero
+        F.when(F.col("n_a") * F.col("n_b") == 0,
+               F.lit(None).cast("double"))
+         .otherwise(two_u1.cast("double")
+                    / (F.lit(2) * F.col("n_a") * F.col("n_b"))
+                    .cast("double"))
         .alias("auc"))
 
 
