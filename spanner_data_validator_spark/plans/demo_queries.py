@@ -4359,8 +4359,11 @@ def q_corpus_set_diff(spark, sf_dir):
     the fingerprint classify, declared in two lines. The row-granular
     classify (validate_*) stays the tool when you need WHICH rows; this is
     the two-line summary when you need HOW MANY."""
+    # docs fans out into 5 branches (src x3 set ops + 2 tgt synth arms)
+    # — pin it or each branch re-scans the text corpus (plan_audit
+    # caught 9 scans; multi-branch rescan trap)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-                     .select("doc_id", "text")
+                     .select("doc_id", "text").localCheckpoint(eager=True)
     src = docs
     tgt = (docs.where(F.col("doc_id") % 11 != 3)
                .unionByName(docs.where(F.col("doc_id") % 11 == 7)
