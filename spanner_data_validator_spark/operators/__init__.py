@@ -109,3 +109,31 @@ from spanner_data_validator_spark.operators.diff import (  # noqa: F401
     column_diff,
     column_drift_summary,
 )
+from spanner_data_validator_spark.operators.basket import (  # noqa: F401
+    basket_arrays,
+    pair_lift,
+)
+from spanner_data_validator_spark.operators.comparator import (  # noqa: F401
+    classify_three_way,
+)
+from spanner_data_validator_spark.operators.graph import (  # noqa: F401
+    hop_distance,
+)
+from spanner_data_validator_spark.operators.layout import (  # noqa: F401
+    distributed_ntile,
+    global_row_number,
+)
+from spanner_data_validator_spark.operators.sessionize import (  # noqa: F401
+    merge_intervals,
+)
+from spanner_data_validator_spark.operators.spatial import (  # noqa: F401
+    grid_neighbor_pairs,
+)
+from spanner_data_validator_spark.operators.stats import (  # noqa: F401
+    cusum_changepoint,
+    gini_coefficient,
+    mann_whitney_u,
+    theil_sen_trend,
+    time_weighted_mean,
+    trimmed_mean,
+)
