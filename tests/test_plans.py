@@ -158,3 +158,25 @@ def test_ks_prefix_sum_reads_input_once(spark):
     # checkpoint (ExistingRDD), never the original input again
     assert "ExistingRDD" in plan
     assert "LocalTableScan" not in plan.replace("LocalTableScanExec", "")
+
+
+def _final_plan_scans(df) -> int:
+    import re
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in p:  # AQE echoes the pre-adaptive plan
+        p = p.split("== Initial Plan ==")[0]
+    return len(re.findall(r"FileScan parquet", p))
+
+
+def test_multibranch_queries_scan_input_once(spark):
+    """Regression lock for the r4 plan-audit catches: queries whose
+    synthesized sides fan out into several branches must pin the scan
+    (Catalyst does not reuse exchanges across aliased branches)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    assert _final_plan_scans(qs["three_way_vote"](spark, sf)) == 0
+    assert _final_plan_scans(qs["corpus_set_diff"](spark, sf)) == 0
+    assert _final_plan_scans(qs["basket_pair_lift"](spark, sf)) == 0
