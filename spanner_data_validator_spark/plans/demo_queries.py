@@ -9096,6 +9096,59 @@ def q_longest_daily_streak(spark, sf_dir):
                  F.min("user_id").alias("min_user")))
 
 
+@register("lateral_topn_parity", """
+WITH t AS (
+  SELECT c.c_mktsegment, l.o_orderkey, l.cents
+  FROM customer c, LATERAL (
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
+    FROM orders
+    WHERE orders.o_custkey = c.c_custkey
+    ORDER BY cents DESC, o_orderkey
+    LIMIT 2
+  ) l
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_top_orders,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(max(cents) AS BIGINT) AS cents_max,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM t GROUP BY c_mktsegment
+""")
+def q_lateral_topn_parity(spark, sf_dir):
+    """Correlated LATERAL join parity: each customer's top-2 orders by
+    exact cents (deterministic (cents desc, key) order inside the
+    lateral subquery), rolled up per market segment. Spark plans the
+    correlated LIMIT as a per-key rank under a LateralJoin —
+    semantically the window top-n, declared relationally; DuckDB runs
+    the same SQL shape. The checksum column pins WHICH orders were
+    picked, not just how many."""
+    spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .createOrReplaceTempView("sdv_lat_customer")
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("sdv_lat_orders")
+    return spark.sql("""
+      WITH t AS (
+        SELECT c.c_mktsegment, l.o_orderkey, l.cents
+        FROM sdv_lat_customer c JOIN LATERAL (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS cents
+          FROM sdv_lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY cents DESC, o_orderkey
+          LIMIT 2
+        ) l
+      )
+      SELECT c_mktsegment,
+             count(*) AS n_top_orders,
+             sum(cents) AS cents_sum,
+             max(cents) AS cents_max,
+             sum(o_orderkey) AS key_checksum
+      FROM t GROUP BY c_mktsegment
+    """)
+
+
 @register("hive_partition_prune", """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
