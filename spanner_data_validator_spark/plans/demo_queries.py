@@ -9454,3 +9454,158 @@ def q_mode_props_by_type(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return deterministic_mode(ev, "event_type", F.col("props"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-5: remaining SQL surfaces — multi-dimensional grouping,
+# value-range window frames, ANSI percentile family
+# ---------------------------------------------------------------------------
+
+@register("cube_grouping_audit", """
+SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT))
+            AS BIGINT) AS cents_sum
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_cube_grouping_audit(spark, sf_dir):
+    """Multi-dimensional aggregation parity: CUBE(status, priority) with
+    GROUPING() markers distinguishing subtotal NULLs from data NULLs —
+    the reconciliation shape for validating a migrated reporting cube at
+    every margin in one pass. One Expand + one hash aggregate: the cube
+    costs one shuffle regardless of how many margins it emits, vs four
+    separate GROUP BYs (and at 100 TB the Expand's 4x row inflation is
+    map-side, collapsing into partial aggregates before the exchange).
+    Spark and DuckDB agree on grouping() bit values (probed: 0=data row,
+    1=subtotal, listed-column order)."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (od.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(cents).alias("cents_sum"))
+            .select("g_status", "g_prio", "o_orderstatus", "o_orderpriority",
+                    "n", "cents_sum"))
+
+
+@register("grouping_sets_custom_audit", """
+SELECT CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""")
+def q_grouping_sets_custom_audit(spark, sf_dir):
+    """GROUPING SETS with a non-cube set list ((status), (priority)) via
+    the Spark 4 DataFrame `groupingSets` API — two independent rollup
+    margins in ONE scan + ONE aggregate instead of a UNION ALL of two
+    GROUP BYs (which would scan the fact table twice at 100 TB)."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (od.groupingSets([["o_orderstatus"], ["o_orderpriority"]],
+                            "o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.min("o_orderkey").alias("first_key"))
+            .select("g_status", "g_prio", "o_orderstatus", "o_orderpriority",
+                    "n", "first_key"))
+
+
+@register("range_frame_hourly_rate", """
+WITH w AS (
+  SELECT event_type,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           AS wcnt,
+         sum(CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           AS wcents
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(wcnt) AS BIGINT) AS max_hour_cnt,
+       CAST(sum(wcnt) AS BIGINT) AS sum_hour_cnt,
+       CAST(max(wcents) AS BIGINT) AS max_hour_cents,
+       CAST(sum(wcents) AS BIGINT) AS sum_hour_cents
+FROM w GROUP BY event_type
+""")
+def q_range_frame_hourly_rate(spark, sf_dir):
+    """Value-range window frames (RANGE BETWEEN <interval> PRECEDING):
+    per user, the trailing-hour event count and cents volume at every
+    event — the burst/rate-limit signal a row-fingerprint validator
+    can't see. The frame is defined on unix_micros(ts) VALUES, so peers
+    (equal timestamps) are included deterministically in both engines
+    regardless of intra-peer order — this is the order-stable way to
+    window by time, where a ROWS frame would be tie-ambiguous.
+    Partitioned by user_id (high cardinality — scales; no global sort),
+    summarized per event_type in exact BIGINTs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    # ts is TIMESTAMP_NTZ (unix_micros rejects NTZ); timestampdiff from the
+    # NTZ epoch is tz-free and equals DuckDB's epoch_us exactly.
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    w = (Window.partitionBy("user_id").orderBy(micros)
+         .rangeBetween(-3600_000_000, Window.currentRow))
+    t = ev.select("event_type",
+                  F.count(F.lit(1)).over(w).alias("wcnt"),
+                  F.sum(cents).over(w).alias("wcents"))
+    return (t.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.max("wcnt").alias("max_hour_cnt"),
+                 F.sum("wcnt").alias("sum_hour_cnt"),
+                 F.max("wcents").alias("max_hour_cents"),
+                 F.sum("wcents").alias("sum_hour_cents")))
+
+
+@register("percentile_family_by_type", """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(percentile_cont(CAST(0.25 AS DOUBLE)) WITHIN GROUP (ORDER BY cents)
+            AS DOUBLE) AS pc25,
+       CAST(percentile_cont(CAST(0.5 AS DOUBLE)) WITHIN GROUP (ORDER BY cents)
+            AS DOUBLE) AS pc50,
+       CAST(percentile_disc(CAST(0.25 AS DOUBLE)) WITHIN GROUP (ORDER BY cents)
+            AS BIGINT) AS pd25,
+       CAST(percentile_disc(CAST(0.75 AS DOUBLE)) WITHIN GROUP (ORDER BY cents)
+            AS BIGINT) AS pd75
+FROM c GROUP BY event_type
+""")
+def q_percentile_family_by_type(spark, sf_dir):
+    """ANSI percentile family parity per group: percentile_cont (linear
+    interpolation at index p*(n-1) — probed identical in both engines)
+    and percentile_disc (first value at cume_dist >= p). Interpolation
+    runs on integer cents, so every intermediate (frac k/4 times an
+    integer diff) is exact in double — no representability drift (the
+    r3 quantiles_by_rank lesson). disc results are integers by
+    construction and CAST to BIGINT on both sides (Spark returns them
+    as DOUBLE, which would canon-mismatch DuckDB's exact int)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    t = ev.select("event_type", cents.alias("cents"))
+    t.createOrReplaceTempView("_pctl_cents")
+    return spark.sql("""
+      SELECT event_type,
+             count(*) AS n,
+             CAST(percentile_cont(CAST(0.25 AS DOUBLE))
+                  WITHIN GROUP (ORDER BY cents) AS DOUBLE) AS pc25,
+             CAST(percentile_cont(CAST(0.5 AS DOUBLE))
+                  WITHIN GROUP (ORDER BY cents) AS DOUBLE) AS pc50,
+             CAST(percentile_disc(CAST(0.25 AS DOUBLE))
+                  WITHIN GROUP (ORDER BY cents) AS BIGINT) AS pd25,
+             CAST(percentile_disc(CAST(0.75 AS DOUBLE))
+                  WITHIN GROUP (ORDER BY cents) AS BIGINT) AS pd75
+      FROM _pctl_cents GROUP BY event_type
+    """)
