@@ -213,3 +213,46 @@ def hop_distance(edges: DataFrame, seeds: DataFrame, *,
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def bellman_ford(edges: DataFrame, seeds: DataFrame, *,
+                 rounds: int, undirected: bool = True) -> DataFrame:
+    """Weighted shortest paths: (node, dist) = min total weight over paths
+    of <= ``rounds`` edges from any seed, integer weights.
+
+    Bellman-Ford as a DataFrame loop — per round, relax every edge once:
+    candidates = dist JOIN edges ON node = src -> (dst, dist + w), then
+    dist' = min per node over (dist UNION candidates). All arithmetic is
+    BIGINT, so the result is order-independent and engine-exact (the
+    fixed-point discipline in this module's header). Lineage is truncated
+    per round. Unlike BFS (hop_distance), a node's distance can IMPROVE
+    in later rounds, so the min-aggregation per round is essential.
+
+    Scale: each round is one equi-join keyed by node + one hash agg —
+    shuffle volume is O(|frontier| + |E|) per round; at 100 TB the edge
+    table is persisted/bucketed by src across rounds. Parallel edges are
+    fine (min absorbs them); negative weights are fine within the round
+    bound (no cycles materialize — paths are bounded at ``rounds`` edges).
+
+    Cross-engine parity: equals a WITH RECURSIVE path enumeration with a
+    ``d < rounds`` guard and UNION-distinct on (node, cost, d), min(cost)
+    per node (see the ``shortest_path_weighted`` oracle).
+    """
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    if undirected:
+        e = e.union(edges.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"),
+                                 F.col("w").cast("long").alias("w")))
+    e = (e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .localCheckpoint(eager=True))
+
+    dist = (seeds.select("node", F.lit(0).cast("long").alias("dist"))
+            .distinct().localCheckpoint(eager=True))
+    for _ in range(rounds):
+        relaxed = (dist.join(e, dist["node"] == e["src"])
+                   .select(e["dst"].alias("node"),
+                           (dist["dist"] + e["w"]).alias("dist")))
+        dist = (dist.union(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+    return dist

@@ -9609,3 +9609,133 @@ def q_percentile_family_by_type(spark, sf_dir):
                   WITHIN GROUP (ORDER BY cents) AS BIGINT) AS pd75
       FROM _pctl_cents GROUP BY event_type
     """)
+
+
+@register("shortest_path_weighted", """
+WITH RECURSIVE e0 AS (
+  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         CAST(min(l_quantity) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+e AS (SELECT src, dst, w FROM e0
+      UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+seeds AS (
+  SELECT DISTINCT l_partkey * 2 AS node FROM lineitem
+  WHERE l_partkey % 997 = 0
+),
+p AS (
+  SELECT node, CAST(0 AS BIGINT) AS cost, 0 AS d FROM seeds
+  UNION
+  SELECT e.dst AS node, p.cost + e.w AS cost, p.d + 1 AS d
+  FROM p JOIN e ON p.node = e.src WHERE p.d < 4
+),
+sp AS (SELECT node, min(cost) AS dist FROM p GROUP BY node)
+SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS node_sum,
+       CAST(min(node) AS BIGINT) AS node_min,
+       CAST(max(node) AS BIGINT) AS node_max
+FROM sp GROUP BY dist ORDER BY dist
+""")
+def q_shortest_path_weighted(spark, sf_dir):
+    """Weighted shortest paths (operators/graph.bellman_ford) over the
+    part-supplier bipartite graph, edge weight = min lineitem quantity
+    on the link, seeded at l_partkey % 997 == 0, 4 relaxation rounds.
+    Per round: one equi-join + one BIGINT min-aggregate, lineage
+    truncated — distances can improve in later rounds (unlike BFS), so
+    the per-round min is the load-bearing step. The oracle enumerates
+    all <=4-edge path costs in a WITH RECURSIVE with UNION-distinct on
+    (node, cost, d) and takes min(cost) — the recursive surface Spark
+    lacks, re-expressed as the bounded iterative loop. Summarized per
+    distance value (count/sum/min/max of node ids)."""
+    from spanner_data_validator_spark.operators.graph import bellman_ford
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_partkey") * 2).alias("src"),
+                      (F.col("l_suppkey") * 2 + 1).alias("dst"),
+                      F.col("l_quantity").cast("long").alias("w"))
+    seeds = (li.where(F.col("l_partkey") % 997 == 0)
+             .select((F.col("l_partkey") * 2).alias("node")))
+    sp = bellman_ford(edges, seeds, rounds=4, undirected=True)
+    return (sp.groupBy("dist")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum("node").alias("node_sum"),
+                 F.min("node").alias("node_min"),
+                 F.max("node").alias("node_max"))
+            .orderBy("dist"))
+
+
+@register("pareto_front_parts", """
+WITH c AS (
+  SELECT CAST(p_size AS BIGINT) AS x,
+         CAST(floor(p_retailprice * 1.0e2 + 5.0e-1) AS BIGINT) AS y
+  FROM part
+),
+sky AS (
+  SELECT x, y FROM c c1 WHERE NOT EXISTS (
+    SELECT 1 FROM c c2
+    WHERE c2.x <= c1.x AND c2.y <= c1.y AND (c2.x < c1.x OR c2.y < c1.y)
+  )
+)
+SELECT x, y, CAST(count(*) AS BIGINT) AS n_points
+FROM sky GROUP BY x, y
+""")
+def q_pareto_front_parts(spark, sf_dir):
+    """Skyline / Pareto frontier (operators/skyline.pareto_frontier):
+    parts minimizing (p_size, price-cents) jointly — the non-dominated
+    set. Spark runs the two-phase distributed plan (hash-agg point
+    collapse + per-x min window, then a <=|distinct x|-row prefix-min
+    sweep); the oracle is the textbook quadratic NOT-EXISTS dominance
+    self-join, viable only at oracle scale — exactly the plan shape the
+    distributed rewrite exists to avoid."""
+    from spanner_data_validator_spark.operators.skyline import (
+        pareto_frontier,
+    )
+
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return pareto_frontier(
+        pt, F.col("p_size").cast("long"),
+        F.round(F.col("p_retailprice") * 100).cast("long"))
+
+
+@register("bom_rollup_parts", """
+WITH RECURSIVE n AS (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey >= 8 THEN p_partkey // 8 END AS parent,
+         CAST(p_partkey % 5 + 1 AS BIGINT) AS qty
+  FROM part
+),
+r AS (
+  SELECT node, node AS root, CAST(1 AS BIGINT) AS prod
+  FROM n WHERE parent IS NULL
+  UNION ALL
+  SELECT n.node, r.root, r.prod * n.qty FROM r JOIN n ON n.parent = r.node
+),
+pl AS (SELECT DISTINCT parent FROM n WHERE parent IS NOT NULL),
+lf AS (SELECT r.root, r.prod FROM r
+       WHERE NOT EXISTS (SELECT 1 FROM pl WHERE pl.parent = r.node))
+SELECT r.root, CAST(count(*) AS BIGINT) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM lf WHERE lf.root = r.root)
+         AS n_leaves,
+       (SELECT CAST(sum(prod) AS BIGINT) FROM lf WHERE lf.root = r.root)
+         AS leaf_qty_sum
+FROM r GROUP BY r.root
+""")
+def q_bom_rollup_parts(spark, sf_dir):
+    """Bill-of-materials rollup (operators/hierarchy.bom_rollup) over a
+    deterministic forest on part ids (parent = node div 8, roots < 8,
+    edge qty = node % 5 + 1): per root assembly, the node count, leaf
+    count, and total leaf units required (sum over leaves of the
+    multiplier PRODUCT along the root path — BIGINT-exact). Spark
+    resolves root paths by POINTER DOUBLING (ceil(log2 depth)+1
+    self-joins, lineage truncated) instead of the depth-many dependent
+    joins of the oracle's recursive CTE; dangling parents would drop
+    their subtree in both engines (none here — ids are contiguous)."""
+    from spanner_data_validator_spark.operators.hierarchy import bom_rollup
+
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    nodes = pt.select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") >= 8,
+               F.expr("p_partkey div 8")).alias("parent"),
+        (F.col("p_partkey") % 5 + 1).alias("qty"))
+    return bom_rollup(nodes, max_depth=8)
