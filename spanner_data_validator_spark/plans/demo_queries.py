@@ -9739,3 +9739,54 @@ def q_bom_rollup_parts(spark, sf_dir):
                F.expr("p_partkey div 8")).alias("parent"),
         (F.col("p_partkey") % 5 + 1).alias("qty"))
     return bom_rollup(nodes, max_depth=8)
+
+
+@register("state_store_inspect", """
+WITH dk AS (
+  SELECT DISTINCT event_type, user_id FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_state_keys,
+       CAST(min(user_id) AS BIGINT) AS user_min,
+       CAST(max(user_id) AS BIGINT) AS user_max,
+       CAST(sum(user_id) AS BIGINT) AS user_sum
+FROM dk GROUP BY event_type
+""")
+def q_state_store_inspect(spark, sf_dir):
+    """State-store introspection (streaming/state_inspect.read_state,
+    Spark 4 `statestore` reader): run a REAL streaming dropDuplicates
+    over the events table (two micro-batches), then read the query's
+    OWN checkpoint state back as a batch DataFrame and validate it
+    against the law the operator promises — dedup state holds exactly
+    the distinct (event_type, user_id) keys of the input. State is
+    data: the same oracle machinery that validates rows validates the
+    engine's internal state. The reader parallelizes per state-store
+    partition; nothing touches the (stopped) query."""
+    import tempfile
+
+    from spanner_data_validator_spark.streaming.state_inspect import (
+        read_state,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_type", "user_id"))
+    work = tempfile.mkdtemp(prefix="sdv_q_state_inspect_")
+    in_dir = f"{work}/in"
+    ev.repartition(2).write.parquet(in_dir)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream.dropDuplicates(["event_type", "user_id"])
+         .writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    st = read_state(spark, f"{work}/ckpt")
+    return (st.select(F.col("key.event_type").alias("event_type"),
+                      F.col("key.user_id").alias("user_id"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_state_keys"),
+                 F.min("user_id").alias("user_min"),
+                 F.max("user_id").alias("user_max"),
+                 F.sum("user_id").alias("user_sum")))
