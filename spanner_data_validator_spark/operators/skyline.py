@@ -34,6 +34,13 @@ def pareto_frontier(df: DataFrame, x: Column, y: Column) -> DataFrame:
     """Skyline of ``df`` minimizing (x, y); returns (x, y, n_points)."""
     pts = (df.select(x.alias("x"), y.alias("y"))
            .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_points")))
+    return sweep_collapsed(pts)
+
+
+def sweep_collapsed(pts: DataFrame) -> DataFrame:
+    """Skyline of already-collapsed (x, y, n_points) rows — multiplicity
+    rides through unchanged (the streaming frontier sink merges counted
+    frontiers and re-sweeps here)."""
     per_x = Window.partitionBy("x")
     survivors = (pts.withColumn("y_min", F.min("y").over(per_x))
                  .where(F.col("y") == F.col("y_min"))

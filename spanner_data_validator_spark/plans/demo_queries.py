@@ -9790,3 +9790,51 @@ def q_state_store_inspect(spark, sf_dir):
                  F.min("user_id").alias("user_min"),
                  F.max("user_id").alias("user_max"),
                  F.sum("user_id").alias("user_sum")))
+
+
+@register("stream_pareto_frontier", """
+WITH c AS (
+  SELECT CAST(p_size AS BIGINT) AS x,
+         CAST(floor(p_retailprice * 1.0e2 + 5.0e-1) AS BIGINT) AS y
+  FROM part
+),
+sky AS (
+  SELECT x, y FROM c c1 WHERE NOT EXISTS (
+    SELECT 1 FROM c c2
+    WHERE c2.x <= c1.x AND c2.y <= c1.y AND (c2.x < c1.x OR c2.y < c1.y)
+  )
+)
+SELECT x, y, CAST(count(*) AS BIGINT) AS n_points
+FROM sky GROUP BY x, y
+""")
+def q_stream_pareto_frontier(spark, sf_dir):
+    """Streaming skyline maintenance (streaming/frontier_sink): parts
+    arrive in three micro-batches; each batch folds its local skyline
+    into the stored running frontier (skyline is a mergeable monotone
+    summary — skyline(A∪B) = skyline(skyline(A)∪skyline(B)), so no
+    watermark or per-key state is needed and the stored object is
+    frontier-sized, never corpus-sized). Exactly-once by the
+    chain-of-immutable-versions fencing; the oracle is the batch skyline
+    of ALL input — which the monotone merge must equal exactly,
+    multiplicities included."""
+    import tempfile
+
+    from spanner_data_validator_spark.streaming.frontier_sink import (
+        FrontierMaintenanceSink,
+    )
+
+    pt = (spark.read.parquet(f"{sf_dir}/part.parquet")
+          .select(F.col("p_size").cast("long").alias("x"),
+                  F.round(F.col("p_retailprice") * 100).cast("long")
+                  .alias("y")))
+    work = tempfile.mkdtemp(prefix="sdv_q_stream_pareto_")
+    pt.repartition(3).write.parquet(f"{work}/in")
+
+    stream = (spark.readStream.schema(pt.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{work}/in"))
+    sink = FrontierMaintenanceSink(spark, f"{work}/frontier", "x", "y")
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", f"{work}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return sink.latest()

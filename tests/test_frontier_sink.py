@@ -1,0 +1,64 @@
+"""Streaming Pareto-frontier maintenance (streaming/frontier_sink)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.operators.skyline import pareto_frontier
+from spanner_data_validator_spark.streaming.frontier_sink import (
+    FrontierMaintenanceSink,
+)
+
+
+def _pts(spark, pts):
+    return spark.createDataFrame(pts, "x long, y long")
+
+
+def _frontier(sink):
+    return {(r["x"], r["y"], r["n_points"]) for r in sink.latest().collect()}
+
+
+def test_incremental_merge_equals_batch_skyline(spark, tmp_path):
+    waves = [
+        [(5, 5), (6, 9), (5, 5)],          # initial frontier {(5,5) x2}
+        [(3, 8), (5, 7), (9, 1)],          # (5,7) dominated on arrival
+        [(1, 9), (3, 6), (5, 5), (2, 20)], # (3,6) displaces (3,8); +1 dup
+    ]
+    sink = FrontierMaintenanceSink(spark, str(tmp_path / "f"), "x", "y")
+    for i, w in enumerate(waves):
+        sink(_pts(spark, w), i)
+    all_pts = [p for w in waves for p in w]
+    expect = {(r["x"], r["y"], r["n_points"])
+              for r in pareto_frontier(_pts(spark, all_pts),
+                                       F.col("x"), F.col("y")).collect()}
+    assert _frontier(sink) == expect
+    # dominated point never returns: (3,8) gone, (3,6) present
+    assert (3, 6, 1) in _frontier(sink) and not any(
+        p[:2] == (3, 8) for p in _frontier(sink))
+
+
+def test_replay_of_committed_batch_is_noop(spark, tmp_path):
+    sink = FrontierMaintenanceSink(spark, str(tmp_path / "f"), "x", "y")
+    sink(_pts(spark, [(2, 2)]), 0)
+    before = _frontier(sink)
+    sink(_pts(spark, [(2, 2)]), 0)  # engine replays same batch id
+    assert _frontier(sink) == before == {(2, 2, 1)}
+
+
+def test_crash_between_write_and_marker_recomputes_cleanly(spark, tmp_path):
+    sink = FrontierMaintenanceSink(spark, str(tmp_path / "f"), "x", "y")
+    sink(_pts(spark, [(4, 4), (4, 4)]), 0)
+    # simulate a failed attempt of batch 1: data written, marker missing
+    target = sink._path(1)
+    _pts(spark, [(9, 9)]).write.mode("overwrite").parquet(target)
+    assert not sink.is_committed(1)
+    assert _frontier(sink) == {(4, 4, 2)}  # debris invisible (committed id)
+    sink(_pts(spark, [(1, 5)]), 1)  # the replay
+    assert _frontier(sink) == {(4, 4, 2), (1, 5, 1)}
+
+
+def test_empty_batch_carries_frontier_forward(spark, tmp_path):
+    sink = FrontierMaintenanceSink(spark, str(tmp_path / "f"), "x", "y")
+    sink(_pts(spark, [(7, 7)]), 0)
+    sink(_pts(spark, []), 1)
+    assert _frontier(sink) == {(7, 7, 1)}
