@@ -9838,3 +9838,152 @@ def q_stream_pareto_frontier(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return sink.latest()
+
+
+@register("calendar_edge_audit", """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+c AS (
+  SELECT strftime(d, '%Y-%m') AS ym,
+         CAST(d + INTERVAL 1 MONTH AS DATE) AS am,
+         weekofyear(d) AS iso_w,
+         dayofweek(d) + 1 AS dow1,          -- normalize: 1 = Sunday
+         last_day(d) AS ld,
+         CAST(date_trunc('week', d) AS DATE) AS wk,
+         d
+  FROM d
+)
+SELECT ym, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN day(am) < day(d) THEN 1 ELSE 0 END) AS BIGINT)
+         AS clamp_hits,
+       CAST(sum(iso_w) AS BIGINT) AS iso_w_sum,
+       CAST(sum(dow1) AS BIGINT) AS dow_sum,
+       CAST(sum(date_diff('day', d, ld)) AS BIGINT) AS ld_gap_sum,
+       CAST(min(wk) AS DATE) AS wk_min
+FROM c GROUP BY ym
+""")
+def q_calendar_edge_audit(spark, sf_dir):
+    """Calendar-edge parity audit over seven years of order dates
+    (1995-2001, two leap years incl. the century leap 2000): month-end
+    clamping of add_months (day shrinks when the target month is
+    shorter), ISO week numbers (both engines are ISO — week 53 spillover
+    included), day-of-week normalized to 1=Sunday (Spark is 1-based,
+    DuckDB 0-based — the off-by-one a migrated report silently absorbs),
+    last_day gaps, and Monday-start week truncation. Pure column
+    expressions, one scan, one aggregate."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.col("o_orderdate").cast("date")
+    c = od.select(
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.add_months(d, 1).alias("am"),
+        F.weekofyear(d).alias("iso_w"),
+        F.dayofweek(d).alias("dow1"),
+        F.last_day(d).alias("ld"),
+        F.date_trunc("week", d).cast("date").alias("wk"),
+        d.alias("d"))
+    return (c.groupBy("ym")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.dayofmonth("am") < F.dayofmonth("d"), 1)
+                       .otherwise(0)).alias("clamp_hits"),
+                 F.sum("iso_w").alias("iso_w_sum"),
+                 F.sum("dow1").alias("dow_sum"),
+                 F.sum(F.datediff("ld", "d")).alias("ld_gap_sum"),
+                 F.min("wk").alias("wk_min")))
+
+
+@register("decimal_exact_totals", """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
+  FROM lineitem
+),
+dec AS (
+  SELECT l_returnflag,
+         CAST(cents AS DECIMAL(18,4)) * CAST(0.01 AS DECIMAL(6,2)) AS price
+  FROM c
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(price) AS DECIMAL(38,6)) AS price_sum,
+       CAST(sum(price * CAST(1.05 AS DECIMAL(4,2))) AS DECIMAL(38,6))
+         AS taxed_sum,
+       CAST(CAST(sum(CAST(price AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+            // count(*) AS BIGINT) AS avg_microunits
+FROM dec GROUP BY l_returnflag
+""")
+def q_decimal_exact_totals(spark, sf_dir):
+    """Exact-DECIMAL migration totals: prices rebuilt as DECIMAL from
+    integer cents (never a double->decimal cast — that rounds at
+    representability edges), summed and tax-multiplied in decimal
+    arithmetic, which is EXACT and aggregation-order-independent in both
+    engines (unlike double sums). The mean is emitted as floor-divided
+    integer micro-units because decimal AVG is where engines diverge
+    (Spark keeps decimal with scale+4 HALF_UP; DuckDB returns DOUBLE) —
+    the engine-portable form is (sum * 10^6) div n in exact integers.
+    All outputs CAST to a fixed scale so the textual canon matches."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = li.select(
+        "l_returnflag",
+        (cents.cast("decimal(18,4)")
+         * F.lit("0.01").cast("decimal(6,2)")).alias("price"))
+    return (dec.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("price").cast("decimal(38,6)").alias("price_sum"),
+                 F.sum(F.col("price")
+                       * F.lit("1.05").cast("decimal(4,2)"))
+                 .cast("decimal(38,6)").alias("taxed_sum"),
+                 ((F.sum(F.col("price").cast("decimal(38,6)"))
+                   .cast("decimal(38,6)") * 1000000)
+                  .cast("long").alias("_tmp"))
+            ).withColumn(
+                "avg_microunits",
+                F.expr("_tmp div n")).drop("_tmp"))
+
+
+@register("dynamic_partition_overwrite", """
+WITH c AS (
+  SELECT o_orderstatus, o_orderkey,
+         CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)
+           + CASE WHEN o_orderstatus = 'F' THEN 7 ELSE 0 END AS cents
+  FROM orders
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(min(o_orderkey) AS BIGINT) AS key_min
+FROM c GROUP BY o_orderstatus
+""")
+def q_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic): a
+    corrected feed for ONE partition ('F' rows, cents + 7) overwrites
+    only the partitions it contains — untouched statuses keep their
+    original files (the backfill primitive: re-land one day/status
+    without rewriting — or read-locking — the other 10^4 partitions of a
+    100 TB table). In static mode the same write would TRUNCATE the
+    whole table to just 'F'. The oracle is the post-backfill law: every
+    status present, only 'F' rows shifted."""
+    import tempfile
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    work = tempfile.mkdtemp(prefix="sdv_q_dpo_")
+    tbl = f"{work}/t"
+    od.write.partitionBy("o_orderstatus").parquet(tbl)
+
+    fixed = (od.where(F.col("o_orderstatus") == "F")
+             .withColumn("cents", F.col("cents") + 7))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (fixed.write.mode("overwrite")
+         .partitionBy("o_orderstatus").parquet(tbl))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (spark.read.parquet(tbl)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("cents_sum"),
+                 F.min("o_orderkey").alias("key_min")))
