@@ -9987,3 +9987,111 @@ def q_dynamic_partition_overwrite(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("cents").alias("cents_sum"),
                  F.min("o_orderkey").alias("key_min")))
+
+
+@register("stream_semi_join_converted", """
+WITH v AS (
+  SELECT user_id, ts, event_id AS view_id FROM events
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.view_id
+FROM v WHERE EXISTS (
+  SELECT 1 FROM p
+  WHERE p.user_id = v.user_id
+    AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
+)
+""")
+def q_stream_semi_join_converted(spark, sf_dir):
+    """Stream-stream LEFT SEMI join: views that converted to a purchase
+    by the same user within 30 minutes — each view emitted AT MOST ONCE
+    regardless of how many purchases match (the dedup-on-emit the inner
+    interval join can't give without a downstream distinct, which in
+    streaming would need its own state). Same bounded state as the inner
+    variant: O(rate x (watermark + interval)) per side, evicted by
+    watermark; emission is eager on first match, so append mode needs no
+    sentinel flush for matched rows."""
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type")
+    work = tempfile.mkdtemp(prefix="sdv_q_stream_semi_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir))
+    views = (stream.where(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("v_ts"),
+                     F.col("event_id").alias("view_id"))
+             .withWatermark("v_ts", "1 hour"))
+    purchases = (stream.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "1 hour"))
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user")) &
+        (F.col("p_ts") >= F.col("v_ts")) &
+        (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi").select("user_id", "view_id")
+    q = (joined.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/out")
+
+
+@register("k_anonymity_audit", """
+WITH q AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(floor(value / 50.0e0) AS BIGINT) AS value_band,
+         user_id
+  FROM events
+),
+g AS (
+  SELECT event_type, day, value_band,
+         CAST(count(*) AS BIGINT) AS grp_n,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS grp_users
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(grp_n) AS BIGINT) AS k_anonymity,
+       CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_5,
+       CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS rows_below_5,
+       CAST(min(grp_users) AS BIGINT) AS min_distinct_users
+FROM g
+""")
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit before a data release: equivalence classes over
+    the quasi-identifier tuple (event_type, day, 50-unit value band) —
+    the dataset's k IS the smallest class, and every class below the
+    k=5 policy threshold is a re-identification surface (its rows are
+    pinpointable by attributes a released dataset keeps). One scan, one
+    hash aggregate over the QI tuple, one scalar rollup; at 100 TB the
+    QI cardinality, not the row count, sizes the shuffle. value banding
+    uses floor(x/50) — the engine-portable binning (CAST truncates in
+    Spark but rounds in DuckDB)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = (ev.select("event_type",
+                   F.date_trunc("day", "ts").cast("date").alias("day"),
+                   F.floor(F.col("value") / 50.0).alias("value_band"),
+                   "user_id")
+         .groupBy("event_type", "day", "value_band")
+         .agg(F.count(F.lit(1)).alias("grp_n"),
+              F.countDistinct("user_id").alias("grp_users")))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("grp_n").alias("k_anonymity"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+         .alias("classes_below_5"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+         .alias("rows_below_5"),
+        F.min("grp_users").alias("min_distinct_users"))

@@ -58,3 +58,47 @@ def state_partition_profile(spark: SparkSession, checkpoint: str, *,
     return (st.groupBy("partition_id")
             .agg(F.count(F.lit(1)).alias("n_keys"))
             .orderBy("partition_id"))
+
+
+def batch_lineage(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Per-batch input lineage from the checkpoint's write-ahead logs:
+    (batch_id, committed, watermark_ms, batch_ts_ms, source_id, files).
+
+    ``offsets/N`` is the planned batch (line 2 carries the planned
+    watermark + wall timestamp, later lines one offset per source),
+    ``commits/N`` marks it durable, and for file sources
+    ``sources/<i>/N`` manifests exactly which input files batch N
+    admitted — the replay contract: a restarted query re-executes any
+    planned-but-uncommitted batch from these same files. This is the
+    per-partition lineage of the north rule as a queryable DataFrame
+    (pure WAL parse; no running query needed).
+    """
+    import json
+    import os
+
+    rows = []
+    odir = os.path.join(checkpoint, "offsets")
+    batch_ids = sorted(int(f) for f in os.listdir(odir)
+                       if not f.startswith(".")) if os.path.isdir(odir) else []
+    for b in batch_ids:
+        with open(os.path.join(odir, str(b))) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        meta = json.loads(lines[1]) if len(lines) > 1 else {}
+        committed = os.path.exists(os.path.join(checkpoint, "commits", str(b)))
+        n_sources = max(1, len(lines) - 2)
+        for src in range(n_sources):
+            manifest = os.path.join(checkpoint, "sources", str(src), str(b))
+            files = []
+            if os.path.exists(manifest):
+                with open(manifest) as mf:
+                    for ln in mf:
+                        ln = ln.strip()
+                        if ln.startswith("{"):
+                            files.append(json.loads(ln)["path"])
+            rows.append((b, committed,
+                         int(meta.get("batchWatermarkMs", 0)),
+                         int(meta.get("batchTimestampMs", 0)),
+                         src, sorted(files)))
+    return spark.createDataFrame(
+        rows, "batch_id int, committed boolean, watermark_ms long, "
+              "batch_ts_ms long, source_id int, files array<string>")

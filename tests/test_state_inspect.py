@@ -105,3 +105,38 @@ def test_windowed_agg_state_eviction_boundary(spark, tmp_path):
     # watermark 10:29 closes the 09:00-10:00 window; 10:00-11:00 resident
     assert emitted == {9}
     assert resident == {10}
+
+
+def test_batch_lineage_manifests_cover_input_exactly_once(spark, tmp_path):
+    """Every input file appears in exactly one batch's manifest; every
+    planned batch is committed after a clean availableNow drain; the
+    planned watermark is monotone."""
+    import os
+
+    work = str(tmp_path / "lin")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 6}:00:00") for i in range(24)],
+        "v long, ts_s string")
+    df.repartition(3).write.parquet(f"{work}/in")
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{work}/in")
+              .withColumn("ts", F.col("ts_s").cast("timestamp"))
+              .withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour")).count())
+    q = (stream.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    from spanner_data_validator_spark.streaming.state_inspect import (
+        batch_lineage,
+    )
+    lin = batch_lineage(spark, f"{work}/ckpt").collect()
+    assert len(lin) == 3 and all(r["committed"] for r in lin)
+    seen = [os.path.basename(p) for r in lin for p in r["files"]]
+    on_disk = sorted(f for f in os.listdir(f"{work}/in")
+                     if f.endswith(".parquet"))
+    assert sorted(seen) == on_disk          # exactly-once admission
+    wms = [r["watermark_ms"] for r in sorted(lin, key=lambda r: r["batch_id"])]
+    assert wms == sorted(wms)               # planned watermark monotone
