@@ -8193,8 +8193,10 @@ def q_hop_distance_levels(spark, sf_dir):
     l_partkey % 997 == 0. Spark runs the frontier-expansion loop (per
     round: frontier-edge equi-join + anti-join of the visited set,
     lineage truncated); the oracle is the same reachability as a
-    WITH RECURSIVE UNION with a d<4 guard — the recursive-CTE surface
-    Spark lacks, re-expressed as a bounded iterative DataFrame loop.
+    WITH RECURSIVE UNION with a d<4 guard, re-expressed as a bounded
+    iterative DataFrame loop (Spark 4.1's native WITH RECURSIVE — see
+    recursive_cte_native — would also run it; the loop keeps explicit
+    per-round lineage truncation for scale).
     Levels are summarized per hop (count/sum/min/max of node ids)."""
     from spanner_data_validator_spark.operators.graph import hop_distance
 
@@ -9644,8 +9646,8 @@ def q_shortest_path_weighted(spark, sf_dir):
     truncated — distances can improve in later rounds (unlike BFS), so
     the per-round min is the load-bearing step. The oracle enumerates
     all <=4-edge path costs in a WITH RECURSIVE with UNION-distinct on
-    (node, cost, d) and takes min(cost) — the recursive surface Spark
-    lacks, re-expressed as the bounded iterative loop. Summarized per
+    (node, cost, d) and takes min(cost); the bounded iterative loop is
+    the scale-tuned equivalent of that recursion. Summarized per
     distance value (count/sum/min/max of node ids)."""
     from spanner_data_validator_spark.operators.graph import bellman_ford
 
@@ -10095,3 +10097,54 @@ def q_k_anonymity_audit(spark, sf_dir):
         F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
          .alias("rows_below_5"),
         F.min("grp_users").alias("min_distinct_users"))
+
+
+_RECURSIVE_BOM_SQL = """
+WITH RECURSIVE n AS (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey >= 8
+              THEN CAST(floor(p_partkey / 8.0e0) AS BIGINT) END AS parent,
+         CAST(p_partkey % 5 + 1 AS BIGINT) AS qty
+  FROM part
+),
+r AS (
+  SELECT node, node AS root, CAST(1 AS BIGINT) AS prod, 0 AS depth
+  FROM n WHERE parent IS NULL
+  UNION ALL
+  SELECT n.node, r.root, r.prod * n.qty AS prod, r.depth + 1 AS depth
+  FROM r JOIN n ON n.parent = r.node
+),
+lf AS (
+  SELECT root, CAST(count(*) AS BIGINT) AS n_leaves,
+         CAST(sum(prod) AS BIGINT) AS leaf_qty_sum
+  FROM r WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.parent = r.node)
+  GROUP BY root
+),
+agg AS (
+  SELECT root, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(max(depth) AS INT) AS max_depth
+  FROM r GROUP BY root
+)
+SELECT agg.root, agg.n_nodes, agg.max_depth,
+       coalesce(lf.n_leaves, 0) AS n_leaves,
+       coalesce(lf.leaf_qty_sum, 0) AS leaf_qty_sum
+FROM agg LEFT JOIN lf ON agg.root = lf.root
+"""
+
+
+@register("recursive_cte_native", _RECURSIVE_BOM_SQL)
+def q_recursive_cte_native(spark, sf_dir):
+    """NATIVE recursive CTE (Spark 4.1 UnionLoop): the BOM rollup
+    executed from the IDENTICAL ``WITH RECURSIVE`` text in both engines
+    — no dialect translation at all (floor-division spelled
+    floor(x/8.0e0) because `div`/`//` differ). Complements
+    ``bom_rollup_parts``: same forest, same answers, but recursion is
+    engine-managed here (per-iteration UnionLoopRef materialization)
+    versus the pointer-doubling loop, which stays the 100 TB path —
+    log2(depth) rounds instead of depth iterations, and each round
+    explicitly checkpointed/bucketable. Depth stats (max_depth) come
+    free from the recursion, which the doubling formulation doesn't
+    track."""
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pt.createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_BOM_SQL)
