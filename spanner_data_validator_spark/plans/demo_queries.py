@@ -10148,3 +10148,72 @@ def q_recursive_cte_native(spark, sf_dir):
     pt = spark.read.parquet(f"{sf_dir}/part.parquet")
     pt.createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_BOM_SQL)
+
+
+@register("pq_quantize_stats", """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(x * 1000 + 0.5e0) AS BIGINT)) AS vi
+  FROM embeddings
+),
+cb AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         list_transform(embedding,
+           x -> CAST(floor(x * 1000 + 0.5e0) AS BIGINT)) AS ci
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 61 = 3 ORDER BY vec_id LIMIT 8)
+),
+ve0 AS (
+  SELECT vec_id, unnest(vi) AS x, generate_subscripts(vi, 1) AS i FROM v
+),
+ve AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS subspace, i, x FROM ve0),
+ce0 AS (
+  SELECT code, unnest(ci) AS x, generate_subscripts(ci, 1) AS i FROM cb
+),
+ce AS (SELECT code, CAST((i - 1) // 16 AS INT) AS subspace, i, x FROM ce0),
+d AS (
+  SELECT ve.vec_id, ve.subspace, ce.code,
+         CAST(sum((ve.x - ce.x) * (ve.x - ce.x)) AS BIGINT) AS err
+  FROM ve JOIN ce ON ve.i = ce.i AND ve.subspace = ce.subspace
+  GROUP BY 1, 2, 3
+),
+a AS (
+  SELECT vec_id, subspace, code, err,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY err, code) AS rn
+  FROM d
+)
+SELECT subspace, code, CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(sum(err) AS BIGINT) AS err_sum,
+       CAST(min(vec_id) AS BIGINT) AS first_vec
+FROM a WHERE rn = 1 GROUP BY subspace, code
+""")
+def q_pq_quantize_stats(spark, sf_dir):
+    """Product quantization (operators/quantize.pq_assign): 64-dim
+    embeddings split into 4 subspaces of 16, each subvector snapped to
+    the nearest of 8 data-derived codes (rows vec_id % 61 = 3 — the
+    IVF-oracle trick: codebooks as data, no literal injection). All
+    elements fixed-point (x1000) BIGINTs, so squared distances, argmin
+    tie-breaks, and error sums are EXACT and engine-identical — the
+    float-sum trap never opens. Spark assigns via broadcast codebook +
+    zip_with/aggregate over array slices (no explode of the corpus);
+    the oracle recomputes by full UNNEST + equi-join, viable only at
+    oracle scale. Output: per (subspace, code) occupancy, exact
+    reconstruction-error sum, first assigned vector."""
+    from spanner_data_validator_spark.operators.quantize import pq_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fx = F.transform("embedding",
+                     lambda x: F.round(x * 1000).cast("long"))
+    vecs = emb.select("vec_id", fx.alias("vi"))
+    from pyspark.sql import Window
+    cb = (emb.where(F.col("vec_id") % 61 == 3)
+          .orderBy("vec_id").limit(8)
+          .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
+                  .cast("int").alias("code"), fx.alias("ci")))
+    assigned = pq_assign(vecs, cb, m=4, sub_dim=16)
+    return (assigned.groupBy("subspace", "code")
+            .agg(F.count(F.lit(1)).alias("n_assigned"),
+                 F.sum("err").alias("err_sum"),
+                 F.min("vec_id").alias("first_vec")))

@@ -182,3 +182,23 @@ def test_bf_random_vs_floyd_warshall(spark):
                                  _seeds(spark, seeds), rounds=rounds,
                                  undirected=True).collect()}
     assert got == expect
+
+
+# --- product quantization -----------------------------------------------
+
+def test_pq_assign_exact_and_tiebreak(spark):
+    from spanner_data_validator_spark.operators.quantize import pq_assign
+
+    # 4-dim vectors, 2 subspaces of 2; codebook: code0=[0,0,0,0],
+    # code1=[10,10,10,10], code2 duplicates code1 (tie -> smaller id)
+    cb = spark.createDataFrame(
+        [(0, [0, 0, 0, 0]), (1, [10, 10, 10, 10]), (2, [10, 10, 10, 10])],
+        "code int, ci array<long>")
+    vecs = spark.createDataFrame(
+        [(100, [0, 0, 10, 10]),   # sub0 -> code0 err 0; sub1 -> code1 err 0
+         (101, [7, 7, 1, 1])],    # sub0 -> code1 (18 vs 98); sub1 -> code0 (2)
+        "vec_id long, vi array<long>")
+    got = {(r["vec_id"], r["subspace"]): (r["code"], r["err"])
+           for r in pq_assign(vecs, cb, m=2, sub_dim=2).collect()}
+    assert got == {(100, 0): (0, 0), (100, 1): (1, 0),
+                   (101, 0): (1, 18), (101, 1): (0, 2)}
