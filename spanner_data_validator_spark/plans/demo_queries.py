@@ -10217,3 +10217,69 @@ def q_pq_quantize_stats(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_assigned"),
                  F.sum("err").alias("err_sum"),
                  F.min("vec_id").alias("first_vec")))
+
+
+@register("stream_left_outer_interval", """
+WITH v AS (
+  SELECT user_id, ts, event_id AS view_id FROM events
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.view_id, p.purchase_id
+FROM v LEFT JOIN p
+  ON v.user_id = p.p_user
+ AND p.p_ts >= v.ts AND p.p_ts < v.ts + INTERVAL 30 MINUTE
+""")
+def q_stream_left_outer_interval(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: every view emits — joined
+    rows eagerly on match, the unmatched ones with NULL purchase_id only
+    once the watermark proves no purchase can still arrive (the outer
+    row's emission is a STATE-EXPIRY event, not a data event). A finite
+    run therefore needs the far-future sentinel on BOTH input filters to
+    push the watermark past the horizon — the same discipline as the
+    flagship full-outer validator (jobs/validate_transcripts); sentinel
+    rows are filtered AFTER the join, never between source and join."""
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "event_type")
+    sent = spark.createDataFrame(
+        [(-1, "2100-01-01 00:00:00", -1, "view"),
+         (-1, "2100-01-01 00:00:00", -2, "purchase")],
+        "user_id long, ts_s string, event_id long, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_id", "event_type")
+    work = tempfile.mkdtemp(prefix="sdv_q_stream_loj_")
+    in_dir = f"{work}/in"
+    ev.repartition(4).write.parquet(in_dir)
+    # the sentinel wave must arrive LAST (event-time-ordered waves)
+    sent.coalesce(1).write.mode("append").parquet(f"{in_dir}/zz_sentinel")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 4).parquet(f"{in_dir}/*"))
+    views = (stream.where(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("v_ts"),
+                     F.col("event_id").alias("view_id"))
+             .withWatermark("v_ts", "1 hour"))
+    purchases = (stream.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("purchase_id"))
+                 .withWatermark("p_ts", "1 hour"))
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user")) &
+        (F.col("p_ts") >= F.col("v_ts")) &
+        (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer").select("user_id", "view_id", "purchase_id")
+    q = (joined.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{work}/out")
+            .where(F.col("view_id") >= 0))  # sentinel filtered post-join
