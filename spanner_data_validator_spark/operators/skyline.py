@@ -31,8 +31,15 @@ from pyspark.sql import functions as F
 
 
 def pareto_frontier(df: DataFrame, x: Column, y: Column) -> DataFrame:
-    """Skyline of ``df`` minimizing (x, y); returns (x, y, n_points)."""
+    """Skyline of ``df`` minimizing (x, y); returns (x, y, n_points).
+
+    Rows with a NULL objective are excluded up front: NULL is
+    incomparable under dominance, and engines disagree on NULL sort
+    placement (Spark NULLS FIRST ascending, DuckDB NULLS LAST), so
+    letting NULLs reach the sweep would be silently engine-dependent.
+    """
     pts = (df.select(x.alias("x"), y.alias("y"))
+           .where(F.col("x").isNotNull() & F.col("y").isNotNull())
            .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_points")))
     return sweep_collapsed(pts)
 

@@ -202,3 +202,12 @@ def test_pq_assign_exact_and_tiebreak(spark):
            for r in pq_assign(vecs, cb, m=2, sub_dim=2).collect()}
     assert got == {(100, 0): (0, 0), (100, 1): (1, 0),
                    (101, 0): (1, 18), (101, 1): (0, 2)}
+
+
+def test_skyline_null_objectives_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (None, 0), (2, None), (2, 3)], "x long, y long")
+    from pyspark.sql import functions as FF
+    got = {(r["x"], r["y"], r["n_points"])
+           for r in pareto_frontier(df, FF.col("x"), FF.col("y")).collect()}
+    assert got == {(1, 5, 1), (2, 3, 1)}
