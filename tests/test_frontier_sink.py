@@ -62,3 +62,22 @@ def test_empty_batch_carries_frontier_forward(spark, tmp_path):
     sink(_pts(spark, [(7, 7)]), 0)
     sink(_pts(spark, []), 1)
     assert _frontier(sink) == {(7, 7, 1)}
+
+
+def test_random_waves_incremental_equals_batch(spark, tmp_path):
+    import random
+
+    rng = random.Random(20260820)
+    for trial in range(2):
+        waves = [[(rng.randrange(6), rng.randrange(6))
+                  for _ in range(rng.randrange(1, 12))]
+                 for _ in range(4)]
+        sink = FrontierMaintenanceSink(
+            spark, str(tmp_path / f"f{trial}"), "x", "y")
+        for i, w in enumerate(waves):
+            sink(_pts(spark, w), i)
+        all_pts = [p for w in waves for p in w]
+        expect = {(r["x"], r["y"], r["n_points"])
+                  for r in pareto_frontier(_pts(spark, all_pts),
+                                           F.col("x"), F.col("y")).collect()}
+        assert _frontier(sink) == expect, (trial, waves)
