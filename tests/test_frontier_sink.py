@@ -81,3 +81,37 @@ def test_random_waves_incremental_equals_batch(spark, tmp_path):
                   for r in pareto_frontier(_pts(spark, all_pts),
                                            F.col("x"), F.col("y")).collect()}
         assert _frontier(sink) == expect, (trial, waves)
+
+
+def test_engine_restart_resumes_version_chain(spark, tmp_path):
+    """Stop a real stream mid-corpus, add a wave, restart on the SAME
+    checkpoint: the sink folds only the new batch onto the committed
+    chain and the final frontier equals the batch skyline of everything."""
+    import os
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    w1 = [(5, 5), (3, 8), (9, 1)]
+    w2 = [(3, 6), (5, 5), (1, 9)]
+
+    def run_once():
+        sink = FrontierMaintenanceSink(spark, str(tmp_path / "f"), "x", "y")
+        stream = (spark.readStream.schema("x long, y long")
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sink
+
+    _pts(spark, w1).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    _pts(spark, w2).coalesce(1).write.mode("append").parquet(in_dir)
+    sink = run_once()  # restart from checkpoint; batch ids continue
+
+    expect = {(r["x"], r["y"], r["n_points"])
+              for r in pareto_frontier(_pts(spark, w1 + w2),
+                                       F.col("x"), F.col("y")).collect()}
+    assert _frontier(sink) == expect
+    # the chain advanced: at least two committed versions exist
+    assert len(sink._committed_ids()) >= 2
