@@ -10286,3 +10286,38 @@ def q_stream_left_outer_interval(spark, sf_dir):
     q.awaitTermination()
     return (spark.read.parquet(f"{work}/out")
             .where(F.col("view_id") >= 0))  # sentinel filtered post-join
+
+
+@register("sql_pipe_syntax_parity", """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus <> 'P'
+),
+g AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS cents_sum,
+         CAST(max(cents) AS BIGINT) AS cents_max
+  FROM c GROUP BY o_orderpriority
+)
+SELECT * FROM g WHERE n > 100
+""")
+def q_sql_pipe_syntax_parity(spark, sf_dir):
+    """SQL pipe syntax (Spark 4 ``|>`` operators): the same
+    filter -> extend -> aggregate -> having flow written as a linear
+    pipeline instead of inside-out nested SQL. Pipe stages compile to
+    the identical logical plan as the nested form — this entry proves
+    the surface end-to-end against a standard-SQL oracle (DuckDB has no
+    pipe syntax; equivalence IS the point)."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    od.createOrReplaceTempView("_pipe_orders")
+    return spark.sql("""
+      FROM _pipe_orders
+      |> WHERE o_orderstatus <> 'P'
+      |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |> AGGREGATE count(*) AS n, sum(cents) AS cents_sum,
+                   max(cents) AS cents_max
+         GROUP BY o_orderpriority
+      |> WHERE n > 100
+      |> SELECT o_orderpriority, n, cents_sum, cents_max
+    """)
