@@ -10321,3 +10321,38 @@ def q_sql_pipe_syntax_parity(spark, sf_dir):
       |> WHERE n > 100
       |> SELECT o_orderpriority, n, cents_sum, cents_max
     """)
+
+
+@register("pareto_front_continuous", """
+WITH c AS (
+  SELECT CAST(floor(p_retailprice * 1.0e2 + 5.0e-1) AS BIGINT) AS x,
+         CAST(p_size AS BIGINT) AS y
+  FROM part
+),
+sky AS (
+  SELECT x, y FROM c c1 WHERE NOT EXISTS (
+    SELECT 1 FROM c c2
+    WHERE c2.x <= c1.x AND c2.y <= c1.y AND (c2.x < c1.x OR c2.y < c1.y)
+  )
+)
+SELECT x, y, CAST(count(*) AS BIGINT) AS n_points
+FROM sky GROUP BY x, y
+""")
+def q_pareto_front_continuous(spark, sf_dir):
+    """Skyline with a CONTINUOUS first objective (price cents — ~as many
+    distinct values as rows, so the per-x collapse of pareto_frontier
+    would prune nothing): operators/skyline.pareto_frontier_wide computes
+    per-partition local skylines in Arrow-batched pandas (valid for ANY
+    partitioning: skyline(∪Ai) ⊆ ∪skyline(Ai); memory bounded by batch +
+    running frontier) and sweeps only the union of local frontiers. The
+    objectives are flipped vs pareto_front_parts (cheapest-then-smallest
+    instead of smallest-then-cheapest) so the two entries pin different
+    frontiers."""
+    from spanner_data_validator_spark.operators.skyline import (
+        pareto_frontier_wide,
+    )
+
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return pareto_frontier_wide(
+        pt, F.round(F.col("p_retailprice") * 100).cast("long"),
+        F.col("p_size").cast("long"))

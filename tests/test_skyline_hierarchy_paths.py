@@ -211,3 +211,18 @@ def test_skyline_null_objectives_excluded(spark):
     got = {(r["x"], r["y"], r["n_points"])
            for r in pareto_frontier(df, FF.col("x"), FF.col("y")).collect()}
     assert got == {(1, 5, 1), (2, 3, 1)}
+
+
+def test_wide_skyline_matches_narrow_on_random_partitions(spark):
+    from spanner_data_validator_spark.operators.skyline import (
+        pareto_frontier_wide,
+    )
+
+    rng = random.Random(99)
+    pts = [(rng.randrange(1000), rng.randrange(1000)) for _ in range(500)]
+    pts += [pts[0], pts[1]]  # planted duplicates
+    df = spark.createDataFrame(pts, "x long, y long").repartition(7)
+    wide = {(r["x"], r["y"], r["n_points"])
+            for r in pareto_frontier_wide(
+                df, F.col("x"), F.col("y")).collect()}
+    assert wide == _brute_skyline(pts)
