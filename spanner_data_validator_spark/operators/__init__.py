@@ -137,3 +137,17 @@ from spanner_data_validator_spark.operators.stats import (  # noqa: F401
     time_weighted_mean,
     trimmed_mean,
 )
+from spanner_data_validator_spark.operators.graph import (  # noqa: F401
+    bellman_ford,
+)
+from spanner_data_validator_spark.operators.hierarchy import (  # noqa: F401
+    bom_rollup,
+    resolve_roots,
+)
+from spanner_data_validator_spark.operators.skyline import (  # noqa: F401
+    pareto_frontier,
+    pareto_frontier_wide,
+)
+from spanner_data_validator_spark.operators.quantize import (  # noqa: F401
+    pq_assign,
+)

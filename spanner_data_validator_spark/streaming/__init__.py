@@ -25,3 +25,12 @@ from spanner_data_validator_spark.streaming.neardup_stream import (  # noqa: F40
     build_lsh_index,
     neardup_guard,
 )
+from spanner_data_validator_spark.streaming.frontier_sink import (  # noqa: F401
+    FrontierMaintenanceSink,
+)
+from spanner_data_validator_spark.streaming.state_inspect import (  # noqa: F401
+    batch_lineage,
+    read_state,
+    read_state_metadata,
+    state_partition_profile,
+)
