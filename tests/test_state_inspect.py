@@ -140,3 +140,26 @@ def test_batch_lineage_manifests_cover_input_exactly_once(spark, tmp_path):
     assert sorted(seen) == on_disk          # exactly-once admission
     wms = [r["watermark_ms"] for r in sorted(lin, key=lambda r: r["batch_id"])]
     assert wms == sorted(wms)               # planned watermark monotone
+
+
+def test_batch_lineage_flags_uncommitted_batch(spark, tmp_path):
+    """A planned-but-uncommitted batch (offsets written, commit marker
+    missing — the crash window) must surface committed=False: that batch
+    is exactly what a restart will replay."""
+    import os
+    import shutil
+
+    ckpt = _run_dedup(spark, tmp_path, [("a", 1), ("b", 2)])
+    broken = str(tmp_path / "broken_ck")
+    shutil.copytree(ckpt, broken)
+    commits = sorted(int(f) for f in os.listdir(f"{broken}/commits")
+                     if not f.startswith("."))
+    last = commits[-1]
+    os.remove(f"{broken}/commits/{last}")
+    from spanner_data_validator_spark.streaming.state_inspect import (
+        batch_lineage,
+    )
+    lin = {r["batch_id"]: r["committed"]
+           for r in batch_lineage(spark, broken).collect()}
+    assert lin[last] is False
+    assert all(v for b, v in lin.items() if b != last)
