@@ -10356,3 +10356,41 @@ def q_pareto_front_continuous(spark, sf_dir):
     return pareto_frontier_wide(
         pt, F.round(F.col("p_retailprice") * 100).cast("long"),
         F.col("p_size").cast("long"))
+
+
+@register("stream_anti_join_blocklist", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_allowed,
+       CAST(sum(CAST(user_id AS BIGINT)) AS BIGINT) AS user_sum
+FROM events
+WHERE user_id % 13 <> 0
+GROUP BY event_type
+""")
+def q_stream_anti_join_blocklist(spark, sf_dir):
+    """Stream-static LEFT ANTI join — the ingest blocklist guard: rows
+    whose user is on a static denylist never reach the sink. Completes
+    the streamed join-type matrix (inner/semi/left-outer/full-outer
+    stream-stream + inner/anti stream-static). The static side stays
+    broadcast-small; the anti join is stateless (no watermark, no state
+    store) so it adds zero streaming state — the filter shape to prefer
+    over a stateful join whenever one side is bounded."""
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type")
+    blocked = (ev.select("user_id").distinct()
+               .where(F.col("user_id") % 13 == 0))
+    work = tempfile.mkdtemp(prefix="sdv_q_stream_anti_")
+    ev.repartition(2).write.parquet(f"{work}/in")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(f"{work}/in"))
+    allowed = stream.join(F.broadcast(blocked), "user_id", "left_anti")
+    q = (allowed.writeStream.format("parquet")
+         .option("path", f"{work}/out")
+         .option("checkpointLocation", f"{work}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{work}/out")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_allowed"),
+                 F.sum("user_id").alias("user_sum")))
