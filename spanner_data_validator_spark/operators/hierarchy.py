@@ -37,6 +37,14 @@ def resolve_roots(nodes: DataFrame, *, max_depth: int) -> DataFrame:
     (node, root, prod) with prod = product of qty along the node's root
     path (1 for roots). ``max_depth`` bounds the tree depth the caller
     guarantees; rounds = ceil(log2(max_depth)) + 1.
+
+    Precondition: a WELL-FORMED FOREST — every non-NULL ``parent`` must
+    itself appear as a ``node`` row. The pointer-doubling step is an
+    INNER join on anc == node, so a node whose parent id is absent from
+    ``nodes`` is silently dropped along with its entire subtree (and any
+    ``bom_rollup`` totals over it silently undercount). Callers with
+    untrusted input should pre-validate with an anti-join of parents
+    against nodes and fail/flag the dangling rows.
     """
     st = nodes.select(
         "node",

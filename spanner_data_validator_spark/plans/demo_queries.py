@@ -10207,8 +10207,9 @@ def q_pq_quantize_stats(spark, sf_dir):
     from spanner_data_validator_spark.operators.quantize import pq_assign
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    fx = F.transform("embedding",
-                     lambda x: F.round(x * 1000).cast("long"))
+    fx = F.transform(  # floor(x+0.5), NOT round(): Spark HALF_UP rounds
+        "embedding",   # negative halves away from zero, oracle floor
+        lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"))  # doesn't
     vecs = emb.select("vec_id", fx.alias("vi"))
     from pyspark.sql import Window
     cb = (emb.where(F.col("vec_id") % 61 == 3)

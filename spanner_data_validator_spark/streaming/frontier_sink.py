@@ -57,8 +57,7 @@ class FrontierMaintenanceSink:
 
     def _committed_ids(self) -> list[int]:
         d = os.path.join(self.out_dir, "_commits")
-        return sorted(int(x) for x in os.listdir(d)
-                      if not x.endswith(".tmp"))
+        return sorted(int(x) for x in os.listdir(d) if x.isdigit())
 
     def _path(self, batch_id: int) -> str:
         return os.path.join(self.out_dir, "frontier", f"batch={batch_id}")

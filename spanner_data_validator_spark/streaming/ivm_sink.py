@@ -60,8 +60,7 @@ class ViewMaintenanceSink:
 
     def _committed_ids(self) -> list[int]:
         d = os.path.join(self.out_dir, "_commits")
-        return sorted(int(x) for x in os.listdir(d)
-                      if not x.endswith(".tmp"))
+        return sorted(int(x) for x in os.listdir(d) if x.isdigit())
 
     def _view_path(self, batch_id: int) -> str:
         return os.path.join(self.out_dir, "view", f"batch={batch_id}")
