@@ -431,6 +431,83 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
             .drop("__island"))
 
 
+def maximal_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                            *, width: int = 8, min_len: int | None = None,
+                            max_occurrences: int = 64,
+                            hash_fn=None) -> DataFrame:
+    """Maximal duplicated token spans with PAIR attribution — the exact
+    substring-dedup semantics of Lee et al. 2022 (suffix-array territory),
+    re-expressed as seed-and-chain over rolling window hashes.
+
+    ``duplicate_spans`` reports per-doc COVERAGE (the union of repeated
+    windows, merged), which approximates long duplicated spans; this
+    operator reports, for every ordered occurrence pair, the MAXIMAL run
+    of token positions where the two occurrences carry the identical
+    substring. A common substring of L >= ``width`` tokens between
+    occurrence A at position p and occurrence B at position q is exactly a
+    run of L - width + 1 consecutive matching windows on the diagonal
+    q - p; runs are maximal because the windows just outside the run
+    hash-differ (exact up to hash collisions — use a 60-bit+ family).
+
+    Plan, all linear in token count except the capped in-bucket pair
+    expansion: window-hash explode (scan stage) -> ONE exchange keyed by
+    the window hash (bucket-collect; the aliased self-join would compute
+    the window subplan twice — r3 lesson) -> in-bucket ordered pair
+    expansion, O(c²) per hash capped by ``max_occurrences`` (overfull
+    hashes are boilerplate; they are dropped here and belong to
+    ``duplicate_spans``' coverage report — callers should log the cap) ->
+    ONE exchange keyed by (id_a, id_b, diagonal) for the gaps-and-islands
+    run merge. Nothing is ever quadratic in docs or corpus size.
+
+    Output: (id_a, a_start, id_b, b_start, span_len, n_windows) with
+    1-based token positions, (id_a, a_start) < (id_b, b_start)
+    lexicographically, span_len in tokens; same-doc internal repeats
+    appear as id_a == id_b rows with a_start < b_start. ``min_len``
+    (default ``width``) filters short spans after the merge.
+    """
+    from pyspark.sql import Window
+
+    min_len = width if min_len is None else min_len
+    wh = window_hash_positions(df, id_col, text_col, width=width,
+                               hash_fn=hash_fn)
+    # Bucket-collect per hash; array_sort gives canonical (id, pos) order
+    # so slice-expansion emits each unordered pair once, lexicographically
+    # oriented. size(ds) bounds: >= 2 (a pair exists) and <= cap.
+    buckets = (wh.groupBy("h")
+               .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col(id_col).alias("i"),
+                             F.col("pos").alias("p")))).alias("ds"))
+               .where((F.size("ds") > 1)
+                      & (F.size("ds") <= F.lit(max_occurrences))))
+    ds = F.col("ds")
+    pair_arrays = F.transform(
+        ds, lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.size(ds)),
+            lambda y: F.struct(x["i"].alias("id_a"), x["p"].alias("pos_a"),
+                               y["i"].alias("id_b"), y["p"].alias("pos_b"))))
+    pairs = (buckets.select(F.explode(F.flatten(pair_arrays)).alias("pr"))
+                    .select("pr.id_a", "pr.pos_a", "pr.id_b", "pr.pos_b"))
+    # Chain seeds along each diagonal: consecutive pos_a (step 1) on the
+    # same (id_a, id_b, pos_b - pos_a) diagonal extend one common span.
+    diag = (F.col("pos_b") - F.col("pos_a")).alias("diag")
+    dw = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    brk = F.when(F.col("pos_a") - F.lag("pos_a").over(dw) == 1,
+                 F.lit(0)).otherwise(F.lit(1))
+    runs = (pairs.select("id_a", "pos_a", "id_b", "pos_b", diag)
+            .withColumn("__brk", brk)
+            .withColumn("__run", F.sum("__brk").over(dw)))
+    out = (runs.groupBy("id_a", "id_b", "diag", "__run")
+           .agg(F.min("pos_a").alias("a_start"),
+                F.min("pos_b").alias("b_start"),
+                (F.count("*") + F.lit(width - 1)).cast("long")
+                .alias("span_len"),
+                F.count("*").alias("n_windows"))
+           .where(F.col("span_len") >= min_len)
+           .select("id_a", "a_start", "id_b", "b_start",
+                   "span_len", "n_windows"))
+    return out
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round over an undirected edge list ``(a, b)``.
 

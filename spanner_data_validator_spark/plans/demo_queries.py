@@ -2064,6 +2064,86 @@ def q_substring_dup_spans(spark, sf_dir):
                            hash_fn=portable_hash60)
 
 
+def _substring_maximal_oracle() -> str:
+    from spanner_data_validator_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql(
+        f"array_to_string(list_slice(ws, i, i + {_SPAN_W - 1}), ' ')")
+    return f"""
+WITH corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 11 = 3 AND o.text IS NOT NULL
+              THEN d.text || ' ' ||
+                   array_to_string(list_slice(string_split(o.text, ' '),
+                                              1, 20), ' ')
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents o ON o.doc_id = d.doc_id + 7
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, {h} AS h
+  FROM toks, UNNEST(range(1, len(ws) - {_SPAN_W - 2})) AS t(i)
+  WHERE len(ws) >= {_SPAN_W}
+),
+ok AS (
+  SELECT doc_id, pos, h FROM (
+    SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS c FROM wins)
+  WHERE c BETWEEN 2 AND 64
+),
+pr AS (
+  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b,
+         b.pos - a.pos AS diag
+  FROM ok a JOIN ok b ON a.h = b.h
+   AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos))
+),
+isl AS (
+  SELECT *, CASE WHEN pos_a - lag(pos_a) OVER
+                      (PARTITION BY id_a, id_b, diag ORDER BY pos_a) = 1
+                 THEN 0 ELSE 1 END AS brk
+  FROM pr
+),
+grp AS (
+  SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a)
+            AS run FROM isl
+)
+SELECT id_a, min(pos_a) AS a_start, id_b, min(pos_b) AS b_start,
+       CAST(count(*) + {_SPAN_W - 1} AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM grp GROUP BY id_a, id_b, diag, run
+HAVING count(*) + {_SPAN_W - 1} >= 10
+"""
+
+
+@register("substring_dup_maximal", _substring_maximal_oracle())
+def q_substring_dup_maximal(spark, sf_dir):
+    """MAXIMAL duplicated spans with pair attribution
+    (operators/dedup.maximal_duplicate_spans): seed-and-chain — matched
+    window pairs grouped by (id_a, id_b, diagonal), maximal consecutive
+    runs merged, exact span extents + lengths reported per occurrence
+    pair (vs substring_dup_spans' per-doc coverage union). Corpus plants
+    a 20-token span from doc (i+7) onto every doc i % 11 == 3, so true
+    cross-doc maximal spans exist with known extent; hot windows (> 64
+    occurrences) are dropped identically in both engines. Portable hash
+    family end-to-end."""
+    from spanner_data_validator_spark.functions.hashing import portable_hash60
+    from spanner_data_validator_spark.operators.dedup import (
+        maximal_duplicate_spans)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    donor = docs.select(
+        (F.col("doc_id") - 7).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 20), " ").alias("gift"))
+    corpus = (docs.join(donor, "doc_id", "left")
+              .select("doc_id",
+                      F.when((F.col("doc_id") % 11 == 3)
+                             & F.col("gift").isNotNull(),
+                             F.concat_ws(" ", "text", "gift"))
+                       .otherwise(F.col("text")).alias("text")))
+    return maximal_duplicate_spans(corpus, "doc_id", "text", width=_SPAN_W,
+                                   min_len=10, max_occurrences=64,
+                                   hash_fn=portable_hash60)
+
+
 # Point-in-time validation: each "replica read" (a version re-read 17 min
 # later) is classified against the source version AS OF the read timestamp.
 # The oracle uses DuckDB's native ASOF JOIN — an independent implementation
