@@ -43,7 +43,8 @@ def cosine_sim(a: Column, b: Column) -> Column:
 def topk_per_query(scored: DataFrame, k: int,
                    *, key_col: str = "query_id", order_col: str = "sim",
                    tie_col: str = "neighbor_id",
-                   two_phase: bool = True) -> DataFrame:
+                   two_phase: bool = True,
+                   ascending: bool = False) -> DataFrame:
     """Exact per-key top-k with a bounded exchange.
 
     Phase 1 (``two_phase``): a NARROW per-partition top-k — mapInPandas over
@@ -73,13 +74,14 @@ def topk_per_query(scored: DataFrame, k: int,
                     continue
                 cur = pdf if best is None else pd.concat((best, pdf))
                 cur = cur.sort_values([key_col, order_col, tie_col],
-                                      ascending=[True, False, True])
+                                      ascending=[True, ascending, True])
                 best = cur.groupby(key_col, sort=False).head(k)
             if best is not None:
                 yield best
 
         scored = scored.mapInPandas(reduce_part, schema)
-    w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc(), F.col(tie_col))
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(key_col).orderBy(order, F.col(tie_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
 
@@ -348,6 +350,129 @@ def semdedup(index: DataFrame, *, threshold: float = 0.95) -> DataFrame:
     return (index.join(F.broadcast(dup_ids), "neighbor_id", "left")
                  .select(F.col("neighbor_id").alias("vec_id"), "list_id",
                          F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + residual product quantization + ADC —
+# the standard billion-vector serving layout (Jégou, Douze, Schmid 2011,
+# "Product Quantization for Nearest Neighbor Search"). All arithmetic is
+# EXACT BIGINT over fixed-point vectors (the repo's engine-portable
+# discipline), so assignments, ADC sums, and tie-breaks are bit-identical
+# across engines and partitionings — the whole index is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def ivf_assign_exact(
+    df: DataFrame, coarse: list[list[int]],
+    *, vec_col: str, nprobe: int = 1, out_col: str = "list_id",
+) -> DataFrame:
+    """Integer twin of ``ivf_assign``: nearest-centroid list id(s) over
+    fixed-point array<long> vectors, argmin by EXACT BIGINT squared L2
+    (tie -> lowest list_id). Pure expressions over a memoized centroid
+    literal — zero shuffle, zero joins; ``list_id`` is emitted through a
+    Generate barrier (the HOF re-evaluation trap, see ``ivf_assign``)."""
+    from spanner_data_validator_spark.operators.quantize import intmat_literal
+
+    cm = intmat_literal(coarse)
+    v = F.col(vec_col)
+    structs = F.transform(
+        cm,
+        lambda c, i: F.struct(
+            F.aggregate(F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("d"),
+            i.cast("int").alias("list_id")))
+    if nprobe == 1:
+        gen = F.explode(F.array(F.array_min(structs)["list_id"]))
+    else:
+        probed = F.slice(F.array_sort(structs), 1, nprobe)
+        gen = F.explode(F.transform(probed, lambda s: s["list_id"]))
+    return df.withColumn(out_col, gen)
+
+
+def _residual(vec_col: str, coarse_lit: Column) -> Column:
+    """Exact integer residual vs the row's assigned centroid (list_id col)."""
+    return F.zip_with(F.col(vec_col),
+                      F.element_at(coarse_lit, F.col("list_id") + 1),
+                      lambda a, b: a - b)
+
+
+def ivfpq_index(
+    items: DataFrame, coarse: list[list[int]], codebook: list[list[int]],
+    *, m: int, sub_dim: int, id_col: str = "vec_id", vec_col: str = "vi",
+) -> DataFrame:
+    """The materializable IVF-PQ index: (neighbor_id, list_id, codes).
+
+    ``items`` carries fixed-point array<long> vectors in ``vec_col``;
+    ``coarse`` (n_lists x dim) and ``codebook`` (k x dim, RESIDUAL-space
+    entries) are tiny literal matrices. Each item is assigned its nearest
+    list, the residual v - centroid is computed exactly, and the residual
+    is PQ-encoded subspace-wise (``quantize.pq_encode`` — expression-only,
+    zero shuffle). Storage per item: one int list_id + m small ints —
+    the ~m bytes/vector layout that fits 10^9 vectors in executor memory;
+    build it once, persist/bucket by list_id, probe forever."""
+    from spanner_data_validator_spark.operators.quantize import (
+        intmat_literal, pq_encode)
+
+    asg = ivf_assign_exact(items, coarse, vec_col=vec_col, nprobe=1)
+    # residual behind a Generate barrier: pq_encode's m*k subspace-distance
+    # lambdas reference it — inlined, the zip_with would re-run per lambda
+    res = asg.withColumn(
+        "rv", F.explode(F.array(_residual(vec_col, intmat_literal(coarse)))))
+    enc = pq_encode(res, codebook, vec_col="rv", m=m, sub_dim=sub_dim)
+    return enc.select(F.col(id_col).alias("neighbor_id"), "list_id", "codes")
+
+
+def ivfpq_topk(
+    items: DataFrame | None, queries: DataFrame, k: int,
+    *, coarse: list[list[int]], codebook: list[list[int]],
+    m: int, sub_dim: int, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "vi",
+    index: DataFrame | None = None, two_phase: bool = True,
+) -> DataFrame:
+    """IVF-PQ top-k with asymmetric distance (ADC): queries probe their
+    ``nprobe`` nearest lists; within a list, a candidate's approximate
+    squared distance is the sum over subspaces of the query's EXACT
+    distance to the candidate's code centroid — one m-term table lookup
+    per candidate, never a d-dim dot product.
+
+    Per probed (query, list) the ADC lookup table (m x k BIGINTs) is
+    computed once behind a Generate barrier and shipped with the
+    broadcast query row; the index side streams scan-local, exactly like
+    ``ivf_topk`` but touching m ints per candidate instead of the full
+    vector — the memory-bandwidth win that makes 10^9-vector serving
+    work. Output: (query_id, neighbor_id, rank, adist), rank by
+    (adist ASC, neighbor_id) — deterministic, BIGINT-exact.
+    """
+    from spanner_data_validator_spark.operators.quantize import (
+        intmat_literal, subspace_dist2)
+
+    if index is None and items is None:
+        raise ValueError("either items or a prebuilt index is required")
+    it = index if index is not None else ivfpq_index(
+        items, coarse, codebook, m=m, sub_dim=sub_dim,
+        id_col=id_col, vec_col=vec_col)
+    q = ivf_assign_exact(queries, coarse, vec_col=vec_col, nprobe=nprobe)
+    q = q.withColumn(
+        "rq", F.explode(F.array(_residual(vec_col, intmat_literal(coarse)))))
+    cb = intmat_literal(codebook)
+    subs = F.sequence(F.lit(0), F.lit(m - 1))
+    lut = F.transform(
+        subs, lambda s: F.transform(
+            cb, lambda cvec: subspace_dist2(F.col("rq"), cvec, s, sub_dim)))
+    q = (q.withColumn("lut", F.explode(F.array(lut)))
+          .select(F.col(id_col).alias("query_id"), "list_id", "lut"))
+    # an item lives in ONE list; nprobe>1 probes are distinct lists, so a
+    # (query, neighbor) pair scores at most once — no dedup needed
+    scored = (it.join(F.broadcast(q), "list_id")
+                .where(F.col("neighbor_id") != F.col("query_id"))
+                .withColumn("adist", F.aggregate(
+                    F.zip_with("lut", "codes",
+                               lambda l, c: F.element_at(l, c + 1)),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)))
+    return topk_per_query(scored.select("query_id", "neighbor_id", "adist"),
+                          k, order_col="adist", ascending=True,
+                          two_phase=two_phase) \
+        .select("query_id", "neighbor_id", "rank", "adist")
 
 
 def ivf_topk(

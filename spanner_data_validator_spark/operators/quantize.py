@@ -18,8 +18,60 @@ through a plain select; see ivf_assign / BENCH.md notes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_INTMAT_CACHE: dict[tuple, Column] = {}
+_INTMAT_CACHE_MAX = 16  # a handful of codebooks per session; bound the memo
+
+
+def intmat_literal(mat: list[list[int]]) -> Column:
+    """Memoized array<array<bigint>> literal — py4j conversion of a k x d
+    matrix costs ~0.25 s per build (see ann._centroid_literal / BENCH.md),
+    so repeated queries over the same codebook reuse one Column."""
+    key = tuple(tuple(int(x) for x in r) for r in mat)
+    col = _INTMAT_CACHE.get(key)
+    if col is None:
+        if len(_INTMAT_CACHE) >= _INTMAT_CACHE_MAX:
+            _INTMAT_CACHE.pop(next(iter(_INTMAT_CACHE)))  # FIFO eviction
+        col = _INTMAT_CACHE[key] = F.lit(
+            [list(r) for r in key]).cast("array<array<bigint>>")
+    return col
+
+
+def subspace_dist2(v: Column, c: Column, s: Column | int,
+                   sub_dim: int) -> Column:
+    """Exact BIGINT squared L2 distance between subspace ``s`` slices of two
+    fixed-point arrays (1-based slice [s*sub_dim+1, (s+1)*sub_dim])."""
+    start = (s * sub_dim + 1) if isinstance(s, int) else s * sub_dim + F.lit(1)
+    return F.aggregate(
+        F.zip_with(F.slice(v, start, sub_dim), F.slice(c, start, sub_dim),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def pq_encode(df: DataFrame, codebook: list[list[int]], *, vec_col: str,
+              m: int, sub_dim: int, out_col: str = "codes") -> DataFrame:
+    """Expression-only PQ encoder: ZERO shuffle, ZERO joins.
+
+    ``codebook`` is a k x (m*sub_dim) matrix of fixed-point ints (tiny —
+    baked into the plan as a memoized literal, like ann.ivf_assign's
+    centroids). Adds ``out_col``: array<int> of length ``m``, element s =
+    the code whose subspace-s slice minimizes the EXACT BIGINT squared
+    distance to the row's slice (tie -> smallest code — identical to
+    ``pq_assign``'s ORDER BY (err, code), which shuffles n*m scored rows
+    through a window; this encoder is the index-build scale path: the
+    whole assignment is one scan-stage projection). The codes array is
+    materialized behind a Generate barrier so downstream joins can't
+    re-inline the k*m distance forest per matched row (module header)."""
+    cb = intmat_literal(codebook)
+    v = F.col(vec_col)
+    subs = F.sequence(F.lit(0), F.lit(m - 1))
+    codes = F.transform(subs, lambda s: F.array_min(
+        F.transform(cb, lambda cvec, c: F.struct(
+            subspace_dist2(v, cvec, s, sub_dim).alias("d"),
+            c.cast("int").alias("code"))))["code"])
+    return df.withColumn(out_col, F.explode(F.array(codes)))
 
 
 def quantize_int8(df: DataFrame, vec_col: str) -> DataFrame:

@@ -1934,6 +1934,199 @@ def q_ann_ivf_topk(spark, sf_dir):
     return out.withColumn("sim", F.round(F.col("sim"), 3))
 
 
+def _d2sql(a: str, b: str) -> str:
+    """Exact integer squared L2 between two BIGINT lists (DuckDB)."""
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+
+def _ivfpq_core_sql() -> str:
+    """Shared IVF-PQ pipeline CTEs: fixed-point vectors, data-derived coarse
+    quantizer + residual codebook, exact-integer assignments, ADC scoring.
+    Ends with CTE ``appr`` = (query_id, neighbor_id, rank, adist)."""
+    sub = "list_slice({v}, t.s * 16 + 1, t.s * 16 + 16)"
+    d2_sub = _d2sql(sub.format(v="{a}"), sub.format(v="{b}"))
+    return f"""
+WITH fx AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5e0)
+                                  AS BIGINT)) AS vi
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         vi AS cv
+  FROM (SELECT vec_id, vi FROM fx WHERE vec_id % 61 = 3
+        ORDER BY vec_id LIMIT 8)
+),
+samp AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         vi AS sv
+  FROM (SELECT vec_id, vi FROM fx WHERE vec_id % 61 = 5
+        ORDER BY vec_id LIMIT 8)
+),
+cb AS (
+  SELECT code, list_transform(list_zip(sv, cv), p -> p[1] - p[2]) AS ci
+  FROM (
+    SELECT s.code, s.sv, c.cv,
+           row_number() OVER (PARTITION BY s.code
+             ORDER BY {_d2sql('s.sv', 'c.cv')}, c.list_id) AS rn
+    FROM samp s CROSS JOIN cent c) WHERE rn = 1
+),
+it0 AS (
+  SELECT vec_id AS neighbor_id, list_id,
+         list_transform(list_zip(vi, cv), p -> p[1] - p[2]) AS rv
+  FROM (
+    SELECT f.vec_id, f.vi, c.list_id, c.cv,
+           row_number() OVER (PARTITION BY f.vec_id
+             ORDER BY {_d2sql('f.vi', 'c.cv')}, c.list_id) AS rn
+    FROM fx f CROSS JOIN cent c) WHERE rn = 1
+),
+itc AS (
+  SELECT neighbor_id, list_id, s, code FROM (
+    SELECT i.neighbor_id, i.list_id, t.s, b.code,
+           row_number() OVER (PARTITION BY i.neighbor_id, t.s
+             ORDER BY {d2_sub.format(a='i.rv', b='b.ci')}, b.code) AS rn
+    FROM it0 i CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(s) CROSS JOIN cb b)
+  WHERE rn = 1
+),
+qa AS (
+  SELECT vec_id AS query_id, list_id,
+         list_transform(list_zip(vi, cv), p -> p[1] - p[2]) AS rq
+  FROM (
+    SELECT f.vec_id, f.vi, c.list_id, c.cv,
+           row_number() OVER (PARTITION BY f.vec_id
+             ORDER BY {_d2sql('f.vi', 'c.cv')}, c.list_id) AS rn
+    FROM fx f CROSS JOIN cent c WHERE f.vec_id % 100 = 0) WHERE rn <= 2
+),
+lut AS (
+  SELECT q.query_id, q.list_id, t.s, b.code,
+         CAST({d2_sub.format(a='q.rq', b='b.ci')} AS BIGINT) AS ld
+  FROM qa q CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(s) CROSS JOIN cb b
+),
+adc AS (
+  SELECT q.query_id, i.neighbor_id, CAST(sum(l.ld) AS BIGINT) AS adist
+  FROM qa q
+  JOIN itc i ON i.list_id = q.list_id AND i.neighbor_id <> q.query_id
+  JOIN lut l ON l.query_id = q.query_id AND l.list_id = q.list_id
+            AND l.s = i.s AND l.code = i.code
+  GROUP BY q.query_id, i.neighbor_id
+),
+appr AS (
+  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adist FROM (
+    SELECT query_id, neighbor_id, adist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS rank
+    FROM adc) WHERE rank <= 3
+)"""
+
+
+_IVFPQ_CACHE: dict[str, tuple] = {}
+
+
+def _ivfpq_setup(spark, sf_dir):
+    """Fixed-point vectors + driver-side coarse/codebook derivation (16 rows
+    collected — k-sized, the documented bound; the literals then bake into
+    every plan via quantize.intmat_literal)."""
+    cached = _IVFPQ_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fx = F.transform("embedding",
+                     lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"))
+    vecs = emb.select("vec_id", fx.alias("vi"))
+    coarse = [list(r[0]) for r in
+              vecs.where(F.col("vec_id") % 61 == 3).orderBy("vec_id")
+              .limit(8).select("vi").collect()]
+    samp = [list(r[0]) for r in
+            vecs.where(F.col("vec_id") % 61 == 5).orderBy("vec_id")
+            .limit(8).select("vi").collect()]
+
+    def _nearest(v):
+        return min(range(len(coarse)),
+                   key=lambda i: (sum((a - b) * (a - b)
+                                      for a, b in zip(v, coarse[i])), i))
+
+    codebook = [[a - b for a, b in zip(v, coarse[_nearest(v)])] for v in samp]
+    _IVFPQ_CACHE.clear()  # one corpus at a time; entries are plain lists
+    _IVFPQ_CACHE[sf_dir] = (vecs, coarse, codebook)
+    return vecs, coarse, codebook
+
+
+@register("ann_ivfpq_topk", _ivfpq_core_sql() + """
+SELECT query_id, neighbor_id, rank, adist FROM appr
+""")
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (operators/ann.ivfpq_topk — Jégou et al. 2011): coarse
+    inverted lists (8 data-derived centroids, vec_id % 61 = 3), RESIDUAL
+    product quantization (4 subspaces x 16 dims, 8 codes = residuals of
+    the vec_id % 61 = 5 samples vs their own centroid), asymmetric
+    distance scoring. Every step fixed-point BIGINT-exact, so the oracle
+    replays assignments, ADC sums, and tie-breaks bit-for-bit; the Spark
+    side is expression-only (zero shuffle) for both assignments, with the
+    broadcast query carrying its m x k ADC table."""
+    from spanner_data_validator_spark.operators.ann import ivfpq_topk
+
+    vecs, coarse, codebook = _ivfpq_setup(spark, sf_dir)
+    return ivfpq_topk(vecs, vecs.where(F.col("vec_id") % 100 == 0), 3,
+                      coarse=coarse, codebook=codebook, m=4, sub_dim=16,
+                      nprobe=2)
+
+
+@register("ann_ivfpq_recall", _ivfpq_core_sql() + f"""
+, exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qf.vec_id AS query_id, f.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qf.vec_id
+             ORDER BY {_d2sql('f.vi', 'qf.vi')}, f.vec_id) AS rank
+    FROM fx f CROSS JOIN (SELECT vec_id, vi FROM fx
+                          WHERE vec_id % 100 = 0) qf
+    WHERE f.vec_id <> qf.vec_id) WHERE rank <= 3
+)
+SELECT 'ivfpq' AS method,
+       CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS hits,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS DOUBLE) / count(*) AS recall
+FROM exact e LEFT JOIN appr a USING (query_id, neighbor_id)
+""")
+def q_ann_ivfpq_recall(spark, sf_dir):
+    """recall@3 of the IVF-PQ index against exact brute-force integer-L2
+    top-3 over the same fixed-point vectors — the quantization+probe loss
+    measured as an oracle row (ann_recall_at_k's protocol, same-metric
+    ground truth so the number isolates PQ error from metric mismatch).
+    DuckDB recomputes both pipelines and the recall arithmetic."""
+    from spanner_data_validator_spark.operators.ann import (
+        ivfpq_topk, topk_per_query)
+    from spanner_data_validator_spark.operators.quantize import intmat_literal
+
+    vecs, coarse, codebook = _ivfpq_setup(spark, sf_dir)
+    qs = vecs.where(F.col("vec_id") % 100 == 0)
+    # exact integer-L2 brute force: broadcast queries, one exact distance
+    # expression per candidate, bounded two-phase top-k
+    qb = qs.select(F.col("vec_id").alias("query_id"), F.col("vi").alias("qv"))
+    d2 = F.aggregate(F.zip_with("vi", "qv", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (vecs.join(F.broadcast(qb),
+                        F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      d2.alias("adist")))
+    exact = (topk_per_query(scored, 3, order_col="adist", ascending=True)
+             .select("query_id", "neighbor_id").localCheckpoint())
+    appr = (ivfpq_topk(vecs, qs, 3, coarse=coarse, codebook=codebook,
+                       m=4, sub_dim=16, nprobe=2)
+            .select("query_id", "neighbor_id").withColumn("hit", F.lit(1)))
+    joined = exact.join(appr, ["query_id", "neighbor_id"], "left")
+    return (joined.agg(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+                F.count(F.lit(1)).alias("total"))
+            .select(F.lit("ivfpq").alias("method"), "hits", "total",
+                    (F.col("hits").cast("double") / F.col("total"))
+                    .alias("recall")))
+
+
 # SemDeDup corpus: planted semantic duplicates — scaled copies (x * 1.01)
 # have cosine exactly 1 to their original, far above threshold; the nearest
 # NON-planted within-cluster pair sits at cosine ~0.51, so the 0.95 threshold

@@ -264,3 +264,69 @@ def test_semdedup_prunes_planted_copies(spark, emb):
     flagged = {r.vec_id for r in out.where("is_dup").collect()}
     planted = {r.vec_id for r in copies.select("vec_id").collect()}
     assert flagged == planted                     # copies pruned, originals kept
+
+
+def test_ivfpq_exact_when_perfectly_quantizable(spark):
+    """The ADC-exactness law: when every vector is EXACTLY centroid + a
+    codebook residual, PQ reconstruction error is zero, so the ADC distance
+    equals the true squared L2 and ivfpq_topk must reproduce exact integer
+    brute-force top-k, bit-for-bit including tie-breaks."""
+    import itertools
+
+    from spanner_data_validator_spark.operators.ann import (
+        ivfpq_topk, topk_per_query)
+
+    dim, m, sub_dim = 8, 2, 4
+    coarse = [[0] * dim, [100] * dim]
+    # residual codebook: 4 entries spanning both subspaces
+    codebook = [[1] * dim, [2] * dim, [3] * dim, [5] * dim]
+    rows = []
+    vid = 0
+    for c, cb1, cb2 in itertools.product(range(2), range(4), range(4)):
+        v = [coarse[c][i] + (codebook[cb1][i] if i < sub_dim
+                             else codebook[cb2][i]) for i in range(dim)]
+        rows.append((vid, v))
+        vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, vi array<bigint>")
+    qs = vecs.where(F.col("vec_id") % 8 == 0)
+    appr = ivfpq_topk(vecs, qs, 3, coarse=coarse, codebook=codebook,
+                      m=m, sub_dim=sub_dim, nprobe=2)
+    qb = qs.select(F.col("vec_id").alias("query_id"), F.col("vi").alias("qv"))
+    d2 = F.aggregate(F.zip_with("vi", "qv", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (vecs.join(F.broadcast(qb), F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      d2.alias("adist")))
+    exact = topk_per_query(scored, 3, order_col="adist", ascending=True)
+    got = {tuple(r) for r in
+           appr.select("query_id", "neighbor_id", "rank", "adist").collect()}
+    want = {tuple(r) for r in
+            exact.select("query_id", "neighbor_id", "rank", "adist").collect()}
+    # nprobe=2 of 2 lists = no probe loss; zero reconstruction error = no
+    # quantization loss; candidates within probed lists only
+    assert got == want
+
+
+def test_ivfpq_assignment_and_plan_shuffle_free(spark):
+    """ivf_assign_exact + pq_encode are pure expressions: the index build
+    plan contains no Exchange, and code assignment tie-breaks to the
+    smallest code (array_min lexicographic law)."""
+    from spanner_data_validator_spark.operators.ann import ivfpq_index
+
+    vecs = spark.createDataFrame(
+        [(1, [0, 0, 0, 0]), (2, [7, 7, 9, 9])], "vec_id long, vi array<bigint>")
+    coarse = [[0, 0, 0, 0], [8, 8, 8, 8]]
+    # codes 0 and 1 are IDENTICAL -> tie must resolve to code 0
+    codebook = [[1, 1, 1, 1], [1, 1, 1, 1], [-1, -1, 1, 1]]
+    idx = ivfpq_index(vecs, coarse, codebook, m=2, sub_dim=2)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r["neighbor_id"]: (r["list_id"], list(r["codes"]))
+            for r in idx.collect()}
+    assert rows[1][0] == 0 and rows[2][0] == 1
+    # vec 1 residual [0,0,0,0]: every code slice is distance 2 -> all-tie
+    # resolves to code 0 in both subspaces
+    assert rows[1][1] == [0, 0]
+    # vec 2 residual [-1,-1,1,1]: sub0 argmin is code 2 (distance 0); sub1
+    # ties codes 0/1/2 at 0 -> code 0
+    assert rows[2][1] == [2, 0]
