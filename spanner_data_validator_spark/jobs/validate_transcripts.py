@@ -117,6 +117,7 @@ def run_streaming_validation(
     dedup_keys: bool = False,
     state_store: str | None = None,
     projected_state_keys: int | None = None,
+    atomic_sink: bool = False,
 ) -> TallyForeachBatch:
     """Run the streaming pipeline; returns the sink for result readback.
 
@@ -173,7 +174,15 @@ def run_streaming_validation(
         classified = classify_stream(s, t, band=band)
     classified = classified.where(sentinel_filter())
 
-    sink = TallyForeachBatch(out_dir, window_duration=window_duration)
+    # atomic_sink: ONE commit marker covers classified/tallies/mismatches
+    # (both-or-neither publication, streaming/sink.AtomicTallySink); the
+    # default TallyForeachBatch fences per table and heals torn batches on
+    # replay instead
+    if atomic_sink:
+        from spanner_data_validator_spark.streaming.sink import AtomicTallySink
+        sink = AtomicTallySink(out_dir, window_duration=window_duration)
+    else:
+        sink = TallyForeachBatch(out_dir, window_duration=window_duration)
     sink.state_store = next(
         (name for name, cls in STATE_STORE_CLASSES.items()
          if cls == spark.conf.get(provider_key, "")), None)

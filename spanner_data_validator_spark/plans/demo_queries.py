@@ -1603,7 +1603,8 @@ def _shuffle_partitions(spark, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _run_stream_totals(spark, sf_dir, engine, *, user_mod: int | None = None):
+def _run_stream_totals(spark, sf_dir, engine, *, user_mod: int | None = None,
+                       atomic: bool = False):
     import tempfile
 
     from spanner_data_validator_spark.jobs.validate_transcripts import (
@@ -1634,10 +1635,12 @@ def _run_stream_totals(spark, sf_dir, engine, *, user_mod: int | None = None):
     try:
         sink = run_streaming_validation(
             spark, src_dir, tgt_dir, f"{work}/out", f"{work}/ckpt",
-            watermark="10 minutes", band="2 hours", engine=engine)
+            watermark="10 minutes", band="2 hours", engine=engine,
+            atomic_sink=atomic)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    res = sink.rows_sink.read_committed(spark)
+    res = (sink.read_rows(spark) if atomic
+           else sink.rows_sink.read_committed(spark))
     return res.groupBy("status").agg(F.count("*").alias("n"))
 
 
@@ -1647,6 +1650,17 @@ def q_validate_stream_totals(spark, sf_dir):
     watermarked full-outer stream-stream join (availableNow) → committed
     classification totals. Oracle is the equivalent batch full-outer join."""
     return _run_stream_totals(spark, sf_dir, "join")
+
+
+@register("validate_stream_atomic_totals", _ev_transcript_cte())
+def q_validate_stream_atomic_totals(spark, sf_dir):
+    """The streaming validator landing through the ATOMIC multi-table sink
+    (streaming/sink.AtomicTallySink): one commit marker covers classified
+    rows, per-window tallies, and mismatch rows — both-or-neither
+    publication (crash-window law pinned in tests/test_atomic_sink.py).
+    Totals must equal the batch full-outer oracle exactly, like the
+    default-sink twin validate_stream_totals."""
+    return _run_stream_totals(spark, sf_dir, "join", atomic=True)
 
 
 @register("validate_stream_stateful_totals", _ev_transcript_cte(_STATEFUL_USER_MOD))

@@ -8,9 +8,15 @@ from spanner_data_validator_spark.streaming.validate_stream import (  # noqa: F4
 )
 from spanner_data_validator_spark.streaming.stateful import classify_stateful  # noqa: F401
 from spanner_data_validator_spark.streaming.sink import (  # noqa: F401
+    AtomicMultiParquetSink,
+    AtomicTallySink,
     ExactlyOnceParquetSink,
     TallyForeachBatch,
     merge_into_iceberg,
+)
+from spanner_data_validator_spark.streaming.jdbc_sink import (  # noqa: F401
+    JdbcAtomicMultiSink,
+    JdbcExactlyOnceSink,
 )
 from spanner_data_validator_spark.streaming.listener import (  # noqa: F401
     ValidationMetricsListener,

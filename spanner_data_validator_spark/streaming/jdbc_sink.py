@@ -179,6 +179,115 @@ class JdbcExactlyOnceSink:
             rd(self.fence_table), on="batch_id", how="left_semi")
 
 
+class JdbcAtomicMultiSink:
+    """One fence row covers N JDBC tables — the single-transaction
+    two-table upgrade of :class:`JdbcExactlyOnceSink` (VERDICT r4 #5).
+
+    The reference writes its report and conflicting-rows feeds as two
+    independent sinks (JDBCToSpannerDVTWithHash.java:393-415, 468-469);
+    fencing each separately leaves a crash window where the report is
+    visible but its conflict rows are not. Here each table's batch is
+    staged by the executors (parallel JDBC append; task retries may dirty
+    staging), then the driver promotes EVERY table + inserts the single
+    fence row in ONE transaction — commit is the only publication point,
+    so a crash anywhere before it publishes nothing to any table, and the
+    replay re-stages and commits everything. ``tables`` must exist with
+    their frames' columns plus ``batch_id BIGINT``.
+    """
+
+    def __init__(self, url: str, tables: list[str], *,
+                 fence_table: str | None = None):
+        if not tables:
+            raise ValueError("at least one table is required")
+        self.url = url
+        self.tables = list(tables)
+        # fences are per-SINK here, not per-table: one ledger, one truth
+        self._fence = JdbcExactlyOnceSink(
+            url, tables[0], fence_table=fence_table or f"{tables[0]}_commits")
+
+    @property
+    def fence_table(self) -> str:
+        return self._fence.fence_table
+
+    def is_committed(self, spark: SparkSession, batch_id: int) -> bool:
+        return self._fence.is_committed(spark, batch_id)
+
+    def _stage_name(self, table: str, batch_id: int) -> str:
+        return f"{table}_stage_{batch_id}"
+
+    def _stage(self, spark: SparkSession, batch_id: int,
+               frames: dict[str, DataFrame]) -> None:
+        conn = self._fence._conn(spark)
+        try:
+            for table in frames:
+                stage = self._stage_name(table, batch_id)
+                self._fence._drop_if_exists(conn, stage)  # crash leftovers
+                st = conn.createStatement()
+                st.execute(f"CREATE TABLE {stage} AS SELECT * FROM {table} "
+                           "WITH NO DATA")
+                st.close()
+        finally:
+            conn.close()
+        for table, df in frames.items():
+            (df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+             .write.mode("append")
+             .format("jdbc").option("url", self.url)
+             .option("dbtable", self._stage_name(table, batch_id)).save())
+
+    def _promote(self, spark: SparkSession, batch_id: int,
+                 tables: list[str]) -> None:
+        """ALL tables' promotes + the fence insert under one commit."""
+        conn = self._fence._conn(spark)
+        try:
+            conn.setAutoCommit(False)
+            for table in tables:
+                ps = conn.prepareStatement(
+                    f"DELETE FROM {table} WHERE batch_id = ?")
+                ps.setLong(1, batch_id)
+                ps.executeUpdate()
+                ps.close()
+                st = conn.createStatement()
+                st.execute(f"INSERT INTO {table} SELECT DISTINCT * FROM "
+                           f"{self._stage_name(table, batch_id)}")
+                st.close()
+            ps = conn.prepareStatement(
+                f"INSERT INTO {self.fence_table} VALUES (?)")
+            ps.setLong(1, batch_id)
+            ps.executeUpdate()
+            ps.close()
+            conn.commit()  # the ONE atomic publication point, all tables
+            conn.setAutoCommit(True)
+            for table in tables:
+                self._fence._drop_if_exists(
+                    conn, self._stage_name(table, batch_id))
+        finally:
+            conn.close()
+
+    def write_batch(self, spark: SparkSession, batch_id: int,
+                    frames: dict[str, DataFrame]) -> None:
+        unknown = set(frames) - set(self.tables)
+        if unknown:
+            raise ValueError(f"unknown tables: {sorted(unknown)}")
+        if self.is_committed(spark, batch_id):
+            conn = self._fence._conn(spark)
+            try:
+                for table in self.tables:
+                    self._fence._drop_if_exists(
+                        conn, self._stage_name(table, batch_id))
+            finally:
+                conn.close()
+            return
+        self._stage(spark, batch_id, frames)
+        self._promote(spark, batch_id, sorted(frames))
+
+    def read_committed(self, spark: SparkSession, table: str) -> DataFrame:
+        if table not in self.tables:
+            raise ValueError(f"unknown table: {table}")
+        reader = JdbcExactlyOnceSink(self.url, table,
+                                     fence_table=self.fence_table)
+        return reader.read_committed(spark)
+
+
 def shutdown_embedded_derby(spark: SparkSession, url: str) -> None:
     """Shut down one embedded Derby database (``jdbc:derby:<path>``) so a
     long-lived driver JVM doesn't accumulate booted databases (page cache,

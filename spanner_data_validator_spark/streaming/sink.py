@@ -96,6 +96,159 @@ class ExactlyOnceParquetSink:
         return spark.read.parquet(*paths)
 
 
+class AtomicMultiParquetSink:
+    """Batch-fenced parquet sink where ONE commit marker covers N logical
+    tables — the atomic-two-table upgrade (VERDICT r4 #5).
+
+    ``ExactlyOnceParquetSink`` fences each table separately, so a crash
+    between the report commit and the conflict-rows commit publishes a
+    report whose conflict rows are missing until the batch replays
+    (``TallyForeachBatch`` heals on replay, but a reader in the crash
+    window sees the torn state). Here every table's batch directory is
+    STAGED first and the single ``_commits/<id>`` marker — one atomic
+    ``os.replace`` — is the only publication point: readers gate every
+    table on that marker, so all tables of a batch become visible
+    together or not at all. Replays overwrite the same staged dirs and
+    re-create the same marker — idempotent. The reference writes its
+    report + conflicting-rows as two independent sinks
+    (JDBCToSpannerDVTWithHash.java:393-415, 468-469) with no such
+    atomicity; on Iceberg the equivalent is a single multi-table
+    transaction (or one table with a type column).
+    """
+
+    def __init__(self, out_dir: str, tables: list[str]):
+        if not tables:
+            raise ValueError("at least one table is required")
+        self.out_dir = out_dir
+        self.tables = list(tables)
+        os.makedirs(os.path.join(out_dir, "_commits"), exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.out_dir, "_commits", str(batch_id))
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._marker(batch_id))
+
+    def data_path(self, table: str, batch_id: int) -> str:
+        return os.path.join(self.out_dir, table, f"batch={batch_id}")
+
+    def committed_rows(self, batch_id: int) -> dict[str, int] | None:
+        try:
+            with open(self._marker(batch_id)) as f:
+                return json.load(f)["rows"]
+        except FileNotFoundError:
+            return None
+
+    # write/commit split so tests can prove both-or-neither by crashing
+    # between the two steps
+    def _write_data(self, batch_id: int,
+                    frames: dict[str, DataFrame | None]) -> dict[str, int]:
+        unknown = set(frames) - set(self.tables)
+        if unknown:
+            raise ValueError(f"unknown tables: {sorted(unknown)}")
+        rows: dict[str, int] = {}
+        for table in self.tables:
+            if table not in frames:
+                continue  # absent tables are the CALLER's to count (or 0)
+            df = frames[table]
+            n = 0
+            target = self.data_path(table, batch_id)
+            if df is not None:
+                df.write.mode("overwrite").parquet(target)
+                n = df.sparkSession.read.parquet(target).count()
+                if n == 0:
+                    shutil.rmtree(target, ignore_errors=True)
+            rows[table] = n
+        return rows
+
+    def _commit(self, batch_id: int, rows: dict[str, int]) -> None:
+        tmp = self._marker(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "rows": rows}, f)
+        os.replace(tmp, self._marker(batch_id))  # the ONE atomic commit point
+
+    def write_batch(self, batch_id: int,
+                    frames: dict[str, DataFrame | None]) -> dict[str, int] | None:
+        """Stage every table's batch, then commit once. Returns per-table
+        rows written, or None for a replayed already-committed batch."""
+        if self.is_committed(batch_id):
+            return None
+        rows = self._write_data(batch_id, frames)
+        self._commit(batch_id, rows)
+        return rows
+
+    def read_committed(self, spark: SparkSession,
+                       table: str) -> DataFrame | None:
+        """Exactly the marker-backed batches of one table — a batch whose
+        marker is missing is invisible for EVERY table."""
+        if table not in self.tables:
+            raise ValueError(f"unknown table: {table}")
+        commits_dir = os.path.join(self.out_dir, "_commits")
+        paths = []
+        for name in sorted(os.listdir(commits_dir)):
+            if not name.isdigit():
+                continue
+            with open(os.path.join(commits_dir, name)) as f:
+                meta = json.load(f)
+            if meta["rows"].get(table, 0) > 0:
+                paths.append(self.data_path(table, int(name)))
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+
+class AtomicTallySink:
+    """``TallyForeachBatch`` under ONE fence: classified rows, per-window
+    tallies, and mismatch rows of a micro-batch become visible together
+    or not at all. Same derivation discipline — one pass over the
+    streamed join output (write rows, then derive tallies/mismatches from
+    the just-written columnar batch, which is readable pre-commit because
+    staging is by directory, publication by marker)."""
+
+    def __init__(self, out_dir: str, *, window_duration: str = "1 hour"):
+        self.sink = AtomicMultiParquetSink(
+            out_dir, ["classified", "tallies", "mismatches"])
+        self.window_duration = window_duration
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if self.sink.is_committed(batch_id):
+            return
+        rows = self.sink._write_data(batch_id, {"classified": batch_df})
+        if rows["classified"] == 0:
+            self.sink._commit(batch_id, {**rows, "tallies": 0,
+                                         "mismatches": 0})
+            return
+        spark = batch_df.sparkSession
+        stored = spark.read.parquet(
+            self.sink.data_path("classified", batch_id))
+        tallies = (
+            stored.groupBy(F.window("ts", self.window_duration).alias("w"),
+                           "status")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "status", "n"))
+        rows.update(self.sink._write_data(
+            batch_id, {"tallies": tallies,
+                       "mismatches": stored.where(F.col("status") != "MATCH")}))
+        self.sink._commit(batch_id, rows)
+
+    def read_rows(self, spark: SparkSession) -> DataFrame | None:
+        return self.sink.read_committed(spark, "classified")
+
+    def read_mismatches(self, spark: SparkSession) -> DataFrame | None:
+        return self.sink.read_committed(spark, "mismatches")
+
+    def report(self, spark: SparkSession) -> DataFrame | None:
+        from pyspark.sql import functions as F
+
+        partials = self.sink.read_committed(spark, "tallies")
+        if partials is None:
+            return None
+        return partials.groupBy("window_start", "status").agg(
+            F.sum("n").alias("n"))
+
+
 def build_merge_sql(table: str, view: str, key_cols: list[str]) -> str:
     """The exactly-once upsert statement the Iceberg sink executes per batch.
 
