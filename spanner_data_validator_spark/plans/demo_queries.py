@@ -1663,6 +1663,68 @@ def q_validate_stream_atomic_totals(spark, sf_dir):
     return _run_stream_totals(spark, sf_dir, "join", atomic=True)
 
 
+def _revalidate_oracle() -> str:
+    base = _ev_transcript_cte().split("cls AS (")[0]
+    return base + """cls AS (
+  SELECT CAST(CAST(coalesce(s.conv_id, t.conv_id) AS BIGINT) % 8 AS INT)
+           AS range_id,
+         CASE WHEN s.text IS NOT NULL AND t.text IS NOT NULL THEN
+                CASE WHEN s.role = t.role AND s.text = t.text
+                     THEN 'MATCH' ELSE 'MISMATCH' END
+              WHEN t.text IS NULL THEN 'SOURCE_ONLY' ELSE 'TARGET_ONLY' END AS status
+  FROM src s FULL OUTER JOIN tgt t
+    ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+)
+SELECT range_id, status, CAST(count(*) AS BIGINT) AS n
+FROM cls GROUP BY range_id, status
+"""
+
+
+@register("revalidate_delta", _revalidate_oracle())
+def q_revalidate_delta(spark, sf_dir):
+    """Incremental revalidation driven by checkpoint lineage
+    (jobs/revalidate): a streaming validation run covers the initial
+    corpus (all conversations except conv % 40 = 5); a nightly drop then
+    lands the held-out conversations — all in range 5 (conv % 8) — as new
+    files. ``delta_ranges`` diffs the checkpoint WAL's committed file
+    manifests against the directory listing, finds exactly range 5 dirty,
+    and ONLY that range's files are re-read and re-classified (scan-scope
+    law pinned in tests/test_revalidate.py); unchanged ranges reuse the
+    sink's committed results. The merged per-(range, status) report must
+    equal a FULL revalidation of the final corpus — which is the oracle."""
+    import tempfile
+
+    from spanner_data_validator_spark.jobs.revalidate import (
+        revalidate_delta_report, write_ranged_transcripts)
+    from spanner_data_validator_spark.jobs.validate_transcripts import (
+        append_sentinel, run_streaming_validation)
+
+    src = transcripts_from_events(spark, sf_dir).persist()
+    tgt = _events_transcript_target(src)
+    is_delta = F.col("conv_id").cast("long") % 40 == 5
+    work = tempfile.mkdtemp(prefix="sdv_q_revalidate_")
+    src_dir, tgt_dir = f"{work}/src", f"{work}/tgt"
+    try:
+        write_ranged_transcripts(src.where(~is_delta), spark, src_dir,
+                                 tag="init")
+        write_ranged_transcripts(tgt.where(~is_delta), spark, tgt_dir,
+                                 tag="init")
+        append_sentinel(spark, src_dir, tgt_dir)
+        with _shuffle_partitions(spark, 16):
+            sink = run_streaming_validation(
+                spark, src_dir, tgt_dir, f"{work}/out", f"{work}/ckpt",
+                watermark="10 minutes", band="2 hours")
+        # the nightly drop: whole new conversations, all in range 5
+        write_ranged_transcripts(src.where(is_delta), spark, src_dir,
+                                 tag="delta")
+        write_ranged_transcripts(tgt.where(is_delta), spark, tgt_dir,
+                                 tag="delta")
+        return revalidate_delta_report(spark, sink, f"{work}/ckpt",
+                                       src_dir, tgt_dir)
+    finally:
+        src.unpersist()
+
+
 @register("validate_stream_stateful_totals", _ev_transcript_cte(_STATEFUL_USER_MOD))
 def q_validate_stream_stateful_totals(spark, sf_dir):
     """Same streaming run through the applyInPandasWithState classifier
