@@ -176,3 +176,51 @@ def revalidate_delta_report(spark: SparkSession, sink, checkpoint: str,
              .withColumn("range_id", rid)
              .groupBy("range_id", "status").agg(F.count("*").alias("n")))
     return prior.unionByName(fresh)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit surface for the nightly delta re-check::
+
+        spark-submit --py-files sdv.zip \
+            -m spanner_data_validator_spark.jobs.revalidate \
+            --source /path/src --target /path/tgt \
+            --checkpoint /path/ckpt --prior-out /path/out \
+            --report /path/delta_report
+
+    ``--checkpoint`` / ``--prior-out`` are the previous streaming
+    validation run's checkpoint and sink directory; the merged
+    per-(range, status) report lands under ``--report``.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--target", required=True)
+    ap.add_argument("--checkpoint", required=True,
+                    help="previous run's streaming checkpoint (the ledger)")
+    ap.add_argument("--prior-out", required=True,
+                    help="previous run's TallyForeachBatch sink directory")
+    ap.add_argument("--report", required=True)
+    ap.add_argument("--n-ranges", type=int, default=8)
+    ap.add_argument("--algo", choices=["xxhash64", "sha256"],
+                    default="xxhash64")
+    ap.add_argument("--band", default="2 hours")
+    args = ap.parse_args(argv)
+
+    from spanner_data_validator_spark.session import get_spark
+    from spanner_data_validator_spark.streaming.sink import TallyForeachBatch
+
+    spark = get_spark(app_name="sdv-revalidate-delta")
+    sink = TallyForeachBatch(args.prior_out)
+    changed = delta_ranges(spark, args.checkpoint, args.source, args.target)
+    print(f"dirty ranges: {sorted(changed) or 'none'}")
+    report = revalidate_delta_report(
+        spark, sink, args.checkpoint, args.source, args.target,
+        n_ranges=args.n_ranges, algo=args.algo, band=args.band)
+    report.write.mode("overwrite").parquet(args.report)
+    for r in report.orderBy("range_id", "status").collect():
+        print(f"range {r['range_id']:>3}  {r['status']:<12} {r['n']}")
+
+
+if __name__ == "__main__":
+    main()
