@@ -1849,7 +1849,11 @@ def q_stream_dedup_lang_counts(spark, sf_dir):
     dropDuplicatesWithinWatermark keyed on the 8-byte text fingerprint
     (streaming/dedup_stream.dedup_text_stream), append-sinked, then counted
     per language. The watermark horizon (2h) exceeds the event-time spread
-    (10 min), so the streaming result equals batch distinct-text counts."""
+    (10 min), so the streaming result equals batch distinct-text counts.
+    Dedup state is keyed (lang, text_fp): per-language dedup — a GLOBAL
+    key would let arrival order pick which language keeps a text that
+    appears under several (7 such texts at sf0.1), which no batch oracle
+    can replay."""
     import tempfile
 
     from spanner_data_validator_spark.streaming.dedup_stream import (
@@ -1871,7 +1875,8 @@ def q_stream_dedup_lang_counts(spark, sf_dir):
 
     stream = (spark.readStream.schema(corpus.schema)
               .option("maxFilesPerTrigger", 1).parquet(in_dir))
-    deduped = dedup_text_stream(stream, "text", ts_col="ts", delay="2 hours")
+    deduped = dedup_text_stream(stream, "text", ts_col="ts", delay="2 hours",
+                                scope_cols=["lang"])
     q = (deduped.select("lang", "text_fp")
          .writeStream.format("parquet")
          .option("path", f"{work}/out")
@@ -2109,8 +2114,11 @@ def _ivfpq_setup(spark, sf_dir):
     if cached is not None:
         return cached
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    fx = F.transform("embedding",
-                     lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"))
+    # DOUBLE cast before the multiply: see q_pq_quantize_stats (DuckDB
+    # FLOAT*INT stays FLOAT; Spark widens — divergent at sf0.1 scale)
+    fx = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"))
     vecs = emb.select("vec_id", fx.alias("vi"))
     coarse = [list(r[0]) for r in
               vecs.where(F.col("vec_id") % 61 == 3).orderBy("vec_id")
@@ -10506,13 +10514,13 @@ def q_recursive_cte_native(spark, sf_dir):
 WITH v AS (
   SELECT vec_id,
          list_transform(embedding,
-           x -> CAST(floor(x * 1000 + 0.5e0) AS BIGINT)) AS vi
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5e0) AS BIGINT)) AS vi
   FROM embeddings
 ),
 cb AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
          list_transform(embedding,
-           x -> CAST(floor(x * 1000 + 0.5e0) AS BIGINT)) AS ci
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5e0) AS BIGINT)) AS ci
   FROM (SELECT vec_id, embedding FROM embeddings
         WHERE vec_id % 61 = 3 ORDER BY vec_id LIMIT 8)
 ),
@@ -10556,9 +10564,13 @@ def q_pq_quantize_stats(spark, sf_dir):
     from spanner_data_validator_spark.operators.quantize import pq_assign
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    fx = F.transform(  # floor(x+0.5), NOT round(): Spark HALF_UP rounds
-        "embedding",   # negative halves away from zero, oracle floor
-        lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"))  # doesn't
+    # floor(double(x)+0.5), NOT round(): Spark HALF_UP rounds negative
+    # halves away from zero, oracle floor doesn't. The DOUBLE cast is
+    # load-bearing on BOTH sides: DuckDB FLOAT*INT multiplies in FLOAT
+    # precision (2 divergent elements at sf0.1), Spark widens to double.
+    fx = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"))
     vecs = emb.select("vec_id", fx.alias("vi"))
     from pyspark.sql import Window
     cb = (emb.where(F.col("vec_id") % 61 == 3)

@@ -34,8 +34,17 @@ def streaming_first_seen(stream: DataFrame, key_cols: list[str], *,
 
 
 def dedup_text_stream(stream: DataFrame, text_col: str, *, ts_col: str,
-                      delay: str, fp_col: str = "text_fp") -> DataFrame:
+                      delay: str, fp_col: str = "text_fp",
+                      scope_cols: list[str] | None = None) -> DataFrame:
     """Text-stream convenience: state keyed on the 8-byte xxhash64
-    fingerprint of the text, not the text bytes (state stays ~40 B/doc)."""
+    fingerprint of the text, not the text bytes (state stays ~40 B/doc).
+
+    ``scope_cols`` extends the dedup key (e.g. ``["lang"]`` for per-language
+    dedup). Without a scope the dedup is GLOBAL and the surviving row for a
+    text duplicated across scopes is whichever ARRIVED first — an
+    order-dependent outcome no batch oracle can replay; scope the key when
+    downstream aggregates group by that column (hit at sf0.1: 7 texts
+    appear under more than one lang, ORACLE_SWEEP_SF01 r5)."""
     with_fp = stream.withColumn(fp_col, F.xxhash64(F.col(text_col)))
-    return streaming_first_seen(with_fp, [fp_col], ts_col=ts_col, delay=delay)
+    keys = list(scope_cols or []) + [fp_col]
+    return streaming_first_seen(with_fp, keys, ts_col=ts_col, delay=delay)
