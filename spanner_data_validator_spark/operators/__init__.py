@@ -151,3 +151,10 @@ from spanner_data_validator_spark.operators.skyline import (  # noqa: F401
 from spanner_data_validator_spark.operators.quantize import (  # noqa: F401
     pq_assign,
 )
+from spanner_data_validator_spark.operators.lateness import (  # noqa: F401
+    arrival_lag,
+    watermark_recommendation,
+)
+from spanner_data_validator_spark.operators.survivorship import (  # noqa: F401
+    golden_records,
+)

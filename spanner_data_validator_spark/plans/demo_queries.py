@@ -10756,3 +10756,144 @@ def q_stream_anti_join_blocklist(spark, sf_dir):
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_allowed"),
                  F.sum("user_id").alias("user_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Watermark recommendation (operators/lateness.py): the out-of-orderness
+# profile that turns the streaming tier's most consequential knob — the
+# watermark delay — into a measurement (distributed prefix max, exact
+# integer percentile ranks; see the module docstring for the 10^12-row plan)
+# ---------------------------------------------------------------------------
+
+# deterministic late-arrival model, identical arithmetic in both engines:
+# 10% of events arrive 30 min late, 1% arrive 4 h late, the rest in event
+# order. arrival = (ms + delay_ms) * 2^20 + event_id % 2^20 is UNIQUE
+# (event_id < 2^20 at every test sf) and monotone in delayed-arrival time.
+_ARRIVAL_SQL = ("(epoch_us(ts) // 1000 + CASE WHEN event_id % 10 = 0 "
+                "THEN 1800000 WHEN event_id % 100 = 7 THEN 14400000 "
+                "ELSE 0 END) * 1048576 + event_id % 1048576")
+_ARRIVAL_SPARK = ("(unix_micros(cast(ts as timestamp)) div 1000 + CASE WHEN event_id % 10 = 0 "
+                  "THEN 1800000 WHEN event_id % 100 = 7 THEN 14400000 "
+                  "ELSE 0 END) * 1048576 + event_id % 1048576")
+
+
+def _watermark_recommend_oracle() -> str:
+    from spanner_data_validator_spark.operators.lateness import (
+        watermark_recommendation_sql,
+    )
+
+    return watermark_recommendation_sql(
+        f"SELECT {_ARRIVAL_SQL} AS arrival, ts FROM events",
+        "arrival", "ts")
+
+
+@register("watermark_recommend", _watermark_recommend_oracle())
+def q_watermark_recommend(spark, sf_dir):
+    """Watermark auto-tuning: per-row event-time lag behind the arrival-order
+    high-water mark (operators/lateness.arrival_lag — a distributed PREFIX
+    MAX: arrival-range bucket maxima + tiny exclusive scan + per-bucket
+    window; no single-task pass over row-scale data), reduced to an exact
+    ceil-second histogram, answering "the smallest watermark delay that
+    retains >= 50/95/99/100% of rows" in pure BIGINT rank arithmetic. The
+    oracle replays it with one running-max window over the same planted
+    late-arrival pattern. This is the measurement that sizes the streaming
+    validator's state (BENCH.md: state = rate x (watermark + band))."""
+    from spanner_data_validator_spark.operators.lateness import (
+        watermark_recommendation,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.expr(_ARRIVAL_SPARK).alias("arrival"), "ts"))
+    return watermark_recommendation(
+        ev, F.col("arrival"), F.col("ts"), pcts=(50, 95, 99, 100))
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship (operators/survivorship.py): the merge step
+# downstream of near-dup clustering — one deterministic best record per
+# entity cluster (longest-text winner, consensus lang, source fan-in)
+# ---------------------------------------------------------------------------
+
+_GOLDEN_CORPUS = """
+corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'XX ' || text AS text, lang,
+         'mirror' AS source, n_chars + 3 AS n_chars
+  FROM documents WHERE doc_id % 20 = 0
+)
+"""
+
+_GOLDEN_SQL = ("WITH RECURSIVE "
+               + _JACCARD_CTES.replace(_NEARDUP_CORPUS, _GOLDEN_CORPUS)
+               + f""",
+pairs AS ({_JACCARD_SELECT}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node WHERE w.label < e.v
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node),
+labeled AS (
+  SELECT c.*, comp.component FROM corpus c JOIN comp USING (doc_id)
+),
+ranked AS (
+  SELECT labeled.*, row_number() OVER (
+    PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM labeled
+),
+g AS (
+  SELECT component,
+         max(CASE WHEN rk = 1 THEN doc_id END) AS rep_id,
+         max(CASE WHEN rk = 1 THEN n_chars END) AS text_len,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_source
+  FROM ranked GROUP BY component
+),
+lm AS (
+  SELECT component, lang AS lang_mode FROM (
+    SELECT component, lang, row_number() OVER (
+      PARTITION BY component ORDER BY count(*) DESC, lang ASC) AS rk
+    FROM labeled WHERE lang IS NOT NULL GROUP BY component, lang
+  ) WHERE rk = 1
+)
+SELECT g.component, g.rep_id, g.text_len, g.n_rows, g.n_source, lm.lang_mode
+FROM g LEFT JOIN lm USING (component)
+""")
+
+
+@register("golden_record_merge", _GOLDEN_SQL)
+def q_golden_record_merge(spark, sf_dir):
+    """Survivorship merge over near-dup clusters: exact-Jaccard pairs ->
+    connected components -> one golden record per cluster via deterministic
+    total-order rules (operators/survivorship.golden_records): longest-text
+    winner carries rep_id + text_len (ties to the smallest doc_id), lang by
+    frequency mode (ties to the smallest value — NOT arrival order, the
+    dedup_text_stream trap), plus row and distinct-source counts. Single
+    cluster-keyed shuffle for the extrema; the mode is a two-level agg whose
+    first level splits hot clusters across value groups map-side."""
+    from spanner_data_validator_spark.operators.dedup import assign_components
+    from spanner_data_validator_spark.operators.survivorship import (
+        golden_records,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("XX "), F.col("text")).alias("text"),
+            "lang", F.lit("mirror").alias("source"),
+            (F.col("n_chars") + 3).alias("n_chars")))
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    pairs = jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.7,
+                          max_shingle_df=_MAX_SHINGLE_DF)
+    labeled = assign_components(corpus, pairs, "doc_id")
+    return golden_records(
+        labeled, "component", "doc_id",
+        rules={"text_len": ("longest", "n_chars", "n_chars"),
+               "lang_mode": ("mode", "lang")},
+        count_distinct=["source"])

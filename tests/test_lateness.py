@@ -1,0 +1,113 @@
+"""operators/lateness: distributed prefix-max lag == single-window truth,
+and the watermark recommendation's retention contract."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spanner_data_validator_spark.operators.lateness import (
+    arrival_lag,
+    lag_histogram,
+    watermark_recommendation,
+)
+
+
+def _corpus(seed: int, n: int) -> pd.DataFrame:
+    """Deterministic scrambled-arrival corpus: unique arrival, ts with
+    planted disorder (some rows carry old event times)."""
+    import random
+
+    rng = random.Random(seed)
+    base = 1_700_000_000_000_000  # us
+    rows = []
+    frontier = base
+    for i in range(n):
+        frontier += rng.randrange(1, 5_000_000)
+        ts = frontier - (rng.randrange(0, 60_000_000)
+                         if rng.random() < 0.3 else 0)
+        rows.append((i * 7 + 3, ts))  # arrival unique, gappy
+    return pd.DataFrame(rows, columns=["arrival", "us"])
+
+
+def _spark_lags(spark, pdf: pd.DataFrame, n_buckets: int) -> dict[int, int]:
+    df = spark.createDataFrame(pdf).select(
+        "arrival", F.timestamp_micros(F.col("us")).alias("ts"))
+    out = arrival_lag(df, F.col("arrival"), F.col("ts"), n_buckets=n_buckets)
+    return {r["arrival"]: r["lag_us"] for r in out.collect()}
+
+
+def _truth_lags(pdf: pd.DataFrame) -> dict[int, int]:
+    run, out = -1 << 62, {}
+    for _, r in pdf.sort_values("arrival").iterrows():
+        run = max(run, int(r.us))
+        out[int(r.arrival)] = run - int(r.us)
+    return out
+
+
+@pytest.mark.parametrize("seed,n,buckets", [(1, 200, 8), (2, 500, 1024),
+                                            (3, 64, 1), (4, 300, 7)])
+def test_arrival_lag_matches_single_pass_truth(spark, seed, n, buckets):
+    pdf = _corpus(seed, n)
+    assert _spark_lags(spark, pdf, buckets) == _truth_lags(pdf)
+
+
+def test_arrival_lag_bucket_boundaries_do_not_matter(spark):
+    pdf = _corpus(9, 257)
+    assert _spark_lags(spark, pdf, 2) == _spark_lags(spark, pdf, 251)
+
+
+def test_watermark_recommendation_retention_contract(spark):
+    """For every returned (pct, watermark_s, rows_within): rows_within rows
+    have ceil-second lag <= watermark_s, rows_within >= ceil(pct*n/100),
+    and watermark_s is minimal (watermark_s - 1 retains fewer than the
+    rank)."""
+    pdf = _corpus(11, 400)
+    df = spark.createDataFrame(pdf).select(
+        "arrival", F.timestamp_micros(F.col("us")).alias("ts"))
+    rec = {r["pct"]: (r["watermark_s"], r["rows_within"])
+           for r in watermark_recommendation(
+               df, F.col("arrival"), F.col("ts"),
+               pcts=(50, 90, 99, 100)).collect()}
+    truth = _truth_lags(pdf)
+    need_s = sorted((lag + 999_999) // 1_000_000 for lag in truth.values())
+    n = len(need_s)
+    for pct, (w, within) in rec.items():
+        rank = -(-pct * n // 100)  # ceil
+        assert within == sum(1 for s in need_s if s <= w)
+        assert within >= rank
+        if w > 0:
+            assert sum(1 for s in need_s if s <= w - 1) < rank
+    assert rec[100][0] == max(need_s)
+    assert rec[100][1] == n
+
+
+def test_in_order_stream_recommends_zero(spark):
+    pdf = pd.DataFrame({"arrival": range(100),
+                        "us": [1_700_000_000_000_000 + i * 1_000_000
+                               for i in range(100)]})
+    df = spark.createDataFrame(pdf).select(
+        "arrival", F.timestamp_micros(F.col("us")).alias("ts"))
+    rows = watermark_recommendation(
+        df, F.col("arrival"), F.col("ts"), pcts=(50, 100)).collect()
+    assert all(r["watermark_s"] == 0 for r in rows)
+    assert all(r["rows_within"] == 100 for r in rows)
+
+
+def test_lag_histogram_is_ceil_seconds(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"lag_us": [0, 1, 999_999, 1_000_000, 1_000_001,
+                                 2_500_000]}))
+    got = {r["lag_s"]: r["n"] for r in lag_histogram(df).collect()}
+    assert got == {0: 1, 1: 3, 2: 1, 3: 1}
+
+
+def test_bad_pct_rejected(spark):
+    df = spark.range(3).select(
+        F.col("id").alias("arrival"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"))
+    with pytest.raises(ValueError):
+        watermark_recommendation(df, F.col("arrival"), F.col("ts"),
+                                 pcts=(0,))
+    with pytest.raises(ValueError):
+        watermark_recommendation(df, F.col("arrival"), F.col("ts"),
+                                 pcts=(99.5,))
