@@ -111,3 +111,25 @@ def test_bad_pct_rejected(spark):
     with pytest.raises(ValueError):
         watermark_recommendation(df, F.col("arrival"), F.col("ts"),
                                  pcts=(99.5,))
+
+
+def test_recommend_watermark_cli(spark, tmp_path, capsys):
+    """jobs/recommend_watermark end-to-end: parquet in, JSON out."""
+    import json
+
+    from spanner_data_validator_spark.jobs.recommend_watermark import main
+
+    pdf = _corpus(21, 150)
+    df = spark.createDataFrame(pdf).select(
+        "arrival", F.timestamp_micros(F.col("us")).alias("ts"))
+    df.write.parquet(str(tmp_path / "in"))
+    out_json = tmp_path / "rec.json"
+    main(["--input", str(tmp_path / "in"), "--arrival", "arrival",
+          "--ts", "ts", "--pcts", "50,100", "--json", str(out_json)])
+    rows = json.loads(out_json.read_text())
+    assert [r["pct"] for r in rows] == [50, 100]
+    truth = _truth_lags(pdf)
+    max_need = max((l + 999_999) // 1_000_000 for l in truth.values())
+    assert rows[1]["watermark_s"] == max_need
+    assert rows[1]["rows_within"] == len(pdf)
+    assert "RECOMMEND_RESULT" in capsys.readouterr().out
