@@ -10897,3 +10897,72 @@ def q_golden_record_merge(spark, sf_dir):
         rules={"text_len": ("longest", "n_chars", "n_chars"),
                "lang_mode": ("mode", "lang")},
         count_distinct=["source"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming drop-risk monitor (streaming/lag_monitor.py): the in-stream twin
+# of watermark_recommend — per-wave delivery-lag tallies with exactly-once
+# partials, published as the corpus retention curve
+# ---------------------------------------------------------------------------
+
+_LAG_MONITOR_WAVES = 16
+
+_LAG_MONITOR_SQL = f"""
+WITH e AS (SELECT {_ARRIVAL_SQL} AS arrival, epoch_us(ts) AS us FROM events),
+b AS (SELECT min(arrival) AS amin,
+             (max(arrival) - min(arrival)) // {_LAG_MONITOR_WAVES} + 1 AS step
+      FROM e),
+w AS (SELECT (arrival - amin) // step AS wave, us FROM e, b),
+m AS (SELECT wave, max(us) AS mx FROM w GROUP BY wave),
+c AS (SELECT wave, max(mx) OVER (ORDER BY wave
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw_prev FROM m),
+l AS (SELECT CASE WHEN c.hw_prev IS NULL OR c.hw_prev <= w.us THEN 0
+                  ELSE (c.hw_prev - w.us + 999999) // 1000000 END AS lag_s
+      FROM w JOIN c USING (wave))
+SELECT CAST(lag_s AS BIGINT) AS lag_s, CAST(count(*) AS BIGINT) AS n
+FROM l GROUP BY lag_s
+"""
+
+
+@register("stream_lag_monitor", _LAG_MONITOR_SQL)
+def q_stream_lag_monitor(spark, sf_dir):
+    """In-stream watermark drop-risk monitor: events under the planted
+    late-arrival model are split into 16 delivery waves by arrival range and
+    streamed one file per micro-batch; streaming/lag_monitor.LagMonitorSink
+    tallies each row's ceil-second lag behind the carried-over delivery
+    high-water mark into exactly-once partials; the published histogram is
+    the read-side sum. The oracle replays wave maxima + exclusive prefix max
+    in SQL. Result rows: how many rows need at least a lag_s-second
+    watermark — the curve an operator reads BEFORE the stream-stream join
+    starts dropping late rows."""
+    import tempfile
+
+    from spanner_data_validator_spark.streaming.lag_monitor import (
+        LagMonitorSink,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.expr(_ARRIVAL_SPARK).alias("arrival"), "ts"))
+    bounds = ev.agg(
+        F.min("arrival").alias("amin"),
+        (F.expr(f"(max(arrival) - min(arrival)) div {_LAG_MONITOR_WAVES}")
+         + F.lit(1)).alias("step"))
+    waved = (ev.crossJoin(F.broadcast(bounds))
+             .select(F.expr("(arrival - amin) div step").alias("wave"), "ts"))
+
+    work = tempfile.mkdtemp(prefix="sdv_q_lagmon_")
+    in_dir = f"{work}/in"
+    # deliver waves in order: sequential single-file appends give strictly
+    # increasing mtimes, which is the file source's admission order
+    for k in range(_LAG_MONITOR_WAVES):
+        (waved.where(F.col("wave") == k).coalesce(1)
+         .write.mode("append").parquet(in_dir))
+
+    monitor = LagMonitorSink(f"{work}/mon")
+    stream = (spark.readStream.schema(waved.schema)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream.writeStream.foreachBatch(monitor)
+         .option("checkpointLocation", f"{work}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return monitor.histogram(spark)
