@@ -10621,8 +10621,11 @@ def q_stream_left_outer_interval(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sdv_q_stream_loj_")
     in_dir = f"{work}/in"
     ev.repartition(4).write.parquet(in_dir)
-    # the sentinel wave must arrive LAST (event-time-ordered waves)
-    sent.coalesce(1).write.mode("append").parquet(f"{in_dir}/zz_sentinel")
+    # the sentinel wave must arrive LAST (event-time-ordered waves).
+    # repartition(1), NOT coalesce(1): the sentinel is a python-local
+    # relation in defaultParallelism slices, and coalesce makes ONE task
+    # evaluate all of them serially (~4 s measured; CLAUDE.md gotcha)
+    sent.repartition(1).write.mode("append").parquet(f"{in_dir}/zz_sentinel")
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 4).parquet(f"{in_dir}/*"))
@@ -10928,14 +10931,17 @@ FROM l GROUP BY lag_s
 def q_stream_lag_monitor(spark, sf_dir):
     """In-stream watermark drop-risk monitor: events under the planted
     late-arrival model are split into 16 delivery waves by arrival range and
-    streamed one file per micro-batch; streaming/lag_monitor.LagMonitorSink
+    streamed two wave-files per micro-batch (multi-wave batches exercise
+    the sink's in-batch carry scan); streaming/lag_monitor.LagMonitorSink
     tallies each row's ceil-second lag behind the carried-over delivery
     high-water mark into exactly-once partials; the published histogram is
     the read-side sum. The oracle replays wave maxima + exclusive prefix max
     in SQL. Result rows: how many rows need at least a lag_s-second
     watermark — the curve an operator reads BEFORE the stream-stream join
     starts dropping late rows."""
+    import os
     import tempfile
+    import time as _time
 
     from spanner_data_validator_spark.streaming.lag_monitor import (
         LagMonitorSink,
@@ -10952,15 +10958,28 @@ def q_stream_lag_monitor(spark, sf_dir):
 
     work = tempfile.mkdtemp(prefix="sdv_q_lagmon_")
     in_dir = f"{work}/in"
-    # deliver waves in order: sequential single-file appends give strictly
-    # increasing mtimes, which is the file source's admission order
+    # ONE staging write job (16 filter-passes over the corpus was 3x the
+    # whole query's cost): partitionBy strips the partition column, so a
+    # doubled column keeps `wave` in the data files; moves into the flat
+    # watch dir get explicit ascending mtimes — the file source's
+    # admission order — so waves deliver in order.
+    tmp = f"{work}/stage"
+    (waved.withColumn("wp", F.col("wave")).repartition("wp")
+     .write.partitionBy("wp").parquet(tmp))
+    os.makedirs(in_dir, exist_ok=True)
+    base = _time.time() - 3600
     for k in range(_LAG_MONITOR_WAVES):
-        (waved.where(F.col("wave") == k).coalesce(1)
-         .write.mode("append").parquet(in_dir))
+        part = f"{tmp}/wp={k}"
+        for i, name in enumerate(sorted(os.listdir(part))):
+            if not name.endswith(".parquet"):
+                continue
+            dst = f"{in_dir}/w{k:04d}_{i}.parquet"
+            os.rename(f"{part}/{name}", dst)
+            os.utime(dst, (base + k, base + k))
 
     monitor = LagMonitorSink(f"{work}/mon")
     stream = (spark.readStream.schema(waved.schema)
-              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+              .option("maxFilesPerTrigger", 2).parquet(in_dir))
     q = (stream.writeStream.foreachBatch(monitor)
          .option("checkpointLocation", f"{work}/ckpt")
          .trigger(availableNow=True).start())

@@ -89,15 +89,18 @@ class LagMonitorSink:
             F.col("__hw_prev").isNull() | (F.col("__hw_prev") <= F.col("__us")),
             F.lit(0).cast("long")).otherwise(
             F.expr("(__hw_prev - __us + 999999) div 1000000"))
-        tal = (b.join(F.broadcast(carry.select("__w", "__hw_prev")), "__w")
-               .groupBy(F.col("__w").alias("wave"), lag_s.alias("lag_s"))
-               .agg(F.count(F.lit(1)).alias("n")))
         # running high-water THROUGH each wave: its own max joined with the
         # carried-in prefix (an earlier wave in this batch may hold the
-        # frontier — dropping it here would deflate later batches' lags)
+        # frontier — dropping it here would deflate later batches' lags).
+        # ONE action per batch: tallies and per-wave hw ride the same plan.
         hw_end = F.greatest(F.col("__mx"), F.col("__hw_prev"))
-        per_wave = {r["__w"]: r["hw"] for r in
-                    carry.select("__w", hw_end.alias("hw")).collect()}
+        tal = (b.join(F.broadcast(
+                   carry.select("__w", "__hw_prev",
+                                hw_end.alias("wave_hw_us"))), "__w")
+               .groupBy(F.col("__w").alias("wave"), lag_s.alias("lag_s"),
+                        "wave_hw_us")
+               .agg(F.count(F.lit(1)).alias("n"))).collect()
+        per_wave = {r["wave"]: r["wave_hw_us"] for r in tal}
 
         if per_wave and self._last_wave is not None \
                 and min(per_wave) <= self._last_wave:
@@ -106,9 +109,15 @@ class LagMonitorSink:
                 f"{min(per_wave)} after wave {self._last_wave} — the lag "
                 "attribution would be wrong; fix the delivery ordering")
 
-        rows = [(r["wave"], r["lag_s"], r["n"], per_wave[r["wave"]])
-                for r in tal.collect()]
-        out = spark.createDataFrame(rows, _PARTIAL_SCHEMA) if rows else None
+        rows = [(r["wave"], r["lag_s"], r["n"], r["wave_hw_us"]) for r in tal]
+        # ONE slice, no coalesce: createDataFrame(list) defaults to
+        # defaultParallelism python-RDD slices, and coalescing those into a
+        # single write task evaluates all 32 python partitions SERIALLY in
+        # that task (~4 s/batch measured) — the partials are driver-local
+        # already, so build them as one slice.
+        out = (spark.createDataFrame(
+                   spark.sparkContext.parallelize(rows, 1), _PARTIAL_SCHEMA)
+               if rows else None)
         self.sink(out, batch_id)
         if per_wave:
             top = max(per_wave)
