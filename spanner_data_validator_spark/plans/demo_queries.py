@@ -10985,3 +10985,51 @@ def q_stream_lag_monitor(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return monitor.histogram(spark)
+
+
+# ---------------------------------------------------------------------------
+# File-level quarantine (sources/files.scan_parquet_health): whole-file
+# corruption made a first-class result — the split ignoreCorruptFiles
+# performs silently
+# ---------------------------------------------------------------------------
+
+@register("parquet_health_quarantine", """
+SELECT CAST(3 AS BIGINT) AS n_files_ok,
+       CAST(2 AS BIGINT) AS n_files_bad,
+       CAST(3 * count(*) AS BIGINT) AS rows_ok,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM documents
+""")
+def q_parquet_health_quarantine(spark, sf_dir):
+    """Read a drop directory containing three intact copies of the
+    documents table, one TRUNCATED parquet (torn upload — footer gone)
+    and one non-parquet stray: sources/files.read_with_quarantine
+    footer-validates every file distributedly (metadata-only reads via
+    mapInPandas over the path list), reads only the healthy ones, and
+    reports the quarantine split explicitly. One row:
+    (files ok/bad, rows read, distinct docs)."""
+    import shutil
+    import tempfile
+
+    from spanner_data_validator_spark.sources.files import (
+        read_with_quarantine,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    work = tempfile.mkdtemp(prefix="sdv_q_health_")
+    for i in range(3):
+        shutil.copy(src, f"{work}/c{i}.parquet")
+    with open(src, "rb") as f:
+        head = f.read(4096)
+    with open(f"{work}/torn.parquet", "wb") as f:
+        f.write(head)  # magic bytes present, footer missing
+    with open(f"{work}/stray.parquet", "w") as f:
+        f.write("not parquet at all\n")
+
+    good, health = read_with_quarantine(spark, work)
+    h = health.agg(
+        F.sum(F.col("ok").cast("long")).alias("n_files_ok"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_files_bad"))
+    g = good.agg(F.count(F.lit(1)).alias("rows_ok"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+    return h.crossJoin(g)

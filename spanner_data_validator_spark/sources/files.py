@@ -114,3 +114,76 @@ def split_quarantine(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     bad = (raw.where(F.col(CORRUPT_COL).isNotNull())
            .select(F.col(_RAW_COL).alias(CORRUPT_COL)))
     return good, bad
+
+
+# ---------------------------------------------------------------------------
+# File-level health: parquet footer scan + read-with-quarantine.
+# Row-level quarantine (above) handles lines that don't parse; a 100 TB
+# table's OTHER failure mode is whole files that don't open (truncated
+# upload, torn multipart copy, stray non-parquet debris). Spark's
+# ignoreCorruptFiles=true drops them SILENTLY mid-scan — for a validator,
+# a silent skip is indistinguishable from data loss. This surface makes
+# the split a first-class result instead.
+# ---------------------------------------------------------------------------
+
+def scan_parquet_health(spark: SparkSession, paths: list[str],
+                        *, slices: int | None = None) -> DataFrame:
+    """(path, ok, n_rows, error): footer-validate every file, distributed.
+
+    Each task opens only the parquet FOOTER (pyarrow metadata read — a few
+    KB regardless of file size), so health-checking a 100 TB table costs
+    one metadata round-trip per file, parallelized over the cluster via
+    ``mapInPandas`` on the path list. ``n_rows`` is the footer's row count
+    for readable files (0 with ``ok=false`` otherwise).
+    """
+    if not paths:
+        return spark.createDataFrame(
+            [], "path string, ok boolean, n_rows long, error string")
+    n = slices or min(len(paths), spark.sparkContext.defaultParallelism)
+    pdf = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths], n),
+        "path string")
+
+    def check(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for p in b["path"]:
+                try:
+                    md = pq.ParquetFile(p).metadata
+                    rows.append((p, True, md.num_rows, None))
+                except Exception as e:  # noqa: BLE001 — the point is the split
+                    rows.append((p, False, 0, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows,
+                               columns=["path", "ok", "n_rows", "error"])
+
+    return pdf.mapInPandas(
+        check, "path string, ok boolean, n_rows long, error string")
+
+
+def read_with_quarantine(spark: SparkSession, directory: str, *,
+                         suffix: str = ".parquet"
+                         ) -> tuple[DataFrame, DataFrame]:
+    """(good, health): read every HEALTHY parquet file under ``directory``;
+    ``health`` is the full :func:`scan_parquet_health` report (quarantined
+    files are its ``ok=false`` rows — nothing is silently skipped).
+
+    The health scan runs eagerly (it decides the read's file list); its
+    result is tiny (one row per file). Files that appear between the two
+    listings are the caller's snapshot-discipline problem, as with any
+    non-transactional directory read (``sources/snapshots`` is the
+    versioned answer).
+    """
+    import os
+
+    paths = sorted(
+        os.path.join(directory, f) for f in os.listdir(directory)
+        if f.endswith(suffix) and not f.startswith("_"))
+    health = scan_parquet_health(spark, paths).localCheckpoint(eager=True)
+    good_paths = [r["path"] for r in
+                  health.where(F.col("ok")).select("path").collect()]
+    if not good_paths:
+        raise ValueError(f"no readable parquet files in {directory}")
+    return spark.read.parquet(*good_paths), health
