@@ -112,3 +112,79 @@ def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str],
         F.explode(F.sequence(F.lit(0).cast("long"),
                              F.lit(salt_buckets - 1).cast("long"))))
     return b.join(s, on=[*keys, "__salt"], how=how).drop("__salt")
+
+
+def hot_keys(df: DataFrame, key: str | Sequence[str], *,
+             min_count: int | None = None,
+             min_frac: float | None = None) -> DataFrame:
+    """The keys that deserve mitigation: exact per-key counts (two-level
+    hash agg — partial map-side, the exchange carries distinct keys, not
+    rows) filtered to ``count >= min_count`` and/or
+    ``count >= min_frac * total``. Output: key column(s) + ``key_n``.
+
+    The threshold comparison is BIGINT-exact: ``min_frac`` is applied as
+    ``key_n * DENOM >= round(min_frac*DENOM) * total`` so an oracle can
+    replay it without float representability edges.
+    """
+    if min_count is None and min_frac is None:
+        raise ValueError("give min_count and/or min_frac")
+    keys = [key] if isinstance(key, str) else list(key)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_n"))
+    cond = None
+    if min_count is not None:
+        cond = F.col("key_n") >= F.lit(int(min_count))
+    if min_frac is not None:
+        denom = 1_000_000
+        scaled = int(round(min_frac * denom))
+        total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+        counts = counts.crossJoin(F.broadcast(total))
+        frac_cond = (F.col("key_n") * F.lit(denom)
+                     >= F.lit(scaled) * F.col("__total"))
+        cond = frac_cond if cond is None else (cond & frac_cond)
+    return counts.where(cond).drop("__total")
+
+
+def adaptive_salted_join(big: DataFrame, small: DataFrame, on: str,
+                         hot: DataFrame, salt_buckets: int, *,
+                         big_salt_source: Column,
+                         how: str = "inner") -> DataFrame:
+    """:func:`salted_join`, but the small side replicates ONLY the hot
+    keys — the form that survives when the build side is too large to
+    replicate wholesale.
+
+    Uniform salting multiplies the entire small side by ``salt_buckets``;
+    at 100 TB the "small" side of a validator join is often merely
+    *smaller* (a dimension in the millions), and x16 of that is real
+    money. Here ``hot`` (from :func:`hot_keys`, or any tiny key list —
+    broadcast both times it is touched) marks the keys whose rows fan
+    out; every cold key keeps salt 0 on both sides, so the join's shuffle
+    is byte-identical to the unsalted plan for the cold 99.99% and the
+    hot keys split across ``salt_buckets`` partitions. Output rows equal
+    the plain join's exactly (each big row carries one salt; the small
+    side covers that salt exactly once, hot or cold).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r} unsupported: the salt-replicated small side would "
+            "emit one null-extended row per salt for unmatched hot keys; "
+            "use 'inner' or 'left'")
+    hot_marked = F.broadcast(
+        hot.select(F.col(on)).distinct().withColumn("__hot", F.lit(True)))
+    b = (big.join(hot_marked, on, "left")
+         .withColumn(
+             "__salt",
+             F.when(F.col("__hot").isNotNull(),
+                    F.pmod(F.xxhash64(big_salt_source),
+                           F.lit(salt_buckets)))
+             .otherwise(F.lit(0).cast("long")))
+         .drop("__hot"))
+    s = (small.join(hot_marked, on, "left")
+         .withColumn(
+             "__salt",
+             F.explode(
+                 F.when(F.col("__hot").isNotNull(),
+                        F.sequence(F.lit(0).cast("long"),
+                                   F.lit(salt_buckets - 1).cast("long")))
+                 .otherwise(F.array(F.lit(0).cast("long")))))
+         .drop("__hot"))
+    return b.join(s, on=[on, "__salt"], how=how).drop("__salt")

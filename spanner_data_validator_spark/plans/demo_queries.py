@@ -11033,3 +11033,46 @@ def q_parquet_health_quarantine(spark, sf_dir):
     g = good.agg(F.count(F.lit(1)).alias("rows_ok"),
                  F.countDistinct("doc_id").alias("n_docs"))
     return h.crossJoin(g)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive salted join (operators/skew.hot_keys + adaptive_salted_join):
+# salt ONLY detected hot keys — the uniform-salting upgrade for build sides
+# too large to replicate wholesale
+# ---------------------------------------------------------------------------
+
+@register("adaptive_salted_join_agg", """
+WITH big AS (
+  SELECT CASE WHEN user_id % 10 < 4 THEN -1 ELSE user_id END AS k, user_id
+  FROM events
+),
+dim AS (SELECT DISTINCT k, k % 7 AS seg FROM big)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS uid_sum
+FROM big JOIN dim USING (k)
+GROUP BY seg
+""")
+def q_adaptive_salted_join_agg(spark, sf_dir):
+    """Hot-key-adaptive salted join: ~40% of events collapse onto one join
+    key; hot_keys (exact two-level count, BIGINT-exact fraction threshold)
+    detects it, and adaptive_salted_join fans ONLY that key across 16
+    salts — the cold tail's shuffle stays byte-identical to the unsalted
+    plan and the dimension side replicates just the hot rows (uniform
+    salting would 16x the whole dimension). Output equals the plain join
+    bit-for-bit; the oracle IS the plain join."""
+    from spanner_data_validator_spark.operators.skew import (
+        adaptive_salted_join,
+        hot_keys,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("CASE WHEN user_id % 10 < 4 THEN -1 ELSE user_id END")
+        .alias("k"), "user_id", "event_id")
+    dim = ev.select("k").distinct().withColumn("seg", F.expr("k % 7"))
+    hot = hot_keys(ev, "k", min_frac=0.01)
+    joined = adaptive_salted_join(ev, dim, "k", hot, 16,
+                                  big_salt_source=F.col("event_id"))
+    return joined.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("uid_sum"))

@@ -120,3 +120,95 @@ def test_bigram_collocations_is_lazy_and_single_agg_branch(spark):
     # 4 bigrams total: (a,b)x3, (b,a)x1; unigrams a=3,b=3 in doc1+doc2? a:3 b:3
     assert got[("a", "b")] == (4.0 * 3) / (3 * 3)
     assert got[("b", "a")] == (4.0 * 1) / (3 * 3)
+
+
+# --- adaptive (hot-key-only) salting -------------------------------------
+
+def _big_small(spark):
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    rows = [(i, -1 if i % 10 < 4 else i % 50) for i in range(2000)]
+    big = spark.createDataFrame(rows, "id long, k long")
+    small = (big.select("k").distinct()
+             .withColumn("attr", F.col("k") * 3))
+    return big, small
+
+
+def test_hot_keys_thresholds(spark):
+    from spanner_data_validator_spark.operators.skew import hot_keys
+
+    big, _ = _big_small(spark)
+    frac = {r["k"]: r["key_n"]
+            for r in hot_keys(big, "k", min_frac=0.1).collect()}
+    assert set(frac) == {-1} and frac[-1] == 800
+    cnt = {r["k"] for r in hot_keys(big, "k", min_count=40).collect()}
+    # the 30 cold keys hold exactly 40 rows each (1200/30) — all qualify
+    assert -1 in cnt and len(cnt) == 31
+    both = hot_keys(big, "k", min_count=100, min_frac=0.3).collect()
+    assert [r["k"] for r in both] == [-1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hot_keys(big, "k")
+
+
+def test_adaptive_salted_join_equals_plain(spark):
+    from spanner_data_validator_spark.operators.skew import (
+        adaptive_salted_join,
+        hot_keys,
+    )
+
+    big, small = _big_small(spark)
+    hot = hot_keys(big, "k", min_frac=0.1)
+    got = adaptive_salted_join(big, small, "k", hot, 8,
+                               big_salt_source=F.col("id"))
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect()))
+
+
+def test_adaptive_salted_join_left_keeps_unmatched_once(spark):
+    from spanner_data_validator_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    big = spark.createDataFrame([(1, -1), (2, -1), (3, 99)], "id long, k long")
+    small = spark.createDataFrame([(-1, 7)], "k long, attr long")
+    hot = spark.createDataFrame([(-1,)], "k long")
+    out = adaptive_salted_join(big, small, "k", hot, 4,
+                               big_salt_source=F.col("id"), how="left")
+    rows = sorted(map(tuple, out.select("k", "id", "attr").collect()))
+    assert rows == [(-1, 1, 7), (-1, 2, 7), (99, 3, None)]
+
+
+def test_adaptive_salted_join_rejects_right(spark):
+    from spanner_data_validator_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    big, small = _big_small(spark)
+    hot = spark.createDataFrame([(-1,)], "k long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported"):
+        adaptive_salted_join(big, small, "k", hot, 4,
+                             big_salt_source=F.col("id"), how="full")
+
+
+def test_adaptive_salting_replicates_only_hot_rows(spark):
+    """The economics claim: the small side fans out ONLY for hot keys."""
+    from spanner_data_validator_spark.operators.skew import (
+        adaptive_salted_join,
+    )
+
+    big, small = _big_small(spark)
+    hot = spark.createDataFrame([(-1,)], "k long")
+    out = adaptive_salted_join(big, small, "k", hot, 8,
+                               big_salt_source=F.col("id"))
+    # observable via distinct salts landing per key on the big side:
+    salts = (adaptive_salted_join(
+        big.withColumn("probe", F.col("id")), small, "k", hot, 8,
+        big_salt_source=F.col("id"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+    got = {r["k"]: r["n"] for r in salts.collect()}
+    plain = {r["k"]: r["n"] for r in
+             big.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == plain  # exactly-once pairing, hot and cold alike
