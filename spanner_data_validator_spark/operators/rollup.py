@@ -130,3 +130,71 @@ def rollup_validate(
     return cls.select(
         key_col, "status",
         F.col("src_n_turns"), F.col("tgt_n_turns"))
+
+
+def prefix_signatures(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    hash_cols: list[str],
+    *,
+    sig_col: str = "prefix_sig",
+) -> DataFrame:
+    """Input turns + an order-sensitive PREFIX signature per turn: the
+    concatenated per-turn hashes of every turn up to and including this
+    one within the conversation.
+
+    Two conversations share signature at depth d iff their first d+1
+    turns are identical — the primitive for detecting regenerated /
+    branched agent rollouts (same prefix, divergent suffix), a dup class
+    MinHash misses when the shared prefix is a small fraction of both.
+
+    Scale: the window is conversation-partitioned (bounded groups, same
+    argument as :func:`conv_digest`); the signature is 16 bytes per turn
+    of prefix, so a d-turn conversation carries O(d^2) signature bytes —
+    fine for transcripts (thousands of turns), and the downstream
+    ``branch_points`` groupBy is where production would swap the string
+    for ``xxhash64(sig)`` with a verify pass (kept exact here so the
+    oracle replays byte-for-byte).
+    """
+    from pyspark.sql import Window
+
+    h = turn_hash([F.col(c) for c in hash_cols])
+    w = (Window.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("__th", h)
+            .withColumn(sig_col,
+                        F.concat_ws("|", F.collect_list("__th").over(w)))
+            .drop("__th"))
+
+
+def branch_points(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    hash_cols: list[str],
+) -> DataFrame:
+    """(key, n_turns, shared_prefix_turns): for every conversation, the
+    deepest prefix it shares with at least one OTHER conversation
+    (0 = unique from turn one). ``shared_prefix_turns == n_turns`` marks
+    a full duplicate; anything between is a branch point.
+
+    ``order_col`` must be the 0-based dense turn index of the transcript
+    schema (``shared_prefix_turns = max shared index + 1`` relies on it).
+    """
+    sigs = prefix_signatures(df, key_col, order_col, hash_cols)
+    per = sigs.select(key_col, order_col, "prefix_sig")
+    shared = (per.groupBy(order_col, "prefix_sig")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .where(F.col("__n") > 1)
+              .select(order_col, "prefix_sig"))
+    deepest = (per.join(shared, [order_col, "prefix_sig"], "left_semi")
+               .groupBy(key_col)
+               .agg((F.max(order_col) + 1).cast("long")
+                    .alias("shared_prefix_turns")))
+    totals = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_turns"))
+    return (totals.join(deepest, key_col, "left")
+            .select(key_col, F.col("n_turns").cast("long").alias("n_turns"),
+                    F.coalesce("shared_prefix_turns", F.lit(0)).cast("long")
+                    .alias("shared_prefix_turns")))

@@ -11076,3 +11076,80 @@ def q_adaptive_salted_join_agg(spark, sf_dir):
     return joined.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("uid_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Conversation branch detection (operators/rollup.branch_points): shared-
+# prefix families — the dup class of regenerated agent rollouts, which
+# whole-document near-dup (MinHash) misses when the shared prefix is a
+# small fraction of both transcripts
+# ---------------------------------------------------------------------------
+
+_BRANCH_TURN_HASH = ("substr(md5(concat_ws(chr(31), "
+                     "coalesce(CAST(role AS VARCHAR), ''), "
+                     "coalesce(CAST(text AS VARCHAR), ''))), 1, 15)")
+
+_BRANCH_SQL = f"""
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              - 1 AS INT) AS turn_idx,
+         coalesce(event_type, '') AS role,
+         coalesce(props, '') AS text
+  FROM events
+),
+mx AS (SELECT conv_id, max(turn_idx) AS m FROM base GROUP BY conv_id),
+branch AS (
+  SELECT b.conv_id || 'b' AS conv_id, b.turn_idx, b.role,
+         CASE WHEN b.turn_idx * 2 <= mx.m THEN b.text
+              ELSE b.text || '#alt' END AS text
+  FROM base b JOIN mx USING (conv_id)
+  WHERE CAST(b.conv_id AS BIGINT) % 7 = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM branch),
+sig AS (
+  SELECT conv_id, turn_idx,
+         string_agg({_BRANCH_TURN_HASH}, '|') OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix_sig
+  FROM corpus
+),
+sh AS (
+  SELECT turn_idx, prefix_sig FROM sig
+  GROUP BY turn_idx, prefix_sig HAVING count(*) > 1
+),
+per AS (
+  SELECT s.conv_id, CAST(max(s.turn_idx + 1) AS BIGINT) AS shared
+  FROM sig s JOIN sh USING (turn_idx, prefix_sig)
+  GROUP BY s.conv_id
+)
+SELECT c.conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(coalesce(max(p.shared), 0) AS BIGINT) AS shared_prefix_turns
+FROM corpus c LEFT JOIN per p USING (conv_id)
+GROUP BY c.conv_id
+"""
+
+
+@register("conv_branch_detect", _BRANCH_SQL)
+def q_conv_branch_detect(spark, sf_dir):
+    """Regenerated-rollout detection: every 7th conversation gets a planted
+    branch twin sharing the first half of its turns then diverging;
+    rollup.branch_points labels each conversation with the deepest prefix
+    it shares with any other (prefix signatures under conversation-
+    partitioned windows, shared-(depth, sig) semi-join). The oracle replays
+    the identical windowed string_agg construction."""
+    from spanner_data_validator_spark.operators.rollup import branch_points
+
+    base = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text")
+    mx = base.groupBy("conv_id").agg(F.max("turn_idx").alias("m"))
+    branch = (base.join(mx, "conv_id")
+              .where(F.col("conv_id").cast("long") % 7 == 0)
+              .select(F.concat(F.col("conv_id"), F.lit("b")).alias("conv_id"),
+                      "turn_idx", "role",
+                      F.when(F.col("turn_idx") * 2 <= F.col("m"),
+                             F.col("text"))
+                      .otherwise(F.concat(F.col("text"), F.lit("#alt")))
+                      .alias("text")))
+    corpus = base.unionByName(branch)
+    return branch_points(corpus, "conv_id", "turn_idx", ["role", "text"])

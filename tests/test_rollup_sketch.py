@@ -367,3 +367,63 @@ def test_kmv_set_ops_both_empty(spark):
     e = spark.range(0).select(F.col("id").cast("string").alias("v"))
     r = kmv_set_ops(e, F.col("v"), e, F.col("v"), 16).first()
     assert (r["k_used"], r["jaccard_est"], r["inter_est"]) == (0, 0.0, 0.0)
+
+
+# --- prefix signatures / branch points ------------------------------------
+
+def _conv_turns(spark, convs):
+    """convs: {conv_id: [(role, text), ...]} -> transcript frame."""
+    rows = [(c, i, r, t)
+            for c, turns in convs.items() for i, (r, t) in enumerate(turns)]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+
+
+def test_branch_points_families(spark):
+    from spanner_data_validator_spark.operators.rollup import branch_points
+
+    df = _conv_turns(spark, {
+        "a":  [("u", "hi"), ("m", "yes"), ("u", "bye")],
+        "ab": [("u", "hi"), ("m", "yes"), ("u", "CHANGED")],   # branches at 2
+        "b":  [("u", "hi"), ("m", "no")],                      # shares turn 0
+        "c":  [("u", "solo")],                                 # unique
+        "d1": [("u", "dup"), ("m", "dup2")],
+        "d2": [("u", "dup"), ("m", "dup2")],                   # full duplicate
+    })
+    got = {r["conv_id"]: (r["n_turns"], r["shared_prefix_turns"])
+           for r in branch_points(df, "conv_id", "turn_idx",
+                                  ["role", "text"]).collect()}
+    assert got == {
+        "a": (3, 2), "ab": (3, 2), "b": (2, 1), "c": (1, 0),
+        "d1": (2, 2), "d2": (2, 2),
+    }
+
+
+def test_branch_points_partitioning_invariant(spark):
+    from spanner_data_validator_spark.operators.rollup import branch_points
+
+    df = _conv_turns(spark, {
+        "x": [("u", "p"), ("m", "q"), ("u", "r")],
+        "y": [("u", "p"), ("m", "q"), ("u", "s"), ("m", "t")],
+    })
+    a = sorted(map(tuple, branch_points(
+        df, "conv_id", "turn_idx", ["role", "text"]).collect()))
+    b = sorted(map(tuple, branch_points(
+        df.repartition(7), "conv_id", "turn_idx",
+        ["role", "text"]).collect()))
+    assert a == b == [("x", 3, 2), ("y", 4, 2)]
+
+
+def test_prefix_signature_is_order_sensitive(spark):
+    from spanner_data_validator_spark.operators.rollup import (
+        prefix_signatures,
+    )
+
+    df = _conv_turns(spark, {
+        "f": [("u", "one"), ("m", "two")],
+        "g": [("m", "two"), ("u", "one")],   # same multiset, different order
+    })
+    sigs = prefix_signatures(df, "conv_id", "turn_idx", ["role", "text"])
+    final = {r["conv_id"]: r["prefix_sig"]
+             for r in sigs.where(F.col("turn_idx") == 1).collect()}
+    assert final["f"] != final["g"]
