@@ -158,3 +158,11 @@ from spanner_data_validator_spark.operators.lateness import (  # noqa: F401
 from spanner_data_validator_spark.operators.survivorship import (  # noqa: F401
     golden_records,
 )
+from spanner_data_validator_spark.operators.skew import (  # noqa: F401
+    adaptive_salted_join,
+    hot_keys,
+)
+from spanner_data_validator_spark.operators.rollup import (  # noqa: F401
+    branch_points,
+    prefix_signatures,
+)

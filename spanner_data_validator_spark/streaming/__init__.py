@@ -40,3 +40,6 @@ from spanner_data_validator_spark.streaming.state_inspect import (  # noqa: F401
     read_state_metadata,
     state_partition_profile,
 )
+from spanner_data_validator_spark.streaming.lag_monitor import (  # noqa: F401
+    LagMonitorSink,
+)
