@@ -50,7 +50,8 @@ _DEFAULT_BUCKETS = 1024
 
 def arrival_lag(df: DataFrame, arrival: Column, ts: Column, *,
                 n_buckets: int = _DEFAULT_BUCKETS,
-                out_col: str = "lag_us") -> DataFrame:
+                out_col: str = "lag_us",
+                group: str | None = None) -> DataFrame:
     """Input columns + ``lag_us`` (BIGINT >= 0), distributed prefix-max.
 
     ``arrival`` must be a numeric column that is UNIQUE and increases
@@ -59,14 +60,25 @@ def arrival_lag(df: DataFrame, arrival: Column, ts: Column, *,
     event-time timestamp. ``lag_us = 0`` marks in-order rows; a positive
     lag is how far the row trailed the newest event time already seen
     when it arrived — i.e. the minimum watermark delay that keeps it.
+
+    ``group`` scopes EVERYTHING per group — each group has its own
+    arrival order, frontier and lag (a Kafka partition, a source shard:
+    disorder within a stream, not across independent streams). The
+    grouped form has no single-task stage at all: the bucket-maxima scan
+    partitions by group.
     """
     # events.ts arrives TIMESTAMP_NTZ from this corpus; unix_micros REJECTS
     # NTZ (CLAUDE.md session-5 trap). The cast goes through the session tz,
     # which session.get_spark pins to UTC — equal to DuckDB epoch_us(naive).
     us = F.unix_micros(ts.cast("timestamp"))
     a = arrival.cast("double")
-    stats = df.agg(F.min(a).alias("__lo"), F.max(a).alias("__hi"))
-    b = df.crossJoin(F.broadcast(stats))
+    if group is None:
+        stats = df.agg(F.min(a).alias("__lo"), F.max(a).alias("__hi"))
+        b = df.crossJoin(F.broadcast(stats))
+    else:
+        stats = df.groupBy(group).agg(F.min(a).alias("__lo"),
+                                      F.max(a).alias("__hi"))
+        b = df.join(stats, group)  # AQE broadcasts when groups are few
     span = F.col("__hi") - F.col("__lo")
     # linear arrival-range bin: monotone non-decreasing along the arrival
     # order, so each bucket owns a contiguous arrival span and a prefix
@@ -78,17 +90,23 @@ def arrival_lag(df: DataFrame, arrival: Column, ts: Column, *,
                         * F.lit(float(n_buckets))))).cast("long")
     b = b.withColumn("__bk", bin_).withColumn("__us", us).drop("__lo", "__hi")
 
-    per = b.groupBy("__bk").agg(F.max("__us").alias("__mx"))
-    # exclusive scan over <= n_buckets subtotal rows — the one
-    # single-task window, intentional (bucket maxima, never rows).
-    wx = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
-    carry = per.select("__bk", F.max("__mx").over(wx).alias("__carry"))
+    gcols = [] if group is None else [group]
+    per = b.groupBy(*gcols, "__bk").agg(F.max("__us").alias("__mx"))
+    # exclusive scan over <= n_buckets subtotal rows per group — in the
+    # global form the one single-task window, intentional (bucket maxima,
+    # never rows); the grouped form partitions it away entirely.
+    wx = (Window.partitionBy(*gcols).orderBy("__bk")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = per.select(*gcols, "__bk",
+                       F.max("__mx").over(wx).alias("__carry"))
 
-    w = (Window.partitionBy("__bk").orderBy(arrival)
+    w = (Window.partitionBy(*gcols, "__bk").orderBy(arrival)
          .rowsBetween(Window.unboundedPreceding, 0))
     run = F.greatest(F.max("__us").over(w),
                      F.coalesce(F.col("__carry"), F.col("__us")))
-    return (b.join(F.broadcast(carry), "__bk")
+    joined = (b.join(F.broadcast(carry), [*gcols, "__bk"]) if group is None
+              else b.join(carry, [*gcols, "__bk"]))
+    return (joined
             .withColumn(out_col, (run - F.col("__us")).cast("long"))
             .drop("__bk", "__us", "__carry"))
 
@@ -181,3 +199,45 @@ SELECT CAST(pct AS INT) AS pct,
        CAST(cum_n AS BIGINT) AS rows_within
 FROM hit WHERE rk = 1 ORDER BY pct
 """
+
+
+def watermark_recommendation_by(df: DataFrame, group: str, arrival: Column,
+                                ts: Column, *,
+                                pcts: Sequence[int] = (50, 95, 99, 100),
+                                n_buckets: int = _DEFAULT_BUCKETS
+                                ) -> DataFrame:
+    """Per-group :func:`watermark_recommendation` —
+    ``(group, pct, watermark_s, rows_within)``.
+
+    One watermark per SOURCE is how multi-tenant ingestion is actually
+    tuned (a tidy shard shouldn't pay a laggard's state retention; Spark
+    applies the max across a union, so per-group numbers tell you which
+    source to fix rather than which global delay to swallow). Lags are
+    per-group (own arrival order, own frontier); every stage partitions
+    by group — no single-task window anywhere.
+    """
+    for p in pcts:
+        if not (isinstance(p, int) and 1 <= p <= 100):
+            raise ValueError(f"pcts must be integers in [1,100], got {p!r}")
+    lags = arrival_lag(df, arrival, ts, n_buckets=n_buckets, group=group)
+    lag_s = F.expr("(lag_us + 999999) div 1000000")
+    hist = (lags.groupBy(group, lag_s.alias("lag_s"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    totals = hist.groupBy(group).agg(F.sum("n").alias("__n"))
+    cum = hist.withColumn(
+        "cum_n", F.sum("n").over(
+            Window.partitionBy(group).orderBy("lag_s")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    p_df = df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(
+            [(int(p),) for p in sorted(set(pcts))], 1), "pct int")
+    j = (cum.join(totals, group)
+         .crossJoin(F.broadcast(p_df))
+         .where(F.col("cum_n") >= F.expr("(pct * __n + 99) div 100"))
+         .withColumn("__rk", F.row_number().over(
+             Window.partitionBy(group, "pct").orderBy("lag_s"))))
+    return (j.where(F.col("__rk") == 1)
+            .select(group, "pct",
+                    F.col("lag_s").cast("long").alias("watermark_s"),
+                    F.col("cum_n").cast("long").alias("rows_within"))
+            .orderBy(group, "pct"))

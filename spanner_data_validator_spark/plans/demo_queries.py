@@ -11153,3 +11153,61 @@ def q_conv_branch_detect(spark, sf_dir):
                       .alias("text")))
     corpus = base.unionByName(branch)
     return branch_points(corpus, "conv_id", "turn_idx", ["role", "text"])
+
+
+@register("watermark_recommend_by_type", f"""
+WITH src AS (
+  SELECT coalesce(event_type, '') AS event_type, {_ARRIVAL_SQL} AS arrival, ts
+  FROM events
+),
+lag AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY arrival
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_us
+  FROM src
+),
+h AS (
+  SELECT event_type, (run_us - us + 999999) // 1000000 AS lag_s,
+         count(*) AS n
+  FROM lag GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, lag_s, sum(n) OVER (
+           PARTITION BY event_type ORDER BY lag_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM h
+),
+tot AS (SELECT event_type, sum(n) AS n_total FROM h GROUP BY event_type),
+p(pct) AS (VALUES (50), (95), (99), (100)),
+hit AS (
+  SELECT c.event_type, p.pct, c.lag_s, c.cum_n,
+         row_number() OVER (PARTITION BY c.event_type, p.pct
+                            ORDER BY c.lag_s) AS rk
+  FROM p CROSS JOIN cum c JOIN tot t ON t.event_type = c.event_type
+  WHERE c.cum_n >= (p.pct * t.n_total + 99) // 100
+)
+SELECT event_type, CAST(pct AS INT) AS pct,
+       CAST(lag_s AS BIGINT) AS watermark_s,
+       CAST(cum_n AS BIGINT) AS rows_within
+FROM hit WHERE rk = 1
+""")
+def q_watermark_recommend_by_type(spark, sf_dir):
+    """Per-SOURCE watermark tuning (operators/lateness
+    .watermark_recommendation_by): each event_type stream gets its own
+    arrival order, frontier, lag histogram and recommendation — the
+    multi-tenant form (Spark applies the max watermark across a union, so
+    per-group numbers say which source to fix, not which global delay to
+    swallow). Every stage partitions by the group: the grouped profiler
+    has NO single-task window at all."""
+    from spanner_data_validator_spark.operators.lateness import (
+        watermark_recommendation_by,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.coalesce(F.col("event_type"), F.lit(""))
+                  .alias("event_type"),
+                  F.expr(_ARRIVAL_SPARK).alias("arrival"), "ts"))
+    return watermark_recommendation_by(
+        ev, "event_type", F.col("arrival"), F.col("ts"),
+        pcts=(50, 95, 99, 100))

@@ -133,3 +133,48 @@ def test_recommend_watermark_cli(spark, tmp_path, capsys):
     assert rows[1]["watermark_s"] == max_need
     assert rows[1]["rows_within"] == len(pdf)
     assert "RECOMMEND_RESULT" in capsys.readouterr().out
+
+
+def test_grouped_arrival_lag_is_per_group(spark):
+    """Each group has its own frontier: a row late vs ANOTHER group's
+    frontier but in-order within its own must read lag 0."""
+    rows = [
+        # group a: frontier races ahead
+        ("a", 1, 10_000_000), ("a", 2, 90_000_000),
+        # group b: later arrivals, earlier event times, but in-order
+        ("b", 3, 1_000_000), ("b", 4, 2_000_000),
+        # group a: one straggler 80s behind its own frontier
+        ("a", 5, 10_500_000),
+    ]
+    df = spark.createDataFrame(rows, "g string, arrival long, us long") \
+        .select("g", "arrival",
+                F.timestamp_micros(F.col("us")).alias("ts"))
+    got = {(r["g"], r["arrival"]): r["lag_us"]
+           for r in arrival_lag(df, F.col("arrival"), F.col("ts"),
+                                group="g", n_buckets=4).collect()}
+    assert got == {("a", 1): 0, ("a", 2): 0, ("b", 3): 0, ("b", 4): 0,
+                   ("a", 5): 79_500_000}
+
+
+def test_grouped_recommendation_matches_per_group_truth(spark):
+    from spanner_data_validator_spark.operators.lateness import (
+        watermark_recommendation_by,
+    )
+
+    pdfs = {g: _corpus(seed, 150) for g, seed in (("x", 5), ("y", 6))}
+    rows = [(g, int(r.arrival), int(r.us))
+            for g, pdf in pdfs.items() for _, r in pdf.iterrows()]
+    df = spark.createDataFrame(rows, "g string, arrival long, us long") \
+        .select("g", "arrival",
+                F.timestamp_micros(F.col("us")).alias("ts"))
+    rec = {(r["g"], r["pct"]): (r["watermark_s"], r["rows_within"])
+           for r in watermark_recommendation_by(
+               df, "g", F.col("arrival"), F.col("ts"),
+               pcts=(50, 100)).collect()}
+    for g, pdf in pdfs.items():
+        need = sorted((l + 999_999) // 1_000_000
+                      for l in _truth_lags(pdf).values())
+        assert rec[(g, 100)] == (max(need), len(need))
+        w50, within50 = rec[(g, 50)]
+        assert within50 == sum(1 for s in need if s <= w50)
+        assert within50 >= -(-50 * len(need) // 100)
